@@ -1,0 +1,96 @@
+"""Sources (SURVEY.md §2.1 S1-S3).
+
+S1  CSV scan with explicit schema + FAILFAST  (spark_etl_job.py:36;
+    the ``max_bad_records=0`` fail-fast semantic of spark-bq-dag.py:126)
+S2  Columnar table scan with projection pushdown (ml_project.py:50-69's
+    ``selected_fields`` → parquet column pruning, free via Catalyst)
+S3  Temp-view registration for SQL entry (spark_etl_job.py:39)
+
+Scale notes: explicit schemas skip the inference scan; parquet scans get
+predicate pushdown + column pruning from Catalyst, so callers should
+``.select``/``.filter`` as early as possible and let the optimizer move
+them into the FileScan node.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_etl_pipeline_spark.schemas import TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    date_format: str | None = None,
+    mode: str = "FAILFAST",
+    **options: str,
+) -> DataFrame:
+    """S1 — schemaful CSV scan.
+
+    ``mode="FAILFAST"`` reproduces the reference's ``max_bad_records=0``
+    warehouse contract at scan time; pass ``mode="PERMISSIVE"`` for the
+    reference's lenient Spark-side read (it deferred strictness to the
+    BigQuery load).
+    """
+    reader = spark.read.schema(schema).option("header", header).option("mode", mode)
+    if date_format:
+        reader = reader.option("dateFormat", date_format)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """S2 — parquet scan with optional projection (column pruning)."""
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) isn't a Spark type: with
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` the column scans as
+    int64 nanos; convert to microsecond timestamps (floor-truncate —
+    matching DuckDB's ns→µs cast) so downstream semantics match."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for c in ts_cols:
+        if isinstance(fields.get(c), T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver testdata tables from ``sf_dir`` (TESTDATA.md)."""
+    # Set here (not only at session build) so driver-created sessions
+    # can read the nanos-timestamp events table too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    names = list(tables) if tables else list(TESTDATA_TABLES)
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_nanos(df)
+        out[name] = df
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """S3 — expose every testdata table to ``spark.sql`` by name."""
+    dfs = load_testdata(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,92 @@
+"""Star-schema builder (SURVEY.md §2.2 P3, §2.5 W1, §2.3 J1-J2).
+
+The reference splits one wide table into fact + 2 dims by column subsets
+with row-aligned ``monotonically_increasing_id()`` surrogate keys
+(spark_etl_job.py:46-48,74-78) — a degenerate star whose "dims" are not
+deduplicated. This module generalizes to a config-driven splitter with
+*proper* dimensional modeling:
+
+- dims are ``DISTINCT`` over their natural columns;
+- surrogate keys are deterministic ``dense_rank`` over the natural key
+  (stable under repartitioning, unlike monotonically_increasing_id —
+  SURVEY.md §4.3);
+- the fact table gets FKs by joining back on the natural key, with dims
+  broadcast (they are orders of magnitude smaller than the fact at any
+  realistic scale).
+
+Scale: the dedup is one shuffle per dim on the natural key; the
+key-assignment ``dense_rank`` runs over the *deduplicated* dim (small),
+and the fact join is broadcast — so building an N-dim star over a 100 TB
+fact costs N broadcast-hash-join map-side passes, no fact shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class DimSpec:
+    """One dimension: natural columns + surrogate key column name."""
+
+    name: str
+    natural_cols: Sequence[str]
+    key_col: str
+    extra_cols: Sequence[str] = field(default_factory=tuple)
+
+
+def build_dim(df: DataFrame, spec: DimSpec) -> DataFrame:
+    """Deduplicated dimension with a deterministic dense surrogate key.
+
+    ``dense_rank`` over the natural-key ordering gives contiguous
+    1-based ids that are reproducible across runs and partitionings.
+    The rank's global sort runs on the deduplicated dim, which is small
+    by construction; for a genuinely huge dim switch to
+    ``xxhash64(natural_cols)`` keys (collision-checked), which needs no
+    sort at all.
+    """
+    natural = list(spec.natural_cols)
+    dim = df.select(*natural).distinct()
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in natural])
+    return dim.withColumn(spec.key_col, F.dense_rank().over(w).cast("long")).select(
+        spec.key_col, *natural
+    )
+
+
+def build_star(
+    df: DataFrame,
+    dims: Sequence[DimSpec],
+    fact_measures: Sequence[str],
+) -> dict[str, DataFrame]:
+    """P3/W1/J1-J2 — split ``df`` into ``{dim_name: dim_df, 'fact': fact_df}``.
+
+    The fact carries one FK per dim plus the measure columns. Dim
+    lookups are broadcast joins on the natural key (map-side; no fact
+    shuffle)."""
+    out: dict[str, DataFrame] = {}
+    fact = df
+    for spec in dims:
+        dim = build_dim(df, spec)
+        out[spec.name] = dim
+        fact = fact.join(F.broadcast(dim), on=list(spec.natural_cols), how="inner")
+    out["fact"] = fact.select(
+        *[s.key_col for s in dims], *[F.col(m) for m in fact_measures]
+    )
+    return out
+
+
+def join_star(
+    fact: DataFrame,
+    dims: Mapping[str, tuple[DataFrame, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2 — make the star queryable: fact ⋈ each (dim, key) with the
+    dim broadcast (README.md:10 'The schema for the output is Star')."""
+    df = fact
+    for _, (dim, key) in dims.items():
+        df = df.join(F.broadcast(dim), on=key, how=how)
+    return df

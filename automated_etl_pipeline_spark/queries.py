@@ -1,0 +1,632 @@
+"""Query registry: every SURVEY.md §2 operator as a (PySpark, oracle-SQL) pair.
+
+Each entry in ``QUERIES`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLES`` holds the DuckDB-runnable ANSI SQL with IDENTICAL column
+aliases (the driver sorts columns by name before value-hashing).
+
+Determinism discipline (critical for the hash-compare gate):
+
+- **Exact decimal aggregation**: ``SUM``/``AVG`` over double columns are
+  computed as ``CAST(SUM(CAST(x AS DECIMAL(18,k))) AS DOUBLE)`` on BOTH
+  sides. Floating sums are order-dependent (Spark partitions vs DuckDB
+  threads would diverge in the last ulps and break the hash); decimal
+  sums are exact and order-independent. A double is never exactly
+  half-way between two k-decimal values, so the double→decimal rowwise
+  cast is unambiguous in both engines.
+- **Deterministic top-k**: every LIMIT query carries a full tiebreak in
+  its ORDER BY.
+- **Per-row double math** (e.g. ``price * (1-disc)``) is identical IEEE
+  arithmetic in both engines, so it is safe before the decimal cast.
+
+Scale notes are in each query's docstring; plans are asserted in
+tests/test_plans.py (broadcast where expected, filters pushed to scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.io.sources import load_testdata
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    dfs = load_testdata(spark, sf_dir, names)
+    return [dfs[n] for n in names]
+
+
+def dsum(col: F.Column | str, scale: int = 2, alias: str | None = None) -> F.Column:
+    """Order-independent sum of a double column via exact decimal."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: F.Column | str, scale: int = 2) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------------
+# Flagship (SURVEY.md §7.1): scan → groupBy multi-agg → orderBy.
+# A2 multi-aggregate + A5 aliased outputs (ml_project.py:131-132).
+# Scale: partial+final hash aggregate, no join; AQE coalesces the
+# 5-group shuffle to a single partition.
+# ----------------------------------------------------------------------
+@query(
+    "flagship_priority_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def flagship_priority_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="sum_total"),
+            davg("o_totalprice").alias("avg_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- P1: SQL passthrough entry (spark_etl_job.py:39-45) — TPC-H Q1 shape.
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("p1_sql_passthrough_q1", _Q1_SQL)
+def p1_sql_passthrough_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same SQL string through Catalyst — proves the SQL entry point."""
+    for name, df in load_testdata(spark, sf_dir, ["lineitem"]).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q1_SQL)
+
+
+# --- P2/P5: projection + pushed-down filter (spark_etl_job.py:48,50).
+@query(
+    "p5_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 10
+    """,
+)
+def p5_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both predicates and the 4-column projection reach the parquet scan
+    (PushedFilters + ReadSchema) — at 100 TB this is the difference
+    between scanning 4 columns of a few row groups and the whole table."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") < 10)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+# --- A1/W2: group-count + deterministic top-k (ml_project.py:112-113).
+@query(
+    "w2_topk_count",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey LIMIT 10
+    """,
+)
+def w2_topk_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plans this as TakeOrderedAndProject after the agg: partial
+    top-k per partition, k-merge on the driver — no global sort."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# --- W3: top-k by measure (ml_project.py:142,154,166).
+@query(
+    "w3_topk_measure",
+    """
+    SELECT l_suppkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY revenue DESC, l_suppkey LIMIT 10
+    """,
+)
+def w3_topk_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+# --- J1/J2: fact ⋈ broadcast dims, chained (README.md:10 star consumption).
+@query(
+    "j1_region_revenue",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dims broadcast explicitly: the 100 TB fact never shuffles — three
+    map-side hash joins, then one agg shuffle on the 5-value key."""
+    orders, customer, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# --- J3: self theta-join pairing (itertools.combinations, ml_project.py:299).
+@query(
+    "j3_nation_pairs",
+    """
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS region_key
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    ORDER BY region_key, nation_a, nation_b
+    """,
+)
+def j3_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combinations(group, 2) as a relational theta self-join: equi part
+    (same region) hashes; `<` dedups unordered pairs."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+            F.col("a.n_regionkey").alias("region_key"),
+        )
+        .orderBy("region_key", "nation_a", "nation_b")
+    )
+
+
+# --- J4: anti join (dedup/validation surface, SURVEY.md §2.3).
+@query(
+    "j4_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 450000
+    )
+    ORDER BY c_custkey
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    big = orders.filter(F.col("o_totalprice") > 450000)
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J4: semi join.
+@query(
+    "j4_semi_join",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F' AND o_totalprice > 400000
+    )
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    hits = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 400000)
+    )
+    return (
+        customer.join(hits, customer.c_custkey == hits.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- U1: union/unpivot idiom (home.append(away), ml_project.py:129,202-205).
+@query(
+    "u1_union_unpivot",
+    """
+    SELECT side, key_id, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM (
+      SELECT 'part' AS side, l_partkey AS key_id, l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'supp' AS side, l_suppkey AS key_id, l_extendedprice FROM lineitem
+    ) GROUP BY side, key_id ORDER BY side, key_id
+    """,
+)
+def u1_union_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's melt: two projection+rename branches unioned, then
+    aggregated. unionByName keeps it one stage per branch; Catalyst
+    pushes the per-branch projections into the shared scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    part_side = li.select(
+        F.lit("part").alias("side"),
+        F.col("l_partkey").alias("key_id"),
+        "l_extendedprice",
+    )
+    supp_side = li.select(
+        F.lit("supp").alias("side"),
+        F.col("l_suppkey").alias("key_id"),
+        "l_extendedprice",
+    )
+    return (
+        part_side.unionByName(supp_side)
+        .groupBy("side", "key_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", alias="total_price"),
+        )
+        .orderBy("side", "key_id")
+    )
+
+
+# --- W4: rank-within-group (standings .index[k], ml_project.py:312,321-322).
+@query(
+    "w4_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3 ORDER BY o_custkey, rn
+    """,
+)
+def w4_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# --- A3: global (ungrouped) aggregate (ml_project.py:178).
+@query(
+    "a3_global_agg",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+    FROM lineitem
+    """,
+)
+def a3_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        davg("l_quantity").alias("avg_qty"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    )
+
+
+# --- P6/F9: conditional weight rule ('Cup' in t → 1 else 100,
+#     ml_project.py:191-198) — pure CASE WHEN, no UDF.
+@query(
+    "f9_case_weight",
+    """
+    SELECT o_orderpriority,
+           CASE WHEN o_orderpriority LIKE '%URGENT%'
+                  OR o_orderpriority LIKE '%HIGH%' THEN 1 ELSE 100 END AS weight,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             * CASE WHEN o_orderpriority LIKE '%URGENT%'
+                      OR o_orderpriority LIKE '%HIGH%' THEN 1 ELSE 100 END AS weighted_total
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def f9_case_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    is_hot = F.col("o_orderpriority").contains("URGENT") | F.col(
+        "o_orderpriority"
+    ).contains("HIGH")
+    weight = F.when(is_hot, 1).otherwise(100)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max(weight).alias("weight"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (dsum("o_totalprice") * F.max(weight)).alias("weighted_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- F1: multi-format first-wins date parse (spark_etl_job.py:33-34).
+@query(
+    "f1_multiformat_date",
+    """
+    SELECT CAST(EXTRACT(year FROM parsed) AS INT) AS order_year, COUNT(*) AS n_orders
+    FROM (
+      SELECT COALESCE(
+               CAST(try_strptime(date_str, '%Y-%m-%d') AS DATE),
+               CAST(try_strptime(date_str, '%d-%m-%Y') AS DATE)) AS parsed
+      FROM (
+        SELECT CASE WHEN o_orderkey % 2 = 0
+                    THEN strftime(o_orderdate, '%Y-%m-%d')
+                    ELSE strftime(o_orderdate, '%d-%m-%Y') END AS date_str
+        FROM orders
+      )
+    ) GROUP BY order_year ORDER BY order_year
+    """,
+)
+def f1_multiformat_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips timestamps through two string formats (by key parity)
+    and parses back with the first-format-wins strict parser — the exact
+    mixed-format quirk of football_results.csv (SURVEY.md §1.3)."""
+    from automated_etl_pipeline_spark.operators.cleaning import multi_format_date
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    date_str = F.when(
+        F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+    ).otherwise(F.date_format("o_orderdate", "dd-MM-yyyy"))
+    parsed = multi_format_date(date_str, ("yyyy-MM-dd", "dd-MM-yyyy"))
+    return (
+        orders.select(F.year(parsed).alias("order_year"))
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_year")
+    )
+
+
+# --- distinct aggregation (engine surface, SURVEY.md §2.4 note).
+@query(
+    "a4_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def a4_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- rollup (engine surface, SURVEY.md §2.4 note).
+@query(
+    "a5_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", alias="sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- set ops (SURVEY.md §2.6).
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nation_key FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nation_key
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nation_key"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nation_key")))
+        .orderBy("nation_key")
+    )
+
+
+@query(
+    "set_except",
+    """
+    SELECT c_nationkey AS nation_key FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    ORDER BY nation_key
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nation_key"))
+        .subtract(supplier.select(F.col("s_nationkey").alias("nation_key")))
+        .orderBy("nation_key")
+    )
+
+
+# --- W1/P3: deterministic surrogate-keyed dimension (star builder).
+@query(
+    "star_date_dim",
+    """
+    SELECT CAST(DENSE_RANK() OVER (ORDER BY order_date) AS BIGINT) AS date_id,
+           order_date
+    FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+    ORDER BY date_id
+    """,
+)
+def star_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's replacement for monotonically_increasing_id surrogate
+    keys (spark_etl_job.py:46-47): dedup + dense_rank = stable ids
+    (SURVEY.md §4.3). The global sort runs on the deduplicated dim."""
+    from automated_etl_pipeline_spark.operators.star import DimSpec, build_dim
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    dated = orders.select(F.to_date("o_orderdate").alias("order_date"))
+    dim = build_dim(dated, DimSpec("date_dim", ["order_date"], "date_id"))
+    return dim.orderBy("date_id")
+
+
+# ----------------------------------------------------------------------
+# events: batch event-time windows + JSON props (SURVEY.md §2.7/§2.8)
+# ----------------------------------------------------------------------
+@query(
+    "events_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start ORDER BY window_start
+    """,
+)
+def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window as batch groupBy(window(...)) — the
+    same window() function Structured Streaming uses, so the streaming
+    upgrade path is API-compatible (SURVEY.md §2.8)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").getField("start").alias("window_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_sliding_1h_15m",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (SELECT UNNEST(range(0, 4)) AS k) k
+    GROUP BY window_start ORDER BY window_start
+    """,
+)
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h every 15m): each event lands in 4 windows;
+    Spark's window() expands them natively (no explicit explode)."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", scale=6, alias="sum_value"),
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MAX(k_val) AS INT) AS max_k,
+           CAST(SUM(k_val) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS INTEGER) AS k_val
+      FROM events
+    ) GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction via regexp (engine also exposes from_json;
+    regexp keeps the oracle engine-portable)."""
+    (events,) = _t(spark, sf_dir, "events")
+    k_val = F.regexp_extract("props", r'"k":\s*(-?\d+)', 1).cast("int")
+    return (
+        events.select("event_type", k_val.alias("k_val"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("k_val").alias("max_k"),
+            F.sum("k_val").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,276 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity search.
+
+First-class operators for training-data curation at 100 TB scale
+(BASELINE.json north star), each with a DuckDB oracle over the shared
+``documents`` / ``embeddings`` testdata. Registered into the same
+QUERIES/ORACLES dicts as queries.py.
+
+Determinism notes:
+- Hash-based ops use ``md5`` (identical hex output in Spark and DuckDB)
+  — never engine-native ``hash()`` (xxhash64 vs murmur differ).
+- Ratio columns are exact-int divisions (identical IEEE both sides).
+- Cosine similarities fold 64 doubles sequentially in both engines and
+  are rounded to 6 decimals before ranking; ties broken on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.queries import _t, query
+
+# ----------------------------------------------------------------------
+# Deduplication (exact). Scale: one shuffle on the 128-bit content hash;
+# map-side partial agg collapses duplicates before the exchange, so
+# shuffle volume is O(distinct docs), not O(docs).
+# ----------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY content_hash ORDER BY content_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("content_hash")
+    )
+
+
+@query(
+    "dedup_fingerprint",
+    """
+    SELECT fingerprint,
+           COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fingerprint
+      FROM documents
+    ) GROUP BY fingerprint ORDER BY fingerprint
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint near-dup candidates: hash of the first 8
+    tokens. The cheap first pass of a dedup cascade — at scale this
+    collapses boilerplate-heavy corpora before expensive MinHash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .orderBy("fingerprint")
+    )
+
+
+# ----------------------------------------------------------------------
+# Text analysis (SURVEY.md extensions; documents table)
+# ----------------------------------------------------------------------
+
+
+@query(
+    "text_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + corpus stats per lang.
+    Pure column expressions — tokenization never leaves the JVM."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.select("lang", "n_chars", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    """
+    SELECT doc_id,
+           n_tokens,
+           n_unique,
+           CAST(n_unique AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    ) WHERE n_tokens > 0 ORDER BY doc_id
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio + stopword ratio per document —
+    the standard cheap filters of an LLM data pipeline."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    df = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    return (
+        df.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_unique",
+            (F.col("n_unique").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_regex_count",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_word_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenizer count (word-piece proxy) per source."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+    return (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(n).alias("total_word_tokens"))
+        .orderBy("source")
+    )
+
+
+# ----------------------------------------------------------------------
+# Similarity search over embeddings (array<float>, 64-dim)
+# ----------------------------------------------------------------------
+
+
+def _cosine_to_query(emb: DataFrame, query_vec_id: int) -> DataFrame:
+    """cosine(e, q) with double math: dot and norms via sequential folds
+    (deterministic order), then rounded to 6 dp.
+
+    Scale: the query side is a broadcast of one row; the scan side is
+    embarrassingly parallel — no shuffle at all until top-k, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps + driver
+    k-merge), the right plan for brute-force ANN baseline at any scale.
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    both = emb.crossJoin(F.broadcast(q))
+    prod = F.zip_with(
+        "embedding", "q_emb", lambda x, y: x.cast("double") * y.cast("double")
+    )
+    dot = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+    n_e = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n_q = F.aggregate(
+        F.transform("q_emb", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = F.round(dot / (F.sqrt(n_e) * F.sqrt(n_q)), 6)
+    return both.select("vec_id", "label", sim.alias("cosine_sim"))
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))),
+             6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, vec_id LIMIT 20
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 to the vec_id=0 embedding — the exact
+    baseline every ANN variant (LSH/IVF, similarity/ module) is
+    recall-checked against."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return (
+        _cosine_to_query(emb, 0)
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "emb_label_centroid_norm",
+    """
+    SELECT label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(sqrt(SUM(m * m)), 6) AS centroid_norm
+    FROM (
+      SELECT label, pos,
+             SUM(CAST(embedding[pos] AS DOUBLE)) / COUNT(*) AS m,
+             COUNT(*) AS n_vecs
+      FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS pos) p
+      GROUP BY label, pos
+    ) GROUP BY label, n_vecs ORDER BY label
+    """,
+)
+def emb_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm — the aggregation building block for
+    IVF partitioning (assign → average). posexplode + two-level groupBy;
+    fp sum-order noise (~1e-15) is absorbed by round(6).
+
+    Scale: the explode multiplies rows ×dim, but the per-(label,pos)
+    partial aggregation combines map-side, so the shuffle carries only
+    n_labels × dim rows.
+    """
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    )
+    per_pos = exploded.groupBy("label", "pos").agg(
+        (F.sum("col") / F.count(F.lit(1))).alias("m"),
+        F.count(F.lit(1)).alias("n_vecs"),
+    )
+    return (
+        per_pos.groupBy("label", "n_vecs")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 6).alias("centroid_norm"))
+        .select("label", "n_vecs", "centroid_norm")
+        .orderBy("label")
+    )
