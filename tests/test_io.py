@@ -1,0 +1,43 @@
+"""Source/sink tests (SURVEY.md §2.1 S1-S5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from automated_etl_pipeline_spark.io.sinks import (
+    NotNullViolation,
+    validate_not_null,
+    write_parquet_append,
+)
+from automated_etl_pipeline_spark.io.sources import read_csv
+from automated_etl_pipeline_spark import schemas
+
+
+def test_read_csv_explicit_schema(spark, football_csv):
+    df = read_csv(spark, football_csv, schemas.FOOTBALL_RESULTS, mode="PERMISSIVE")
+    assert df.schema == schemas.FOOTBALL_RESULTS
+    assert df.count() == 8
+    # typed read: score is int, neutral is boolean
+    row = df.filter(df.home_team == "SCOTLAND").first()
+    assert row.home_score == 0 and row.neutral is False
+
+
+def test_validate_not_null_passes_and_fails(spark):
+    clean = spark.createDataFrame([Row(a=1, b="x")], "a int, b string")
+    assert validate_not_null(clean) is clean
+    dirty = spark.createDataFrame([Row(a=1, b=None)], "a int, b string")
+    with pytest.raises(NotNullViolation, match="b"):
+        validate_not_null(dirty, ["a", "b"])
+
+
+def test_idempotent_append_run_id(spark, tmp_path):
+    """S5 + SURVEY.md §4.3: same run_id re-written twice → no duplicates;
+    a second run_id appends."""
+    path = str(tmp_path / "warehouse")
+    df = spark.createDataFrame([Row(k=1), Row(k=2)], "k int")
+    write_parquet_append(df, path, run_id="r1")
+    write_parquet_append(df, path, run_id="r1")  # retry — must not duplicate
+    assert spark.read.parquet(path).count() == 2
+    write_parquet_append(df, path, run_id="r2")
+    assert spark.read.parquet(path).count() == 4
