@@ -274,3 +274,55 @@ def emb_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vecs", "centroid_norm")
         .orderBy("label")
     )
+
+
+# ----------------------------------------------------------------------
+# MinHash-LSH near-dedup (dedup/minhash.py) — fully oracle-checkable
+# because every hash is md5-based (portable across engines).
+# ----------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok
+    ), sig AS (
+      SELECT doc_id, s,
+             list_transform(range(0, 12),
+               p -> list_min(list_transform(s, x -> md5(p::VARCHAR || ':' || x)))) AS sg
+      FROM sh
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx,
+             md5(array_to_string(sg[b.b*3 + 1 : b.b*3 + 3], '|')) AS band_hash
+      FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+    WHERE len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+          / len(list_distinct(a.s || b.s)) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(P=12) + LSH(4 bands × 3 rows) candidates, verified by
+    exact shingle-set Jaccard ≥ 0.8 (see dedup/minhash.py for the scale
+    analysis: signature computation is shuffle-free HOF codegen)."""
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return near_duplicate_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")

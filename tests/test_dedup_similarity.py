@@ -1,0 +1,84 @@
+"""Tests for dedup/ (MinHash-LSH) and similarity/ (brute force + LSH)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.dedup.minhash import (
+    deduplicate,
+    near_duplicate_pairs,
+)
+from automated_etl_pipeline_spark.io.sources import load_testdata
+from automated_etl_pipeline_spark.similarity.brute_force import topk_cosine
+from automated_etl_pipeline_spark.similarity.lsh import (
+    make_hyperplanes,
+    topk_cosine_lsh,
+    with_lsh_code,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_testdata(spark, SF, ["documents"])["documents"].cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_testdata(spark, SF, ["embeddings"])["embeddings"].cache()
+
+
+def test_minhash_detects_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")  # 1-token edit → high jaccard
+    far = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = near_duplicate_pairs(df, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_minhash_on_corpus_finds_pairs(docs):
+    pairs = near_duplicate_pairs(docs, threshold=0.8)
+    rows = pairs.collect()
+    assert len(rows) > 0  # generator plants near-dups
+    assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+    assert all(r.doc_a < r.doc_b for r in rows)
+
+
+def test_deduplicate_removes_only_losers(docs):
+    pairs = near_duplicate_pairs(docs, threshold=0.8)
+    n_losers = pairs.select("doc_b").distinct().count()
+    kept = deduplicate(docs, threshold=0.8)
+    assert kept.count() == docs.count() - n_losers
+
+
+def test_brute_force_self_similarity(emb):
+    qv = emb.filter(F.col("vec_id") == 7).first().embedding
+    top = topk_cosine(emb, qv, k=5).collect()
+    assert top[0].vec_id == 7
+    assert top[0].cosine_sim == pytest.approx(1.0, abs=1e-6)
+    sims = [r.cosine_sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    """LSH top-10 must recover most of the exact top-10 (multi-probe h≤2)."""
+    qv = emb.filter(F.col("vec_id") == 3).first().embedding
+    planes = make_hyperplanes(dim=len(qv), n_planes=12, seed=7)
+    exact = {r.vec_id for r in topk_cosine(emb, qv, k=10).collect()}
+    approx = {r.vec_id for r in topk_cosine_lsh(emb, qv, planes, k=10, probe_hamming=3).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall {recall} too low"
+
+
+def test_lsh_code_shape(emb):
+    planes = make_hyperplanes(64, n_planes=8)
+    coded = with_lsh_code(emb, planes)
+    row = coded.first()
+    assert len(row.lsh_code) == 8
+    assert set(row.lsh_code) <= {0, 1}
