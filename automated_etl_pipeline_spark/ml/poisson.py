@@ -1,0 +1,102 @@
+"""Weighted Poisson GLM over categorical features (SURVEY.md §2.9 M2-M3).
+
+The reference fits ``smf.glm('goals ~ team + opponent', family=Poisson,
+freq_weights=weight)`` in statsmodels (ml_project.py:211-212) and
+scores pairings (ml_project.py:220-221). Spark-native equivalent:
+StringIndexer → OneHotEncoder → GeneralizedLinearRegression
+(family=poisson, link=log, weightCol) — distributed IRLS, so the fit
+scales to arbitrarily many rows (the reference's pandas fit is bounded
+by driver memory).
+
+Parity note (SURVEY.md §7.3e): coefficient vectors are NOT comparable
+to statsmodels (different categorical baselines/regularization floor);
+parity is asserted at prediction level and via model invariants in
+tests, not coefficient equality.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline as MlPipeline
+from pyspark.ml import PipelineModel
+from pyspark.ml.feature import OneHotEncoder, StringIndexer
+from pyspark.ml.regression import GeneralizedLinearRegression
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PoissonRates:
+    model: PipelineModel
+    label_col: str
+
+    def predict(self, df: DataFrame, out_col: str = "expected") -> DataFrame:
+        """Expected event rate per row (exp of the linear predictor)."""
+        return self.model.transform(df).withColumnRenamed("prediction", out_col)
+
+
+def fit_poisson_rates(
+    df: DataFrame,
+    categorical_cols: list[str],
+    label_col: str,
+    weight_col: str | None = None,
+    reg_param: float = 0.0,
+) -> PoissonRates:
+    """Fit E[label | categoricals] with a log-link Poisson GLM."""
+    stages = []
+    feature_cols = []
+    for c in categorical_cols:
+        stages.append(
+            StringIndexer(inputCol=c, outputCol=f"{c}_idx", handleInvalid="keep")
+        )
+        stages.append(OneHotEncoder(inputCol=f"{c}_idx", outputCol=f"{c}_vec"))
+        feature_cols.append(f"{c}_vec")
+    from pyspark.ml.feature import VectorAssembler
+
+    stages.append(VectorAssembler(inputCols=feature_cols, outputCol="features"))
+    glr = GeneralizedLinearRegression(
+        family="poisson",
+        link="log",
+        labelCol=label_col,
+        featuresCol="features",
+        regParam=reg_param,
+    )
+    if weight_col:
+        glr = glr.setWeightCol(weight_col)
+    stages.append(glr)
+    model = MlPipeline(stages=stages).fit(df)
+    return PoissonRates(model=model, label_col=label_col)
+
+
+def team_strength_training_frame(
+    matches: DataFrame, anchor_year: int = 2019
+) -> DataFrame:
+    """The reference's model-data construction (ml_project.py:191-205):
+    weight from tournament name + recency, then the home/away unpivot
+    into (team, opponent, goals, weight) rows.
+
+    Divergence from the reference, by design: ml_project.py:199 computes
+    ``1 / ((2019 - year) * weight)`` which divides by zero for matches
+    in the anchor year itself (the dataset reaches 2020) — pandas yields
+    inf silently, Spark ANSI mode raises. We clamp the age to ≥ 1.
+    """
+    w = F.when(
+        F.col("tournament").contains("Cup") | F.col("tournament").contains("Euro"), 1
+    ).otherwise(100)
+    age = F.greatest(F.lit(1), F.lit(anchor_year) - F.year(F.col("date")))
+    recency = F.lit(1.0) / (age.cast("double") * w.cast("double"))
+    base = matches.withColumn("weight", recency)
+    home = base.select(
+        F.col("home_team").alias("team"),
+        F.col("away_team").alias("opponent"),
+        F.col("home_score").cast("double").alias("goals"),
+        "weight",
+    )
+    away = base.select(
+        F.col("away_team").alias("team"),
+        F.col("home_team").alias("opponent"),
+        F.col("away_score").cast("double").alias("goals"),
+        "weight",
+    )
+    return home.unionByName(away)

@@ -1,0 +1,145 @@
+"""Multimodal column operators: image/audio/video as opaque binary +
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, batch iteration, partition sizing —
+is real and tested; the actual codec calls (PIL/ffmpeg/librosa are not
+in this container) are isolated behind ``_decode_image_bytes`` /
+``_sample_frames_bytes``, which raise ``NotImplementedError`` unless
+``deterministic_fake=True`` substitutes a seeded, content-derived fake
+(md5 of the bytes → stable pseudo-dimensions/features) so tests can
+exercise the full distributed path.
+
+Scale notes:
+- Binary payloads ride in parquet with the metadata columns, so
+  filters on metadata (``media_type = 'image'``, ``n_bytes < 10MB``)
+  prune row groups WITHOUT touching payload bytes (parquet column
+  pruning keeps the binary column unread until the UDF stage).
+- ``mapInPandas`` streams Arrow batches: peak executor memory is one
+  batch of payloads, controlled by ``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` — set it low (e.g. 64) for multi-MB media rows.
+- Feature extraction is a narrow map: no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_luma", T.DoubleType(), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), True),
+    ]
+)
+
+
+def _decode_image_bytes(payload: bytes, deterministic_fake: bool) -> tuple[int, int, int, float]:
+    """(width, height, channels, mean_luma). Real impl needs PIL —
+    STUB: not available in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv (not installed); "
+            "pass deterministic_fake=True for the content-derived stand-in"
+        )
+    h = hashlib.md5(payload or b"").digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4, h[3] / 255.0
+
+
+def _sample_frames_bytes(
+    payload: bytes, n_frames: int, deterministic_fake: bool
+) -> list[str]:
+    """Frame-content hashes. Real impl needs ffmpeg — STUB."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "video frame sampling requires ffmpeg (not installed); "
+            "pass deterministic_fake=True for the content-derived stand-in"
+        )
+    return [
+        hashlib.md5((payload or b"") + bytes([i])).hexdigest() for i in range(n_frames)
+    ]
+
+
+def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Derive/refresh the typed metadata columns from the payload —
+    pure JVM expressions (length, crc), no Python."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+
+
+def extract_image_features(
+    media: DataFrame, deterministic_fake: bool = False, batch_size: int = 64
+) -> DataFrame:
+    """Image decode + feature extraction over Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_image_bytes(p, deterministic_fake) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "channels": [f[2] for f in feats],
+                    "mean_luma": [f[3] for f in feats],
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    deterministic_fake: bool = False,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Frame sampling: one output row per (video, frame_idx)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fh in enumerate(
+                    _sample_frames_bytes(payload, n_frames, deterministic_fake)
+                ):
+                    ids.append(mid)
+                    idxs.append(i)
+                    hashes.append(fh)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    vids = media.filter(F.col("media_type") == "video").select("media_id", "payload")
+    return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -1,0 +1,67 @@
+"""Structured Streaming surface (SURVEY.md §2.8 upgrade path).
+
+The reference is batch-only (daily Airflow schedule, append-mode
+accumulation — spark-bq-dag.py:35,124); the engine's batch event-time
+windows (queries.py events_*) use the same ``window()`` expression
+Structured Streaming uses, so this module is the drop-in streaming
+version: file/rate source → watermark → windowed agg → sink.
+
+Semantics at scale:
+- Watermark bounds state: windows older than (max event time − delay)
+  are finalized and evicted; without it, state grows forever.
+- ``availableNow`` trigger gives exactly-once batch-like draining of a
+  file-backed stream (the idiomatic replacement for the reference's
+  daily batch: same code, incremental execution).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from automated_etl_pipeline_spark.schemas import EVENTS
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over events-schema parquet/json drops."""
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    slide: str | None = None,
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling (or sliding) event-time counts+sums with late-data
+    handling — works identically on batch and streaming DataFrames."""
+    w = (
+        F.window(ts_col, window_len, slide)
+        if slide
+        else F.window(ts_col, window_len)
+    )
+    src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
+    return src.groupBy(w.getField("start").alias("window_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, query_name: str, output_mode: str = "complete"
+) -> "StreamingQuery":  # noqa: F821
+    """Drain all available input into an in-memory table (tests/dev)."""
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

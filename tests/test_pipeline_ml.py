@@ -1,0 +1,146 @@
+"""Tests for pipeline/runner.py (O1-O5) and ml/ (M2-M5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.ml.poisson import (
+    fit_poisson_rates,
+    team_strength_training_frame,
+)
+from automated_etl_pipeline_spark.ml.simulate import (
+    knockout_bracket,
+    outcome_probs,
+    round_robin_table,
+    tournament_win_probability,
+)
+from automated_etl_pipeline_spark.pipeline.runner import Pipeline, Stage
+
+
+# ---------------- pipeline runner ----------------
+
+
+def test_pipeline_runs_stages_in_order_with_context(spark):
+    log = []
+    p = Pipeline(
+        stages=[
+            Stage("a", lambda s, ctx: log.append(("a", ctx["run_id"]))),
+            Stage("b", lambda s, ctx: log.append(("b", ctx["run_id"]))),
+        ],
+        run_id="fixed",
+    )
+    res = p.run(spark)
+    assert [r.name for r in res] == ["a", "b"] and all(r.ok for r in res)
+    assert log == [("a", "fixed"), ("b", "fixed")]
+
+
+def test_pipeline_retry_then_success(spark):
+    calls = {"n": 0}
+
+    def flaky(s, ctx):
+        calls["n"] += 1
+        if calls["n"] < 2:
+            raise ValueError("transient")
+        return "ok"
+
+    p = Pipeline(stages=[Stage("flaky", flaky, retries=1)])
+    res = p.run(spark)
+    assert res[0].ok and res[0].attempts == 2
+
+
+def test_pipeline_cleanup_always_runs(spark):
+    ran = []
+    p = Pipeline(
+        stages=[
+            Stage("boom", lambda s, c: 1 / 0, retries=0),
+            Stage("load", lambda s, c: ran.append("load")),
+            Stage("cleanup", lambda s, c: ran.append("cleanup"), always_run=True),
+        ]
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        p.run(spark)
+    assert ran == ["cleanup"]  # load skipped, cleanup ran (ALL_DONE)
+    statuses = {r.name: r.ok for r in p.results}
+    assert statuses == {"boom": False, "load": False, "cleanup": True}
+
+
+def test_pipeline_fanout_group(spark):
+    ran = []
+    p = Pipeline(
+        stages=[
+            Stage("etl", lambda s, c: ran.append("etl")),
+            [Stage(f"load{i}", lambda s, c, i=i: ran.append(f"load{i}")) for i in range(4)],
+        ]
+    )
+    p.run(spark)
+    assert ran[0] == "etl" and set(ran[1:]) == {"load0", "load1", "load2", "load3"}
+
+
+# ---------------- ML: GLM + simulation ----------------
+
+
+@pytest.fixture(scope="module")
+def matches(spark):
+    rows = []
+    # Strong beats Weak consistently; Mid splits.
+    data = [
+        ("Strong", "Weak", 3, 0),
+        ("Strong", "Weak", 4, 1),
+        ("Weak", "Strong", 0, 2),
+        ("Strong", "Mid", 2, 1),
+        ("Mid", "Strong", 1, 1),
+        ("Mid", "Weak", 2, 0),
+        ("Weak", "Mid", 1, 2),
+        ("Mid", "Weak", 3, 1),
+    ]
+    for i, (h, a, hs, as_) in enumerate(data):
+        rows.append((f"201{i % 7}-06-01", h, a, hs, as_, "FIFA World Cup"))
+    return spark.createDataFrame(
+        rows, "date string, home_team string, away_team string, "
+        "home_score int, away_score int, tournament string"
+    ).withColumn("date", F.to_date("date"))
+
+
+def test_training_frame_unpivots(matches):
+    tf = team_strength_training_frame(matches)
+    assert tf.columns == ["team", "opponent", "goals", "weight"]
+    assert tf.count() == 2 * matches.count()
+
+
+def test_glm_orders_team_strength(matches):
+    tf = team_strength_training_frame(matches)
+    model = fit_poisson_rates(tf, ["team", "opponent"], "goals", weight_col="weight")
+    pairs = tf.sparkSession.createDataFrame(
+        [("Strong", "Weak"), ("Weak", "Strong")], "team string, opponent string"
+    )
+    preds = {
+        (r.team, r.opponent): r.expected for r in model.predict(pairs).collect()
+    }
+    assert preds[("Strong", "Weak")] > preds[("Weak", "Strong")]
+    assert all(v > 0 for v in preds.values())  # log link ⇒ positive rates
+
+
+def test_outcome_probs_sum_to_one():
+    p = outcome_probs(1.5, 1.1)
+    assert p.home_win + p.draw + p.away_win == pytest.approx(1.0, abs=1e-6)
+    assert p.home_win > p.away_win  # higher expected goals ⇒ higher win prob
+
+
+def test_simulation_deterministic_and_sane():
+    teams = ["A", "B", "C", "D"]
+    exp = {}
+    strength = {"A": 2.5, "B": 1.5, "C": 1.0, "D": 0.6}
+    for t in teams:
+        for o in teams:
+            if t != o:
+                exp[(t, o)] = strength[t] / (1 + 0.3 * strength[o])
+    table1 = round_robin_table(teams, exp, np.random.default_rng(1))
+    table2 = round_robin_table(teams, exp, np.random.default_rng(1))
+    assert table1 == table2  # seeded ⇒ reproducible
+    champ = knockout_bracket(teams, exp, np.random.default_rng(2))
+    assert champ in teams
+    probs = tournament_win_probability([teams], exp, n_sims=300, seed=3)
+    assert sum(probs.values()) == pytest.approx(1.0)
+    assert probs.get("A", 0) > probs.get("D", 0)  # strongest beats weakest
