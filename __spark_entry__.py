@@ -17,6 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import DataFrame, SparkSession
 
 from automated_etl_pipeline_spark import queries as _q
+from automated_etl_pipeline_spark import queries_ext  # noqa: F401  (registers)
 from automated_etl_pipeline_spark import queries_llm  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,264 @@
+"""Extended relational coverage: cube/pivot/percentiles/sessionization/
+window analytics — engine surface beyond the reference's literal ops
+(SURVEY.md §2.4 note: exposed as free Catalyst built-ins) plus the
+event-sessionization operator every clickstream pipeline needs.
+
+Same determinism discipline as queries.py (decimal sums, full ORDER BY
+tiebreaks, exact-integer ratios).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.queries import _t, dsum, query
+
+
+@query(
+    "a6_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def a6_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", alias="sum_qty"), F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "pivot_status_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — at scale always enumerate
+    pivot values (implicit pivot runs a distinct-collect job first)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "percentile_price",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) AS median_price,
+           CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_price,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). At 100 TB prefer approx_percentile (t-digest,
+    single pass, mergeable); exact percentile shuffles values per group."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("median_price"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90_price"),
+            F.min("l_extendedprice").alias("min_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands:
+    lag → new-session flag → running sum → group. One shuffle on
+    user_id; all window work is within-partition. The streaming
+    equivalent is session_window()/applyInPandasWithState."""
+    (events,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag(us).over(w_order).isNull()
+            | ((us - F.lag(us).over(w_order)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w_run).cast("long").alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "f11_month_rollup",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+    FROM orders GROUP BY order_month ORDER BY order_month
+    """,
+)
+def f11_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/F11 date formatting as a grouping key (spark_etl_job.py:80-86
+    path templating generalized to time-bucketed rollups)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="month_total"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@query(
+    "f4_initcap_normalize",
+    """
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(lower(p_name), ' '),
+                            w -> upper(w[1]) || w[2:]),
+             ' ') AS name_cased
+    FROM part ORDER BY p_partkey
+    """,
+)
+def f4_initcap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 case normalization as a query (DuckDB has no initcap — the
+    oracle emulates it word-wise, which matches Spark's semantics on
+    single-space text)."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.initcap(F.lower("p_name")).alias("name_cased")
+    ).orderBy("p_partkey")
+
+
+@query(
+    "above_nation_avg_balance",
+    """
+    SELECT c_custkey, c_acctbal, nation_avg FROM (
+      SELECT c_custkey,
+             c_acctbal,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      FROM customer
+    ) WHERE c_acctbal > nation_avg
+    ORDER BY c_custkey
+    """,
+)
+def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery pattern (balance above nation average)
+    de-correlated into one window pass — one shuffle on the partition
+    key instead of a join against a subquery aggregate."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        customer.select("c_custkey", "c_acctbal", nation_avg.alias("nation_avg"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "first_last_order",
+    """
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           CAST(first_value(o_totalprice) OVER w AS DOUBLE) AS first_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+)
+def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.last("o_orderkey").over(w).alias("last_order"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )

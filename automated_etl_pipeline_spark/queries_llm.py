@@ -326,3 +326,84 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     return near_duplicate_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+# ----------------------------------------------------------------------
+# SimHash dedup (dedup/simhash.py) — 64-bit fingerprints + banded pairs,
+# both oracle-checkable via md5-nibble arithmetic.
+# ----------------------------------------------------------------------
+
+_SIMHASH_CTE = """
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), bitsv AS (
+      SELECT doc_id,
+        list_transform(range(0, 64), j ->
+          CASE WHEN 2 * len(list_filter(toks, t ->
+            (((strpos('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
+              >> (3 - (j % 4))) & 1) = 1
+          )) > len(toks) THEN 1 ELSE 0 END) AS bs
+      FROM tok
+    ), sh AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, 16), nb ->
+          substr('0123456789abcdef',
+            1 + 8*bs[4*nb+1] + 4*bs[4*nb+2] + 2*bs[4*nb+3] + bs[4*nb+4], 1)), '') AS simhash
+      FROM bitsv
+    )
+"""
+
+
+@query(
+    "dedup_simhash",
+    _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (dedup/simhash.py)."""
+    from automated_etl_pipeline_spark.dedup.simhash import with_simhash
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return with_simhash(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_simhash_pairs",
+    _SIMHASH_CTE
+    + """
+    , banded AS (
+      SELECT doc_id, simhash, q.q AS q, substr(simhash, q.q*4 + 1, 4) AS qk
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS q) q
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.q = b.q AND a.qk = b.qk AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT doc_a, doc_b,
+        CAST(list_sum(list_transform(range(0, 16), i ->
+          ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
+                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 3) & 1)
+        + ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
+                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 2) & 1)
+        + ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
+                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 1) & 1)
+        + (xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
+               strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) & 1)
+        )) AS INT) AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM scored
+    WHERE hamming <= 3 ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit quarter banding (complete for
+    hamming ≤ 3 by pigeonhole) + exact Hamming verification."""
+    from automated_etl_pipeline_spark.dedup.simhash import simhash_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        simhash_pairs(docs, max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -82,3 +82,25 @@ def test_lsh_code_shape(emb):
     row = coded.first()
     assert len(row.lsh_code) == 8
     assert set(row.lsh_code) <= {0, 1}
+
+
+# ---------------- simhash ----------------
+
+
+def test_simhash_properties(spark):
+    from automated_etl_pipeline_spark.dedup.simhash import simhash_pairs, with_simhash
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], "doc_id long, text string"
+    )
+    sh = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    assert sh[1] == sh[2]  # identical text -> identical fingerprint
+    assert len(sh[1]) == 16 and all(c in "0123456789abcdef" for c in sh[1])
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=64).collect()}
+    assert pairs.get((1, 2)) == 0
+    # near-dup much closer than unrelated text
+    if (1, 3) in pairs and (1, 4) in pairs:
+        assert pairs[(1, 3)] < pairs[(1, 4)]

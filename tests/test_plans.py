@@ -1,0 +1,65 @@
+"""Physical-plan regression tests: the scale contract (see the
+'Optimize for scale' notes in each query docstring).
+
+These assert the *shape* of the executed plan, not timings — the
+properties that decide whether a query survives a 100× scale-up:
+filters reaching the parquet scan, column pruning, broadcast (never
+shuffle) joins against dims, and top-k as TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushed_to_scan(spark):
+    plan = plan_of(spark, "p5_filter_project")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "LessThan(l_quantity,10.0)" in plan
+    # pruned scan: none of the unused columns appear in ReadSchema
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_shipdate" not in read and "l_tax" not in read
+
+
+def test_dim_joins_are_broadcast_not_shuffle(spark):
+    plan = plan_of(spark, "j1_region_revenue")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # fact scan pruned to join key + measure
+    assert "struct<o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    for name in ("w2_topk_count", "w3_topk_measure", "ann_cosine_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_agg_is_partial_then_final(spark):
+    plan = plan_of(spark, "flagship_priority_agg")
+    # two HashAggregate nodes (map-side partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_semi_anti_joins_stay_join_shaped(spark):
+    for name in ("j4_semi_join", "j4_anti_join"):
+        plan = plan_of(spark, name)
+        assert "LeftSemi" in plan or "LeftAnti" in plan, name
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh"])
+def test_minhash_signatures_have_no_python_udf(spark, name):
+    """The signature pipeline must stay in codegen — no BatchEvalPython
+    (row-wise Python) anywhere in the plan."""
+    plan = plan_of(spark, name)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
