@@ -5,14 +5,19 @@ candidate pairs → exact-Jaccard verification. The standard near-dedup
 cascade for LLM training corpora (Broder 1997's resemblance sketch;
 banding analysis as in Mining of Massive Datasets ch.3).
 
-Engine-portability design: permutations are simulated with
-``md5(perm_id ':' shingle)`` and band keys with ``md5`` over signature
-slices — identical hex in Spark and DuckDB, so the whole pipeline is
-oracle-checkable (unlike engine-native hash(): xxhash64 vs murmur).
+Engine-portability design: each shingle is md5-hashed ONCE, its first
+8 hex chars parsed to a 32-bit integer h, and the P permutations are
+the affine family ``h_p = (A_p * h + B_p) mod M`` (M = 2^61 - 1, A/B
+fixed literals) — identical arithmetic in Spark (`conv`) and DuckDB
+(`('0x'||..)::BIGINT`), so the whole pipeline is oracle-checkable
+(unlike engine-native hash(): xxhash64 vs murmur). One md5 per shingle
+instead of P: hashing dominates signature cost, so this is ~P times
+cheaper than the md5-per-(perm,shingle) formulation it replaced.
 
 Scale analysis (100 TB corpus):
 - Signatures are pure higher-order-function column expressions — zero
-  shuffles, zero Python; O(P·|shingles|) per row inside codegen.
+  shuffles, zero Python; O(|shingles|) md5 + O(P·|shingles|) integer
+  ops per row inside codegen.
 - The only shuffles are (a) groupBy(band_idx, band_hash) whose input is
   docs × B rows of ~50 bytes, (b) the pair self-join on doc ids.
 - Bucket skew (a boilerplate shingle-set shared by millions of docs)
@@ -32,6 +37,17 @@ DEFAULT_NUM_PERM = 12
 DEFAULT_BANDS = 4
 DEFAULT_SHINGLE_K = 3
 
+# affine permutation family over M = 2^61 - 1 (Mersenne prime).
+# A odd in [1, 2^31), B in [0, 2^31): A*h + B < 2^63 for 32-bit h, so
+# the arithmetic never overflows BIGINT in either engine. Fixed
+# literals (seeded) shared by the Spark expressions and the oracle SQL.
+MOD = (1 << 61) - 1
+import numpy as _np  # noqa: E402
+
+_rng = _np.random.default_rng(17)
+PERM_A: list[int] = [int(a) | 1 for a in _rng.integers(1, 1 << 31, DEFAULT_NUM_PERM)]
+PERM_B: list[int] = [int(b) for b in _rng.integers(0, 1 << 31, DEFAULT_NUM_PERM)]
+
 
 def shingle_set(text: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
     """Distinct k-token shingles of a whitespace-tokenized text."""
@@ -43,20 +59,33 @@ def shingle_set(text: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
     return F.array_distinct(F.transform(idx, gram))
 
 
-def minhash_signature(shingles: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
-    """P-element signature: per permutation p, min md5('p:' + shingle).
-
-    Lexicographic min over hex digests ≡ min over a random permutation
-    of the shingle universe; identical in any engine with md5.
-    """
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+def shingle_hashes(shingles: Column) -> Column:
+    """One 32-bit integer hash per shingle (single md5 each)."""
     return F.transform(
-        perms,
-        lambda p: F.array_min(
-            F.transform(
-                shingles, lambda s: F.md5(F.concat(p.cast("string"), F.lit(":"), s))
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def signature_from_hashes(hv: Column, num_perm: int = DEFAULT_NUM_PERM) -> Column:
+    """P-element bigint signature from precomputed shingle hashes: per
+    permutation p, min over shingles of (A_p * h + B_p) mod M.
+
+    IMPORTANT: pass ``hv`` as an already-materialized column (its own
+    projection step). Higher-order functions sit outside whole-stage
+    codegen, so Spark does no common-subexpression elimination across
+    the P array_min expressions — inlining the md5 pass here would
+    recompute it P times.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hv,
+                    lambda v: (F.lit(PERM_A[p]) * v + F.lit(PERM_B[p])) % F.lit(MOD),
+                )
             )
-        ),
+            for p in range(num_perm)
+        ]
     )
 
 
@@ -67,9 +96,32 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
         lambda b: F.struct(
             b.alias("band_idx"),
             F.md5(
-                F.concat_ws("|", F.slice(sig, b * rows_per_band + 1, rows_per_band))
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
             ).alias("band_hash"),
         ),
+    )
+
+
+def shingle_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """(id, shingles) localCheckpoint-ed: the LSH banding and the two
+    verification joins all consume it, and each would otherwise
+    re-execute the tokenize+shingle pass (persist(MEMORY_AND_DISK) at
+    cluster scale)."""
+    return (
+        docs.filter(F.size(F.split(text_col, " ")) >= shingle_k)
+        .select(F.col(id_col), shingle_set(text_col, shingle_k).alias("shingles"))
+        .localCheckpoint()
     )
 
 
@@ -81,6 +133,7 @@ def candidate_pairs(
     bands: int = DEFAULT_BANDS,
     shingle_k: int = DEFAULT_SHINGLE_K,
     max_bucket: int = 1000,
+    _sh: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct LSH candidate pairs (id_a < id_b).
 
@@ -89,10 +142,9 @@ def candidate_pairs(
     docs are better handled by exact dedup upstream.
     """
     rows_per_band = num_perm // bands
-    sh = docs.filter(F.size(F.split(text_col, " ")) >= shingle_k).select(
-        F.col(id_col), shingle_set(text_col, shingle_k).alias("shingles")
-    )
-    sig = sh.select(id_col, minhash_signature(F.col("shingles"), num_perm).alias("sig"))
+    sh = _sh if _sh is not None else shingle_table(docs, id_col, text_col, shingle_k)
+    hv = sh.select(id_col, shingle_hashes(F.col("shingles")).alias("hv"))
+    sig = hv.select(id_col, signature_from_hashes(F.col("hv"), num_perm).alias("sig"))
     banded = sig.select(
         id_col, F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
@@ -129,12 +181,12 @@ def near_duplicate_pairs(
 ) -> DataFrame:
     """Verified near-dup pairs: LSH candidates with exact shingle-set
     Jaccard ≥ threshold → (doc_a, doc_b, jaccard)."""
-    cands = candidate_pairs(docs, id_col, text_col, num_perm, bands, shingle_k)
-    sh = docs.filter(F.size(F.split(text_col, " ")) >= shingle_k).select(
-        F.col(id_col), shingle_set(text_col, shingle_k).alias("sh")
+    sh = shingle_table(docs, id_col, text_col, shingle_k)
+    cands = candidate_pairs(
+        docs, id_col, text_col, num_perm, bands, shingle_k, _sh=sh
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -161,3 +213,59 @@ def deduplicate(
     pairs = near_duplicate_pairs(docs, id_col, text_col, threshold)
     losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builder (same shingles, same affine permutations)
+# ---------------------------------------------------------------------------
+
+
+def build_oracle_sql(
+    threshold: float = 0.8,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    """Oracle for near_duplicate_pairs over the ``documents`` view.
+
+    Note: ``max_bucket`` capping is not replicated — equivalence holds
+    whenever no bucket exceeds the cap (true at oracle scale).
+    """
+    rows_per_band = num_perm // bands
+    mins = ", ".join(
+        f"list_min(list_transform(h, v -> ({PERM_A[p]} * v + {PERM_B[p]}) % {MOD}))"
+        for p in range(num_perm)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok
+    ), hv AS (
+      SELECT doc_id, s,
+             list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS h
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, [{mins}] AS sg FROM hv
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx,
+             md5(array_to_string(sg[b.b*{rows_per_band} + 1 : b.b*{rows_per_band} + {rows_per_band}], '|')) AS band_hash
+      FROM sig CROSS JOIN (SELECT UNNEST(range(0, {bands})) AS b) b
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+              JOIN sh b ON cand.doc_b = b.doc_id
+    WHERE len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+          / len(list_distinct(a.s || b.s)) >= {threshold}
+    ORDER BY doc_a, doc_b
+    """

@@ -5,77 +5,124 @@ Manku et al. 2007 for web-scale dedup).
 position (from its md5), the sign of the vote sum sets the bit; texts
 with small Hamming distance between fingerprints are near-duplicates.
 
-Portability design (mirrors dedup/minhash.py): token bits come from md5
-hex via nibble arithmetic — ``bit_j(t) = (nibble(md5(t), j div 4) >>
-(3 - j % 4)) & 1`` — expressible identically in Spark SQL and DuckDB,
-so fingerprints (and therefore pair results) are oracle-checkable.
+Portability design (mirrors dedup/minhash.py): token bits come from
+md5 hex, parsed ONCE per token into two 32-bit integers (chars 1-8 →
+bits 0-31, chars 9-16 → bits 32-63); ``bit_j(t) = (half >> (31 - j%32))
+& 1``. The parse (`conv` in Spark, `('0x'||h)::BIGINT` in DuckDB) and
+all downstream arithmetic are expressible identically in both engines,
+so fingerprints (and pair results) are oracle-checkable.
 
 Scale:
-- Fingerprinting is a shuffle-free HOF expression (64 filter-counts
-  over the distinct-token array per row, all in codegen).
-- Candidate generation bands the 64-bit code into 4×16-bit quarters
-  (pigeonhole: hamming ≤ 3 ⇒ at least one identical quarter), so the
-  join key is a 4-hex-char block — the standard Manku trick that turns
-  an O(n²) scan into 4 hash joins.
+- Fingerprinting is a shuffle-free expression pass: one md5 + two
+  hex-parses per distinct token, then 64 integer filter-counts per row
+  (no per-bit rehashing — hashing dominates, so this is ~10x cheaper
+  than the naive 64-md5-scans-per-token formulation it replaced).
+- Pair generation first collapses identical fingerprints to one
+  representative (min id) — exact-dup clusters otherwise contribute
+  O(k^2) candidate pairs that belong to exact dedup, not near-dedup.
+- Candidates band the 64-bit code into 4x16-bit quarters (pigeonhole:
+  hamming <= 3 => at least one identical quarter), turning the O(n^2)
+  scan into 4 hash joins — the standard Manku trick. Hot quarters
+  (correlated bits) are the skew hazard; AQE skew-join splits them.
+- Verification is two ``bit_count(xor())`` integer ops per candidate —
+  no string work in the hot path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HEX = "0123456789abcdef"
 
-# bit j (0..63) of token t, from the first 16 hex chars of md5(t):
-_BIT = (
-    f"(shiftright(instr('{HEX}', substr(md5({{t}}), CAST({{j}} div 4 AS INT) + 1, 1)) - 1,"
-    f" 3 - CAST({{j}} % 4 AS INT)) & 1)"
-)
+
+def _filter_count_ge_half(arr: Column, n: Column, shift: int) -> Column:
+    """1 iff more than half the values in ``arr`` have bit ``shift`` set."""
+    hits = F.size(
+        F.filter(arr, lambda v: F.shiftright(v, shift).bitwiseAND(F.lit(1)) == 1)
+    )
+    return F.when(2 * hits > n, F.lit(1)).otherwise(F.lit(0))
 
 
-def simhash_bits_expr(tokens_col: str) -> str:
-    """SQL expression: 64-element 0/1 array — bit j set iff more than
-    half the distinct tokens have md5 bit j set."""
-    bit = _BIT.format(t="t", j="j")
-    return (
-        f"transform(sequence(0, 63), j -> "
-        f"IF(2 * size(filter({tokens_col}, t -> {bit} = 1)) > size({tokens_col}), 1, 0))"
+def simhash_bits(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bs) — the 64 fingerprint bits as an array<int> of 0/1."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashed = docs.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16)).alias("hm"),
+    )
+    parsed = hashed.select(
+        id_col,
+        F.transform(
+            "hm", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")
+        ).alias("h1"),
+        F.transform(
+            "hm", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+        ).alias("h2"),
+        F.size("hm").alias("n"),
+    )
+    return parsed.select(
+        id_col,
+        F.array(
+            *[
+                _filter_count_ge_half(F.col("h1"), F.col("n"), 31 - j)
+                for j in range(32)
+            ],
+            *[
+                _filter_count_ge_half(F.col("h2"), F.col("n"), 31 - j)
+                for j in range(32)
+            ],
+        ).alias("bs"),
     )
 
 
-def simhash_hex_expr(bits_col: str) -> str:
-    """SQL expression: rebuild the 64-bit array into 16 hex chars."""
-    return (
-        f"concat_ws('', transform(sequence(0, 15), nb -> substr('{HEX}', "
-        f"1 + 8 * element_at({bits_col}, 4 * nb + 1) "
-        f"+ 4 * element_at({bits_col}, 4 * nb + 2) "
-        f"+ 2 * element_at({bits_col}, 4 * nb + 3) "
-        f"+ element_at({bits_col}, 4 * nb + 4), 1)))"
+def _half(lo: int) -> Column:
+    return F.aggregate(
+        F.slice("bs", lo, 32), F.lit(0).cast("long"), lambda acc, v: acc * 2 + v
     )
 
 
-def hamming_hex_expr(a: str, b: str) -> str:
-    """SQL expression: Hamming distance between two 16-hex fingerprints
-    (sum of popcounts of XORed nibbles)."""
-    nib = f"(instr('{HEX}', substr({{s}}, i + 1, 1)) - 1)"
-    x = f"({nib.format(s=a)} ^ {nib.format(s=b)})"
-    pop = (
-        f"((shiftright({x}, 3) & 1) + (shiftright({x}, 2) & 1) "
-        f"+ (shiftright({x}, 1) & 1) + ({x} & 1))"
+def simhash_fp(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fp_hi, fp_lo) — the fingerprint as two 32-bit ints (the
+    pair pipeline's representation: no string work)."""
+    return simhash_bits(docs, id_col, text_col).select(
+        id_col, _half(1).alias("fp_hi"), _half(33).alias("fp_lo")
     )
-    return f"aggregate(sequence(0, 15), 0, (acc, i) -> acc + {pop})"
+
+
+def simhash_columns(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash hex, fp_hi, fp_lo) — the 64-bit fingerprint as a
+    16-hex-char string plus its two 32-bit integer halves."""
+    nibble = lambda nb: F.substring(  # noqa: E731
+        F.lit(HEX),
+        (
+            1
+            + 8 * F.element_at("bs", 4 * nb + 1)
+            + 4 * F.element_at("bs", 4 * nb + 2)
+            + 2 * F.element_at("bs", 4 * nb + 3)
+            + F.element_at("bs", 4 * nb + 4)
+        ),
+        1,
+    )
+    return simhash_bits(docs, id_col, text_col).select(
+        id_col,
+        F.concat(*[nibble(nb) for nb in range(16)]).alias("simhash"),
+        _half(1).alias("fp_hi"),
+        _half(33).alias("fp_lo"),
+    )
 
 
 def with_simhash(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(id, simhash) — distinct whitespace tokens, 64-bit hex code."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    return (
-        docs.select(F.col(id_col), toks.alias("toks"))
-        .select(id_col, F.expr(simhash_bits_expr("toks")).alias("bs"))
-        .select(id_col, F.expr(simhash_hex_expr("bs")).alias("simhash"))
-    )
+    return simhash_columns(docs, id_col, text_col).select(id_col, "simhash")
 
 
 def simhash_pairs(
@@ -84,23 +131,45 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming via 4-quarter
-    banding (complete for max_hamming ≤ 3 by pigeonhole)."""
-    sh = with_simhash(docs, id_col, text_col)
-    quarters = F.explode(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(3)),
-            lambda q: F.struct(
-                q.alias("q"), F.substring("simhash", q * 4 + 1, 4).alias("qk")
-            ),
-        )
+    """(doc_a, doc_b, hamming) with hamming(simhash) <= max_hamming,
+    between *representatives of distinct fingerprints* (min id per
+    fingerprint; identical-fingerprint members are exact-dedup's job —
+    attach them via dedup_exact / with_simhash). Candidate generation
+    is 4-quarter banding, complete for max_hamming <= 3 by pigeonhole;
+    larger max_hamming trades recall (documented, like any LSH).
+
+    The rep table (one row per distinct fingerprint, 3 numeric cols)
+    is localCheckpoint-ed: the banded self-join would otherwise
+    re-execute the whole fingerprint pass for each side (broadcast
+    build + probe are separate executions of the same subtree). At
+    cluster scale use persist(MEMORY_AND_DISK) on the equivalent
+    intermediate."""
+    reps = (
+        simhash_fp(docs, id_col, text_col)
+        .groupBy("fp_hi", "fp_lo")
+        .agg(F.min(id_col).alias(id_col))
+        .localCheckpoint()
     )
-    banded = sh.select(id_col, "simhash", quarters.alias("band")).select(
-        id_col, "simhash", "band.q", "band.qk"
+    quarter = lambda c, hi: (  # noqa: E731
+        F.shiftright(F.col(c), 16).bitwiseAND(F.lit(0xFFFF))
+        if hi
+        else F.col(c).bitwiseAND(F.lit(0xFFFF))
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    banded = reps.select(
+        id_col,
+        "fp_hi",
+        "fp_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("q"), quarter("fp_hi", True).alias("qk")),
+                F.struct(F.lit(1).alias("q"), quarter("fp_hi", False).alias("qk")),
+                F.struct(F.lit(2).alias("q"), quarter("fp_lo", True).alias("qk")),
+                F.struct(F.lit(3).alias("q"), quarter("fp_lo", False).alias("qk")),
+            )
+        ).alias("band"),
+    ).select(id_col, "fp_hi", "fp_lo", "band.q", "band.qk")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.q") == F.col("b.q"))
@@ -110,13 +179,87 @@ def simhash_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.fp_hi").alias("ha"),
+            F.col("a.fp_lo").alias("la"),
+            F.col("b.fp_hi").alias("hb"),
+            F.col("b.fp_lo").alias("lb"),
         )
         .distinct()
     )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
     return (
-        pairs.withColumn("hamming", F.expr(hamming_hex_expr("sh_a", "sh_b")))
+        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same arithmetic, same literals)
+# ---------------------------------------------------------------------------
+
+_ORACLE_FP_CTE = """
+    WITH tok AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+        list_transform(toks, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS h1,
+        list_transform(toks, t -> ('0x' || substr(md5(t), 9, 8))::BIGINT) AS h2,
+        len(toks) AS n
+      FROM tok
+    ), bitsv AS (
+      SELECT doc_id,
+        list_transform(range(0, 32), j ->
+          CASE WHEN 2 * len(list_filter(h1, v -> ((v >> (31 - j)) & 1) = 1)) > n
+               THEN 1 ELSE 0 END)
+        || list_transform(range(0, 32), j ->
+          CASE WHEN 2 * len(list_filter(h2, v -> ((v >> (31 - j)) & 1) = 1)) > n
+               THEN 1 ELSE 0 END) AS bs
+      FROM hashed
+    ), sh AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, 16), nb ->
+          substr('0123456789abcdef',
+            1 + 8*bs[4*nb+1] + 4*bs[4*nb+2] + 2*bs[4*nb+3] + bs[4*nb+4], 1)), '') AS simhash,
+        list_reduce(list_transform(bs[1:32], x -> x::BIGINT), (a, b) -> a * 2 + b) AS fp_hi,
+        list_reduce(list_transform(bs[33:64], x -> x::BIGINT), (a, b) -> a * 2 + b) AS fp_lo
+      FROM bitsv
+    )
+"""
+
+
+def fingerprint_oracle_sql() -> str:
+    """Oracle for with_simhash over the ``documents`` view."""
+    return _ORACLE_FP_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id"
+
+
+def pairs_oracle_sql(max_hamming: int = 3) -> str:
+    """Oracle for simhash_pairs over the ``documents`` view."""
+    return (
+        _ORACLE_FP_CTE
+        + f"""
+    , reps AS (
+      SELECT fp_hi, fp_lo, MIN(doc_id) AS doc_id
+      FROM sh GROUP BY fp_hi, fp_lo
+    ), banded AS (
+      SELECT doc_id, fp_hi, fp_lo, q.q AS q,
+             CASE q.q WHEN 0 THEN (fp_hi >> 16) & 65535
+                      WHEN 1 THEN fp_hi & 65535
+                      WHEN 2 THEN (fp_lo >> 16) & 65535
+                      ELSE fp_lo & 65535 END AS qk
+      FROM reps CROSS JOIN (SELECT UNNEST(range(0, 4)) AS q) q
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.fp_hi AS ha, a.fp_lo AS la, b.fp_hi AS hb, b.fp_lo AS lb
+      FROM banded a JOIN banded b
+        ON a.q = b.q AND a.qk = b.qk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
     )

@@ -282,128 +282,155 @@ def emb_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-@query(
-    "dedup_minhash_lsh",
-    """
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      WHERE len(string_split(text, ' ')) >= 3
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      FROM tok
-    ), sig AS (
-      SELECT doc_id, s,
-             list_transform(range(0, 12),
-               p -> list_min(list_transform(s, x -> md5(p::VARCHAR || ':' || x)))) AS sg
-      FROM sh
-    ), bands AS (
-      SELECT doc_id, b.b AS band_idx,
-             md5(array_to_string(sg[b.b*3 + 1 : b.b*3 + 3], '|')) AS band_hash
-      FROM sig CROSS JOIN (SELECT UNNEST(range(0, 4)) AS b) b
-    ), cand AS (
-      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y
-        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-       AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
-                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
-              JOIN sh b ON cand.doc_b = b.doc_id
-    WHERE len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
-          / len(list_distinct(a.s || b.s)) >= 0.8
-    ORDER BY doc_a, doc_b
-    """,
-)
+from automated_etl_pipeline_spark.dedup import minhash as _mh  # noqa: E402
+
+
+@query("dedup_minhash_lsh", _mh.build_oracle_sql(threshold=0.8))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(P=12) + LSH(4 bands × 3 rows) candidates, verified by
     exact shingle-set Jaccard ≥ 0.8 (see dedup/minhash.py for the scale
     analysis: signature computation is shuffle-free HOF codegen)."""
-    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
-
     (docs,) = _t(spark, sf_dir, "documents")
-    return near_duplicate_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+    return _mh.near_duplicate_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
 # ----------------------------------------------------------------------
 # SimHash dedup (dedup/simhash.py) — 64-bit fingerprints + banded pairs,
-# both oracle-checkable via md5-nibble arithmetic.
+# both oracle-checkable via shared md5-parse arithmetic (oracle SQL is
+# generated by the module so Spark and DuckDB can never drift).
 # ----------------------------------------------------------------------
 
-_SIMHASH_CTE = """
-    WITH tok AS (
-      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
-    ), bitsv AS (
-      SELECT doc_id,
-        list_transform(range(0, 64), j ->
-          CASE WHEN 2 * len(list_filter(toks, t ->
-            (((strpos('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
-              >> (3 - (j % 4))) & 1) = 1
-          )) > len(toks) THEN 1 ELSE 0 END) AS bs
-      FROM tok
-    ), sh AS (
-      SELECT doc_id,
-        array_to_string(list_transform(range(0, 16), nb ->
-          substr('0123456789abcdef',
-            1 + 8*bs[4*nb+1] + 4*bs[4*nb+2] + 2*bs[4*nb+3] + bs[4*nb+4], 1)), '') AS simhash
-      FROM bitsv
-    )
-"""
+from automated_etl_pipeline_spark.dedup import simhash as _sh  # noqa: E402
 
 
-@query(
-    "dedup_simhash",
-    _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh ORDER BY doc_id",
-)
+@query("dedup_simhash", _sh.fingerprint_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (dedup/simhash.py)."""
-    from automated_etl_pipeline_spark.dedup.simhash import with_simhash
-
     (docs,) = _t(spark, sf_dir, "documents")
-    return with_simhash(docs).orderBy("doc_id")
+    return _sh.with_simhash(docs).orderBy("doc_id")
+
+
+@query("dedup_simhash_pairs", _sh.pairs_oracle_sql(max_hamming=3))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs between distinct-fingerprint
+    representatives: 4x16-bit quarter banding (complete for hamming <= 3
+    by pigeonhole) + integer bit_count verification."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        _sh.simhash_pairs(docs, max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ----------------------------------------------------------------------
+# Exact n-gram Jaccard dedup (dedup/ngram_jaccard.py)
+# ----------------------------------------------------------------------
 
 
 @query(
-    "dedup_simhash_pairs",
-    _SIMHASH_CTE
-    + """
-    , banded AS (
-      SELECT doc_id, simhash, q.q AS q, substr(simhash, q.q*4 + 1, 4) AS qk
-      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 4)) AS q) q
+    "dedup_ngram_jaccard",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ), inv AS (
+      SELECT doc_id, UNNEST(s) AS g FROM sh
+    ), keep AS (
+      SELECT g FROM inv GROUP BY g
+      HAVING COUNT(*) <= 0.02 * (SELECT COUNT(*) FROM sh)
+    ), kept_inv AS (
+      SELECT doc_id, g FROM inv JOIN keep USING (g)
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.simhash AS sa, b.simhash AS sb
-      FROM banded a JOIN banded b
-        ON a.q = b.q AND a.qk = b.qk AND a.doc_id < b.doc_id
-    ), scored AS (
-      SELECT doc_a, doc_b,
-        CAST(list_sum(list_transform(range(0, 16), i ->
-          ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
-                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 3) & 1)
-        + ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
-                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 2) & 1)
-        + ((xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
-                strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) >> 1) & 1)
-        + (xor(strpos('0123456789abcdef', substr(sa, i + 1, 1)) - 1,
-               strpos('0123456789abcdef', substr(sb, i + 1, 1)) - 1) & 1)
-        )) AS INT) AS hamming
-      FROM cand
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept_inv a JOIN kept_inv b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
     )
-    SELECT doc_a, doc_b, hamming FROM scored
-    WHERE hamming <= 3 ORDER BY doc_a, doc_b
+    SELECT doc_a, doc_b,
+           ROUND(len(list_filter(sa.s, v -> list_contains(sb.s, v)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, v -> list_contains(sb.s, v)))), 6) AS jaccard
+    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+              JOIN sh sb ON cand.doc_b = sb.doc_id
+    WHERE ROUND(len(list_filter(sa.s, v -> list_contains(sb.s, v)))::DOUBLE
+                 / (len(sa.s) + len(sb.s)
+                    - len(list_filter(sa.s, v -> list_contains(sb.s, v)))), 6) >= 0.6
+    ORDER BY doc_a, doc_b
     """,
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit quarter banding (complete for
-    hamming ≤ 3 by pigeonhole) + exact Hamming verification."""
-    from automated_etl_pipeline_spark.dedup.simhash import simhash_pairs
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs >= 0.6 via a hot-capped
+    inverted index (dedup/ngram_jaccard.py for the scale analysis)."""
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, n=3, threshold=0.6, max_df_frac=0.02).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine similarity self-join (similarity/cosine_dedup.py)
+# ----------------------------------------------------------------------
+
+from automated_etl_pipeline_spark.similarity import cosine_dedup as _cd  # noqa: E402
+
+_SIM_JOIN_TAU = 0.4
+
+
+@query("emb_cosine_sim_join", _cd.build_oracle_sql(_SIM_JOIN_TAU))
+def emb_cosine_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH candidate pairs verified at exact cosine >= 0.4
+    (embedding near-dup is the same operator at tau >= 0.95; this
+    corpus has no vector closer than 0.52, so the demo threshold sits
+    where results exist)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return _cd.cosine_sim_join(emb, _SIM_JOIN_TAU).orderBy("vec_a", "vec_b")
+
+
+# ----------------------------------------------------------------------
+# IVF probe-then-rerank ANN (similarity/ivf.py)
+# ----------------------------------------------------------------------
+
+from automated_etl_pipeline_spark.similarity import ivf as _ivf  # noqa: E402
+
+
+@query("ann_ivf_topk", _ivf.build_oracle_sql(query_vec_id=0, k=20, nprobe=3))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the 3 nearest label-cells, exact rerank
+    top-20 (recall vs ann_cosine_topk measured in tests)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return _ivf.ivf_topk(emb, query_vec_id=0, k=20, nprobe=3)
+
+
+# ----------------------------------------------------------------------
+# Language-ID heuristic (functions/text.py)
+# ----------------------------------------------------------------------
+
+from automated_etl_pipeline_spark.functions import text as _txt  # noqa: E402
+
+
+@query(
+    "lang_id_confusion",
+    f"""
+    SELECT lang, {_txt.duckdb_predicted_lang_sql("text")} AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language-ID vs the labeled lang column, as a
+    confusion matrix (functions/text.py; accuracy is exercised on real
+    snippets in tests — this corpus's text is synthetic)."""
+    (docs,) = _t(spark, sf_dir, "documents")
     return (
-        simhash_pairs(docs, max_hamming=3)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
+        _txt.with_predicted_lang(docs)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
     )

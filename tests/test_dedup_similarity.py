@@ -100,7 +100,75 @@ def test_simhash_properties(spark):
     assert sh[1] == sh[2]  # identical text -> identical fingerprint
     assert len(sh[1]) == 16 and all(c in "0123456789abcdef" for c in sh[1])
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(df, max_hamming=64).collect()}
-    assert pairs.get((1, 2)) == 0
-    # near-dup much closer than unrelated text
-    if (1, 3) in pairs and (1, 4) in pairs:
-        assert pairs[(1, 3)] < pairs[(1, 4)]
+    # identical fingerprints collapse to one representative (doc 1), so
+    # (1, 2) is exact-dedup's output, not a near-dup pair here
+    assert (1, 2) not in pairs
+    # one-word-changed text is a candidate (shares a quarter) and close
+    assert pairs[(1, 3)] <= 10
+    # unrelated text shares no 16-bit quarter -> not even a candidate
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+# ---------------- n-gram jaccard ----------------
+
+
+def test_ngram_jaccard_exact_values(spark):
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
+
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 zz"   # 7 of 8+8 trigram-shingles shared
+    c = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    df = spark.createDataFrame(
+        [(1, a), (2, a), (3, b), (4, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.5, max_df_frac=1.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # |A∩B| = 7, |A∪B| = 9  (8 shingles each, 7 shared)
+    assert abs(pairs[(1, 3)] - 7 / 9) < 1e-6  # values rounded to 6 dp
+    assert not any({x, y} & {4} for x, y in pairs)
+
+
+def test_ngram_jaccard_hot_cap_drops_universal_shingle(spark):
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
+
+    # every doc shares the same 3 tokens -> that shingle is "hot";
+    # with the cap at 50% it cannot create candidates on its own
+    rows = [(i, f"common shingle here u{i} v{i} w{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = jaccard_pairs(df, threshold=0.1, max_df_frac=0.5, min_common=1).collect()
+    assert got == []
+
+
+# ---------------- ivf ----------------
+
+
+def test_ivf_topk_matches_brute_force_within_probed_cells(spark, emb):
+    from automated_etl_pipeline_spark.similarity.ivf import ivf_topk
+
+    got = ivf_topk(emb, query_vec_id=0, k=5, nprobe=10)  # all cells probed
+    from automated_etl_pipeline_spark.similarity.brute_force import topk_cosine
+
+    qv = emb.filter(emb.vec_id == 0).first().embedding
+    want = topk_cosine(emb, qv, k=5)
+    assert [r.vec_id for r in got.collect()] == [r.vec_id for r in want.collect()]
+
+
+# ---------------- lang id ----------------
+
+
+def test_lang_id_on_real_snippets(spark):
+    from automated_etl_pipeline_spark.functions.text import with_predicted_lang
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs into the woods", "en"),
+        (2, "der schnelle braune fuchs springt über den faulen hund und rennt", "de"),
+        (3, "el rápido zorro marrón salta sobre el perro perezoso que está", "es"),
+        (4, "le renard brun rapide saute par dessus le chien paresseux dans les bois", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.predicted_lang for r in with_predicted_lang(df).collect()}
+    want = {r[0]: r[2] for r in rows}
+    assert got == want
