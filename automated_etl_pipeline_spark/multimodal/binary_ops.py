@@ -143,3 +143,104 @@ def sample_video_frames(
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     vids = media.filter(F.col("media_type") == "video").select("media_id", "payload")
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+    ]
+)
+
+
+def _audio_features_bytes(
+    payload: bytes, deterministic_fake: bool
+) -> tuple[float, int, float]:
+    """(duration_s, sample_rate, rms). Real impl needs librosa/soundfile —
+    STUB: not available in this container."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio decode requires librosa/soundfile (not installed); "
+            "pass deterministic_fake=True for the content-derived stand-in"
+        )
+    h = hashlib.md5(payload or b"").digest()
+    return 0.5 + h[0] / 8.0, (8, 16, 22, 44)[h[1] % 4] * 1000, h[2] / 255.0
+
+
+def _resize_image_bytes(
+    payload: bytes, width: int, height: int, deterministic_fake: bool
+) -> bytes:
+    """Resized image bytes. Real impl needs PIL — STUB."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image resize requires PIL/opencv (not installed); "
+            "pass deterministic_fake=True for the content-derived stand-in"
+        )
+    # content- and size-derived stand-in payload (stable across runs)
+    return hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
+
+
+def extract_audio_features(
+    media: DataFrame, deterministic_fake: bool = False, batch_size: int = 64
+) -> DataFrame:
+    """Audio decode + feature extraction over Arrow batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _audio_features_bytes(p, deterministic_fake) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": [f[0] for f in feats],
+                    "sample_rate": [f[1] for f in feats],
+                    "rms": [f[2] for f in feats],
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    auds = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
+    return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    deterministic_fake: bool = False,
+    batch_size: int = 16,
+) -> DataFrame:
+    """Image resize — binary in, binary out (the map shape every
+    payload-rewriting op shares: decode → transform → re-encode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        _resize_image_bytes(p, width, height, deterministic_fake)
+                        for p in pdf["payload"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
+    return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -50,3 +50,30 @@ def test_video_frame_sampling_shape(media):
 def test_real_decode_path_raises_cleanly(media):
     with pytest.raises(Exception, match="PIL|decode"):
         extract_image_features(media, deterministic_fake=False).collect()
+
+
+def test_audio_features_and_resize(spark):
+    import hashlib
+
+    from automated_etl_pipeline_spark.multimodal.binary_ops import (
+        extract_audio_features,
+        resize_images,
+    )
+
+    rows = [
+        (1, "audio", b"wavbytes-1", "audio/wav", 10),
+        (2, "image", b"pngbytes-2", "image/png", 10),
+        (3, "audio", b"wavbytes-3", "audio/wav", 10),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary, mime string, n_bytes long"
+    )
+    feats = {r.media_id: r for r in extract_audio_features(df, deterministic_fake=True).collect()}
+    assert set(feats) == {1, 3}
+    assert all(f.sample_rate in (8000, 16000, 22000, 44000) for f in feats.values())
+    assert all(f.duration_s > 0 for f in feats.values())
+
+    resized = resize_images(df, 32, 32, deterministic_fake=True).collect()
+    assert [r.media_id for r in resized] == [2]
+    want = hashlib.md5(b"pngbytes-2" + b"32x32").digest()
+    assert bytes(resized[0].payload) == want and resized[0].width == 32

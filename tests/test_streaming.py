@@ -35,3 +35,82 @@ def test_stream_matches_batch_window_agg(spark, tmp_path):
         for r in windowed_counts(events).collect()  # same code, batch path
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionization_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch gaps-and-islands,
+    restricted to gap-closed sessions (each user's trailing session
+    stays open in state and is never emitted)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.streaming.stateful import sessionize_stateful
+
+    import time
+
+    events = load_testdata(spark, SF, ["events"])["events"].select("user_id", "ts")
+    drop = str(tmp_path / "sessions_drop")
+    # the operator's contract is per-key event-time-ordered arrival
+    # across microbatches; the file source orders batches by file
+    # mtime, so write one ts-range file at a time (sleep > mtime
+    # resolution) to deliver in order
+    w_ts = Window.orderBy("ts")
+    bucketed = events.withColumn("bucket", F.ntile(4).over(w_ts))
+    for b in range(1, 5):
+        bucketed.filter(F.col("bucket") == b).drop("bucket").coalesce(1).write.mode(
+            "append"
+        ).parquet(drop)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    out = sessionize_stateful(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+
+    # batch expectation: same gaps-and-islands sessionization, minus
+    # each user's last (still-open) session
+    us = F.unix_micros("ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select(
+        "user_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 30 * 60 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    w_us = Window.partitionBy("user_id").orderBy("us")
+    sessions = (
+        flagged.withColumn(
+            "sid",
+            F.sum("new_s").over(w_us.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("us").alias("session_start_us"),
+            F.max("us").alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    last_sid = sessions.groupBy("user_id").agg(F.max("sid").alias("sid"))
+    want = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in sessions.join(last_sid, ["user_id", "sid"], "left_anti").collect()
+    }
+    assert got == want and len(got) > 0
