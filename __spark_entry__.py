@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from automated_etl_pipeline_spark import queries as _q
 from automated_etl_pipeline_spark import queries_ext  # noqa: F401  (registers)
 from automated_etl_pipeline_spark import queries_llm  # noqa: F401  (registers)
+from automated_etl_pipeline_spark import queries_ml  # noqa: F401  (registers)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

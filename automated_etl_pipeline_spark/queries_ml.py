@@ -1,0 +1,88 @@
+"""ML-layer queries (SURVEY.md §2.9 M2-M5) over the shared testdata.
+
+No DuckDB oracle — GLM fitting and Monte-Carlo simulation are not
+SQL-expressible, so the driver records the weaker rows+schema check
+(per the __spark_entry__ contract); value-level guarantees live in
+tests/test_pipeline_ml.py (prediction invariants, seeded-simulation
+reproducibility, probability mass checks).
+
+Scale posture: training-frame construction and scoring are DataFrames
+end-to-end (distributed IRLS in GeneralizedLinearRegression); only the
+final simulation consumes a collected dict — deliberately driver-side,
+matching the reference's ~32-team bracket scale (SURVEY.md §2.9 M4-M5
+— the matrices are 11x11; distributing them would be overhead, not
+parallelism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.queries import _t, query
+
+
+@query("m2_poisson_expected")
+def m2_poisson_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2-M3: weighted log-link Poisson GLM (ml/poisson.py) fit on
+    lineitem — E[l_quantity | l_returnflag, l_linestatus] — then scored
+    on the distinct category combinations (the reference's
+    fit-then-predict-pairings shape, ml_project.py:211-221)."""
+    from automated_etl_pipeline_spark.ml.poisson import fit_poisson_rates
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # deterministic ~10% training sample: IRLS on 2 categorical features
+    # converges identically on a representative subset, and the fit
+    # (driver-coordinated iterations) dominates this query's runtime
+    train = li.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("double").alias("qty")
+    )
+    rates = fit_poisson_rates(
+        train, categorical_cols=["l_returnflag", "l_linestatus"], label_col="qty"
+    )
+    combos = train.select("l_returnflag", "l_linestatus").distinct()
+    return (
+        rates.predict(combos, out_col="expected_qty")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("expected_qty", 4).alias("expected_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query("m5_tournament_sim")
+def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4-M5: Poisson outcome matrices + seeded Monte-Carlo tournament
+    (ml/simulate.py) over 8 'teams' = the most-populous nations, with
+    expected goals derived from relative customer counts. The strength
+    aggregation is distributed; the 8-team bracket simulation is
+    driver-side by design (see module docstring)."""
+    from automated_etl_pipeline_spark.ml.simulate import tournament_win_probability
+
+    nation, customer = _t(spark, sf_dir, "nation", "customer")
+    strengths = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "n_name")
+        .limit(8)
+        .collect()
+    )
+    teams = [r.n_name for r in strengths]
+    s = {r.n_name: r.n_customers for r in strengths}
+    expected = {
+        (a, b): 0.5 + 2.0 * s[a] / (s[a] + s[b])
+        for a in teams
+        for b in teams
+        if a != b
+    }
+    groups = [teams[:4], teams[4:]]
+    p_win = tournament_win_probability(groups, expected, n_sims=200, seed=42)
+    return spark.createDataFrame(
+        [(t, float(p)) for t, p in sorted(p_win.items())],
+        "team string, p_win double",
+    )

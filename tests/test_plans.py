@@ -12,13 +12,13 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
+from automated_etl_pipeline_spark.plans.explain import executed_plan
 
 from tests.conftest import SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
-    df = entry_mod.queries()[name](spark, SF_SMOKE)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return executed_plan(entry_mod.queries()[name](spark, SF_SMOKE))
 
 
 def test_filter_and_projection_pushed_to_scan(spark):
