@@ -39,28 +39,53 @@ class DimSpec:
     extra_cols: Sequence[str] = field(default_factory=tuple)
 
 
-def build_dim(df: DataFrame, spec: DimSpec) -> DataFrame:
-    """Deduplicated dimension with a deterministic dense surrogate key.
+def build_dim(df: DataFrame, spec: DimSpec, key_mode: str = "dense") -> DataFrame:
+    """Deduplicated dimension with a deterministic surrogate key.
 
-    ``dense_rank`` over the natural-key ordering gives contiguous
-    1-based ids that are reproducible across runs and partitionings.
-    The rank's global sort runs on the deduplicated dim, which is small
-    by construction; for a genuinely huge dim switch to
-    ``xxhash64(natural_cols)`` keys (collision-checked), which needs no
-    sort at all.
+    key_mode="dense": contiguous 1-based ``dense_rank`` over the
+    natural-key ordering — reproducible across runs and partitionings,
+    but the rank is a single-partition sort (fine for dims, which are
+    small by construction after dedup; Spark warns 'No Partition
+    Defined' on it by design).
+
+    key_mode="hash": ``xxhash64(natural_cols)`` — fully distributed, no
+    sort, stable across runs AND across incremental loads (a re-run or
+    late-arriving batch assigns the same key to the same natural key,
+    which contiguous ranks cannot promise). The price: 64-bit keys are
+    non-contiguous and collide with probability ~n^2/2^65 — run
+    ``validate_unique_keys`` after build (one agg) when n is large.
+    This is the mode for genuinely huge dims and for idempotent
+    append pipelines (SURVEY.md §4.3).
     """
     natural = list(spec.natural_cols)
     dim = df.select(*natural).distinct()
-    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in natural])
-    return dim.withColumn(spec.key_col, F.dense_rank().over(w).cast("long")).select(
-        spec.key_col, *natural
+    if key_mode == "hash":
+        key = F.xxhash64(*[F.col(c) for c in natural])
+    elif key_mode == "dense":
+        w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in natural])
+        key = F.dense_rank().over(w).cast("long")
+    else:
+        raise ValueError(f"unknown key_mode: {key_mode!r}")
+    return dim.withColumn(spec.key_col, key).select(spec.key_col, *natural)
+
+
+def validate_unique_keys(dim: DataFrame, key_col: str) -> None:
+    """Fail fast on surrogate-key collisions (hash mode at large n)."""
+    dup = (
+        dim.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
     )
+    rows = dup.limit(1).collect()
+    if rows:
+        raise ValueError(
+            f"surrogate key collision in {key_col}: {rows[0][key_col]}"
+        )
 
 
 def build_star(
     df: DataFrame,
     dims: Sequence[DimSpec],
     fact_measures: Sequence[str],
+    key_mode: str = "dense",
 ) -> dict[str, DataFrame]:
     """P3/W1/J1-J2 — split ``df`` into ``{dim_name: dim_df, 'fact': fact_df}``.
 
@@ -70,7 +95,7 @@ def build_star(
     out: dict[str, DataFrame] = {}
     fact = df
     for spec in dims:
-        dim = build_dim(df, spec)
+        dim = build_dim(df, spec, key_mode=key_mode)
         out[spec.name] = dim
         fact = fact.join(F.broadcast(dim), on=list(spec.natural_cols), how="inner")
     out["fact"] = fact.select(

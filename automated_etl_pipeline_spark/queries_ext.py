@@ -262,3 +262,54 @@ def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("o_custkey")
     )
+
+
+# ----------------------------------------------------------------------
+# Correlated subqueries — Catalyst decorrelates both into joins; the
+# SQL goes through spark.sql unchanged (P1 SQL-entry parity) and the
+# identical string is the DuckDB oracle.
+# ----------------------------------------------------------------------
+
+from automated_etl_pipeline_spark.io.sources import load_testdata  # noqa: E402
+
+_Q4_EXISTS_SQL = """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("q4_exists_subquery", _Q4_EXISTS_SQL)
+def q4_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (orders with any late-shipped line): a correlated
+    EXISTS that Catalyst rewrites to a left-semi hash join — the plan
+    never materializes the subquery per row."""
+    for name, df in load_testdata(spark, sf_dir, ["orders", "lineitem"]).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q4_EXISTS_SQL)
+
+
+_Q17_SCALAR_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l_partkey
+      )
+"""
+
+
+@query("q17_scalar_subquery", _Q17_SCALAR_SQL)
+def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue vs per-part average): a
+    correlated scalar subquery decorrelated into one per-part aggregate
+    joined back — one extra shuffle on l_partkey, not a loop."""
+    for name, df in load_testdata(spark, sf_dir, ["lineitem", "part"]).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q17_SCALAR_SQL)

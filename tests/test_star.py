@@ -53,3 +53,22 @@ def test_fact_join_uses_broadcast(spark):
     joined = join_star(star["fact"], {"date_dim": (star["date_dim"], "date_id")})
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_hash_key_mode_stable_and_unique(spark):
+    from automated_etl_pipeline_spark.operators.star import (
+        DimSpec,
+        build_dim,
+        validate_unique_keys,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("a", 3)], "city string, x int"
+    )
+    spec = DimSpec(name="city_dim", natural_cols=["city"], key_col="city_id")
+    d1 = build_dim(df, spec, key_mode="hash")
+    d2 = build_dim(df.repartition(7), spec, key_mode="hash")
+    assert {(r.city, r.city_id) for r in d1.collect()} == {
+        (r.city, r.city_id) for r in d2.collect()
+    }  # stable under repartitioning
+    validate_unique_keys(d1, "city_id")  # no collision on 2 keys
