@@ -313,3 +313,43 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in load_testdata(spark, sf_dir, ["lineitem", "part"]).items():
         df.createOrReplaceTempView(name)
     return spark.sql(_Q17_SCALAR_SQL)
+
+
+@query(
+    "event_funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'signup') AS first_signup,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (first_signup IS NOT NULL) AS n_signed_up,
+           COUNT(*) FILTER (first_signup IS NOT NULL
+                            AND first_purchase > first_signup) AS n_converted
+    FROM firsts
+    """,
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel (signup → later purchase) in one conditional-aggregation
+    pass: per-user firsts via FILTERed MINs, then a global roll-up —
+    one shuffle on user_id, no self-join of the events table."""
+    (events,) = _t(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed_up"),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )

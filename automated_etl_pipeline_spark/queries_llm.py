@@ -434,3 +434,60 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted_lang")
     )
+
+
+# ----------------------------------------------------------------------
+# Document chunking — the tokenize→chunk step every training-data
+# pipeline runs before embedding/packing. Pure HOF expressions: the
+# token array is built once, chunk starts are a stride sequence, and
+# each chunk is a clamped slice — explode is the only row-multiplier,
+# no shuffle until the ORDER BY (which real pipelines don't need).
+# ----------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) + 1, {CHUNK_STRIDE}),
+               s -> {{'idx': (s - 1) // {CHUNK_STRIDE},
+                      'ctoks': t[s : s + {CHUNK_TOKENS - 1}]}})) AS c
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(c.idx AS INT) AS chunk_idx,
+           CAST(len(c.ctoks) AS INT) AS n_tokens,
+           md5(array_to_string(c.ctoks, ' ')) AS chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token chunks (64 tokens, stride 48) per document;
+    chunks are emitted as (count, content-hash) so the gate compares
+    chunk boundaries exactly without shipping the text twice."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE)),
+                lambda s: F.struct(
+                    ((s - 1) / CHUNK_STRIDE).cast("int").alias("idx"),
+                    F.slice("t", s, CHUNK_TOKENS).alias("ctoks"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.size("c.ctoks").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "c.ctoks")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
