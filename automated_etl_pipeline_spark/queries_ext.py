@@ -353,3 +353,52 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted"),
     )
+
+
+@query(
+    "q13_custdist",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers — COUNT(col) over a LEFT OUTER join counts non-null
+    matches, so empty customers land in the c_count=0 bucket."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@query("a7_grouping_sets", _GROUPING_SETS_SQL)
+def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers (the general form
+    behind rollup/cube — one shuffle computes all three groupings)."""
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+
+    for name, df in load_testdata(spark, sf_dir, ["lineitem"]).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_GROUPING_SETS_SQL)
