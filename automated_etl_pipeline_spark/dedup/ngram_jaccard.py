@@ -81,7 +81,10 @@ def jaccard_pairs(
         .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
         .select("g")
     )
-    inv = inv.join(keep, "g", "left_semi")
+    # checkpoint the capped index: both sides of the candidate
+    # self-join consume it, and each would otherwise re-run the
+    # explode + df-agg + semi-join pipeline
+    inv = inv.join(keep, "g", "left_semi").localCheckpoint()
 
     a, b = inv.alias("a"), inv.alias("b")
     cand = (

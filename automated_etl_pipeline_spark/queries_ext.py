@@ -402,3 +402,48 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, df in load_testdata(spark, sf_dir, ["lineitem"]).items():
         df.createOrReplaceTempView(name)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "events_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window() as a batch aggregation — same
+    semantics as the manual gaps-and-islands (sessionize_events), but
+    one groupBy, no window functions; the oracle IS the
+    gaps-and-islands formulation with end = last event + gap
+    ([start, end) intervals: an event landing exactly on the boundary
+    opens a new session). This is the operator Structured Streaming
+    uses for streaming sessionization."""
+    (events,) = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        events.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
