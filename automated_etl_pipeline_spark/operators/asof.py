@@ -1,0 +1,89 @@
+"""As-of (point-in-time) join — the canonical "operator Spark lacks"
+(time-series enrichment: for each left event, the most recent right
+row at-or-before it, per key).
+
+Spark has no ASOF JOIN (DuckDB/kdb/Pandas do — DuckDB's native one is
+this operator's oracle). The naive formulations are disastrous at
+scale: a theta-join ``l.ts >= r.ts`` explodes quadratically before a
+per-row argmax; a Python loop isn't distributed at all.
+
+The Spark-first formulation is union + last_value:
+1. tag right rows 0 and left rows 1, union them (right's payload
+   columns ride along, NULL on left rows);
+2. one window per key ordered by (ts, tag): running
+   ``last_value(payload, ignoreNulls)`` carries the latest right
+   payload forward onto every subsequent row;
+3. keep the left rows.
+
+Cost: ONE shuffle on the key (the window), zero joins, no row
+explosion — the same shape as sessionization, and exactly what a
+1000-executor cluster wants: partition by key, sort within partition.
+Ties: a right row at ts == left ts is visible to it (ASOF >=
+semantics) because tag orders right(0) before left(1). Right-side
+(key, ts) duplicates must be pre-aggregated (``dedup_right``) or the
+carried value is partition-order-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    dedup_right: str = "last",
+) -> DataFrame:
+    """Left rows + the latest right ``payload_cols`` at-or-before each
+    left row's ``ts_col``, matched per ``key_cols`` (NULL payload when
+    no right row precedes). ``dedup_right``: 'last'|'max'|'min' picks
+    the survivor among right rows sharing (key, ts) — 'max'/'min'
+    aggregate each payload column; 'last' requires uniqueness and
+    asserts nothing (cheapest)."""
+    keys = list(key_cols)
+    pays = list(payload_cols)
+    if dedup_right in ("max", "min"):
+        agg = F.max if dedup_right == "max" else F.min
+        right = right.groupBy(*keys, ts_col).agg(
+            *[agg(c).alias(c) for c in pays]
+        )
+
+    l_cols = [c for c in left.columns]
+    tagged_r = right.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__p_{c}") for c in pays],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
+    )
+    tagged_l = left.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in pays],
+        *[F.col(c).alias(f"__l_{c}") for c in l_cols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__ts", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__tag",
+        *[F.col(f"__l_{c}") for c in l_cols],
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in pays
+        ],
+    )
+    return carried.filter(F.col("__tag") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in l_cols],
+        *[F.col(f"__c_{c}").alias(c) for c in pays],
+    )

@@ -447,3 +447,36 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "asof_last_view_value",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, l.ts, r.value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_last_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase gets the value of
+    the user's most recent view at-or-before it — DuckDB's native
+    ASOF LEFT JOIN is the oracle for our union+last_value
+    formulation (one shuffle, no theta-join explosion)."""
+    from automated_etl_pipeline_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, views, ["user_id"], "ts", ["value"], dedup_right="max"
+    ).orderBy("event_id")

@@ -63,3 +63,13 @@ def test_minhash_signatures_have_no_python_udf(spark, name):
     (row-wise Python) anywhere in the plan."""
     plan = plan_of(spark, name)
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_asof_join_is_union_window_not_join(spark):
+    """The as-of join must plan as union + window — no Join operator;
+    its only hash exchanges are the right-side dedup aggregate and the
+    per-key window (no theta-join row explosion anywhere)."""
+    plan = plan_of(spark, "asof_last_view_value")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
