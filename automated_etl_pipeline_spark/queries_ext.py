@@ -480,3 +480,40 @@ def asof_last_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, views, ["user_id"], "ts", ["value"], dedup_right="max"
     ).orderBy("event_id")
+
+
+_RANGE_BUCKETS = [(i, i * 40.0, i * 40.0 + 60.0) for i in range(12)]  # overlapping
+
+
+@query(
+    "range_join_value_buckets",
+    f"""
+    WITH buckets(bucket, lo, hi) AS (VALUES
+      {", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _RANGE_BUCKETS)}
+    )
+    SELECT bucket, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN buckets ON value BETWEEN lo AND hi
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): events matched to
+    overlapping value intervals via bin-and-filter (hash join on bin
+    ids + exact BETWEEN recheck) — the oracle is DuckDB's native
+    BETWEEN join. Bin width 40 ≈ the interval length scale."""
+    from automated_etl_pipeline_spark.operators.rangejoin import range_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(_RANGE_BUCKETS, "bucket int, lo double, hi double")
+    joined = range_join(
+        events.select("user_id", "value"), buckets, "value", "lo", "hi", bin_width=40.0
+    )
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket")
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime
 
+from pyspark.sql import functions as F
+
 from automated_etl_pipeline_spark.operators.asof import asof_join
 
 
@@ -38,3 +40,35 @@ def test_asof_right_dup_dedup_max(spark):
     )
     got = asof_join(left, right, ["k"], "t", ["v"], dedup_right="max").collect()
     assert got[0].v == 9.0
+
+
+# ---------------- range join ----------------
+
+
+def test_range_join_inner_and_left(spark):
+    from automated_etl_pipeline_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 999.0)], "pid long, v double"
+    )
+    ivals = spark.createDataFrame(
+        [(10, 0.0, 10.0), (20, 4.0, 30.0)], "b int, lo double, hi double"
+    )
+    inner = {(r.pid, r.b) for r in range_join(points, ivals, "v", "lo", "hi", 10.0).collect()}
+    assert inner == {(1, 10), (1, 20), (2, 20)}  # overlapping intervals both match
+    left = range_join(points, ivals, "v", "lo", "hi", 10.0, how="left")
+    got = {(r.pid, r.b) for r in left.collect()}
+    assert got == {(1, 10), (1, 20), (2, 20), (3, None)}  # unmatched point kept
+
+
+def test_range_join_no_nested_loop(spark):
+    from automated_etl_pipeline_spark.operators.rangejoin import range_join
+    from automated_etl_pipeline_spark.plans.explain import executed_plan
+
+    points = spark.range(1000).select(F.col("id").cast("double").alias("v"))
+    ivals = spark.createDataFrame(
+        [(i, i * 10.0, i * 10.0 + 15.0) for i in range(50)],
+        "b int, lo double, hi double",
+    )
+    plan = executed_plan(range_join(points, ivals, "v", "lo", "hi", 10.0))
+    assert "BroadcastNestedLoopJoin" not in plan  # the naive BETWEEN plan
