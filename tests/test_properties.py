@@ -1,0 +1,112 @@
+"""Property-based tests (SURVEY.md §5.4): invariants that hold for ALL
+inputs, batched into one Spark job per example set so hypothesis stays
+fast against a JVM."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.operators.cleaning import (
+    DEFAULT_DATE_FORMATS,
+    multi_format_date,
+)
+
+_PYFMT = {
+    "MM/dd/yyyy": "%m/%d/%Y",
+    "yyyy-MM-dd": "%Y-%m-%d",
+    "dd-MM-yyyy": "%d-%m-%Y",
+    "dd/MM/yyyy": "%d/%m/%Y",
+}
+
+_dates = st.dates(min_value=date(1880, 1, 1), max_value=date(2100, 12, 31))
+
+
+@given(st.lists(st.tuples(_dates, st.sampled_from(DEFAULT_DATE_FORMATS)), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_multi_format_date_roundtrip(spark, cases):
+    """Any date rendered in any supported format parses back to itself
+    *unless an earlier format in the precedence list also matches* —
+    then the earlier format wins (load-bearing order, SURVEY §4.3)."""
+    rows = [(i, d.strftime(_PYFMT[f]), f) for i, (d, f) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i long, s string, fmt string")
+    got = {
+        r.i: r.parsed
+        for r in df.select("i", multi_format_date("s").alias("parsed")).collect()
+    }
+    for i, (d, f) in enumerate(cases):
+        rendered = d.strftime(_PYFMT[f])
+        expected = None
+        for cand in DEFAULT_DATE_FORMATS:  # first-format-wins reference model
+            try:
+                expected = __import__("datetime").datetime.strptime(
+                    rendered, _PYFMT[cand]
+                ).date()
+                break
+            except ValueError:
+                continue
+        assert got[i] == expected, (rendered, f, got[i], expected)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab cd ef gh ij kl mn op".split()), min_size=1, max_size=200),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_chunking_reassembles_to_original(spark, docs):
+    """Chunks with the overlap stripped concatenate back to the exact
+    original token sequence (no token lost or duplicated at seams)."""
+    from automated_etl_pipeline_spark.queries_llm import CHUNK_STRIDE, CHUNK_TOKENS
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = df.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE)),
+                lambda s: F.struct(
+                    ((s - 1) / CHUNK_STRIDE).cast("int").alias("idx"),
+                    F.slice("t", s, CHUNK_TOKENS).alias("ctoks"),
+                ),
+            )
+        ).alias("c"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.c.idx, r.c.ctoks))
+    overlap = CHUNK_TOKENS - CHUNK_STRIDE
+    for i, toks_in in enumerate(docs):
+        parts = [c for _, c in sorted(by_doc[i])]
+        rebuilt = list(parts[0])
+        for p in parts[1:]:
+            rebuilt += p[overlap:] if len(p) > overlap else []
+        # trailing chunks shorter than the overlap contribute nothing new
+        assert rebuilt == toks_in, (i, len(toks_in))
+
+
+@given(
+    st.lists(st.sampled_from("w1 w2 w3 w4 w5 w6 w7 w8".split()), min_size=3, max_size=30),
+    st.lists(st.sampled_from("w1 w2 w3 w4 w5 w6 w7 w8".split()), min_size=3, max_size=30),
+)
+@settings(max_examples=6, deadline=None)
+def test_jaccard_bounds_and_identity(spark, ta, tb):
+    """0 <= jaccard <= 1; identical texts always score exactly 1.0."""
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(ta)), (2, " ".join(ta)), (3, " ".join(tb))],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=0.0, max_df_frac=1.0, min_common=1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert all(0.0 <= j <= 1.0 for j in pairs.values())
