@@ -220,24 +220,21 @@ def deduplicate(
 # ---------------------------------------------------------------------------
 
 
-def build_oracle_sql(
+def pairs_cte_sql(
     threshold: float = 0.8,
     num_perm: int = DEFAULT_NUM_PERM,
     bands: int = DEFAULT_BANDS,
+    source: str = "documents",
 ) -> str:
-    """Oracle for near_duplicate_pairs over the ``documents`` view.
-
-    Note: ``max_bucket`` capping is not replicated — equivalence holds
-    whenever no bucket exceeds the cap (true at oracle scale).
-    """
+    """CTE chain (no leading WITH) ending in ``mh_pairs`` — spliceable
+    into larger oracle queries (e.g. the dedup cascade)."""
     rows_per_band = num_perm // bands
     mins = ", ".join(
         f"list_min(list_transform(h, v -> ({PERM_A[p]} * v + {PERM_B[p]}) % {MOD}))"
         for p in range(num_perm)
     )
-    return f"""
-    WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    return f"""tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM {source}
       WHERE len(string_split(text, ' ')) >= 3
     ), sh AS (
       SELECT doc_id,
@@ -259,13 +256,29 @@ def build_oracle_sql(
       FROM bands x JOIN bands y
         ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
        AND x.doc_id < y.doc_id
-    )
-    SELECT doc_a, doc_b,
-           ROUND(len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
-                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
-    FROM cand JOIN sh a ON cand.doc_a = a.doc_id
-              JOIN sh b ON cand.doc_b = b.doc_id
-    WHERE len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
-          / len(list_distinct(a.s || b.s)) >= {threshold}
-    ORDER BY doc_a, doc_b
+    ), mh_pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+                   / len(list_distinct(a.s || b.s)), 6) AS jaccard
+      FROM cand JOIN sh a ON cand.doc_a = a.doc_id
+                JOIN sh b ON cand.doc_b = b.doc_id
+      WHERE len(list_filter(a.s, v -> list_contains(b.s, v)))::DOUBLE
+            / len(list_distinct(a.s || b.s)) >= {threshold}
+    )"""
+
+
+def build_oracle_sql(
+    threshold: float = 0.8,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+) -> str:
+    """Oracle for near_duplicate_pairs over the ``documents`` view.
+
+    Note: ``max_bucket`` capping is not replicated — equivalence holds
+    whenever no bucket exceeds the cap (true at oracle scale).
     """
+    return (
+        "WITH "
+        + pairs_cte_sql(threshold, num_perm, bands)
+        + "\n    SELECT doc_a, doc_b, jaccard FROM mh_pairs ORDER BY doc_a, doc_b"
+    )

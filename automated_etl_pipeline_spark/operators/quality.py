@@ -1,0 +1,80 @@
+"""Declarative data-quality checks (the S5 NOT-NULL load contract of
+io/sinks.py generalized to an expectation suite).
+
+Every check compiles to aggregate expressions, so an arbitrary list of
+checks over one table costs exactly ONE scan + one (tiny) aggregate —
+never a job per check. Results come back as rows
+(check_name, passed, n_violations), making the suite itself a
+DataFrame: pipeline stages can gate on it, sinks can log it, and the
+oracle can recompute it in SQL.
+
+At 100 TB the one-pass property is the whole point: a 20-check suite
+on a fact table is one map-side pass with a single-row reduce; the
+uniqueness check rides the same aggregate via
+count(col) - count(DISTINCT col) (exact; swap in
+approx_count_distinct for a cheaper inexact gate).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    violations: Column  # aggregate expression counting violating rows
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null_{col}", F.count(F.when(F.col(col).isNull(), 1)))
+
+
+def in_range(col: str, lo: Any, hi: Any) -> Check:
+    return Check(
+        f"in_range_{col}",
+        F.count(F.when((F.col(col) < lo) | (F.col(col) > hi), 1)),
+    )
+
+
+def accepted_values(col: str, values: list) -> Check:
+    return Check(
+        f"accepted_values_{col}",
+        F.count(F.when(~F.col(col).isin(*values), 1)),
+    )
+
+
+def unique(col: str) -> Check:
+    """Non-null duplicates: count(col) - count(DISTINCT col)."""
+    return Check(
+        f"unique_{col}", F.count(F.col(col)) - F.countDistinct(F.col(col))
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """One aggregate pass → (check_name, passed, n_violations) rows."""
+    agg = df.agg(
+        *[c.violations.cast("long").alias(c.name) for c in checks]
+    )
+    stacked = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c.name).alias("check_name"),
+                        F.col(c.name).alias("n_violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select(
+        "r.check_name",
+        (F.col("r.n_violations") == 0).alias("passed"),
+        "r.n_violations",
+    )

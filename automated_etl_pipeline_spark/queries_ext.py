@@ -517,3 +517,43 @@ def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "dq_orders_checks",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) FILTER (o_custkey IS NULL) AS nn,
+             COUNT(*) FILTER (o_totalprice < 0 OR o_totalprice > 1000000) AS ir,
+             COUNT(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P')) AS av,
+             COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS uq
+      FROM orders
+    )
+    SELECT check_name, n_violations = 0 AS passed, n_violations FROM (
+      SELECT 'not_null_o_custkey' AS check_name, CAST(nn AS BIGINT) AS n_violations FROM agg
+      UNION ALL SELECT 'in_range_o_totalprice', CAST(ir AS BIGINT) FROM agg
+      UNION ALL SELECT 'accepted_values_o_orderstatus', CAST(av AS BIGINT) FROM agg
+      UNION ALL SELECT 'unique_o_orderkey', CAST(uq AS BIGINT) FROM agg
+    ) ORDER BY check_name
+    """,
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite (operators/quality.py): four checks over
+    orders in ONE aggregate pass — null FK, price range, status
+    domain, key uniqueness."""
+    from automated_etl_pipeline_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    checks = [
+        not_null("o_custkey"),
+        in_range("o_totalprice", 0, 1_000_000),
+        accepted_values("o_orderstatus", ["F", "O", "P"]),
+        unique("o_orderkey"),
+    ]
+    return run_checks(orders, checks).orderBy("check_name")

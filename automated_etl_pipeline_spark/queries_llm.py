@@ -491,3 +491,68 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("c.ctoks").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "c.ctoks")).alias("chunk_hash"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ----------------------------------------------------------------------
+# Dedup cascade — the production shape: cheap exact hash first, then
+# prefix fingerprints, then MinHash-LSH on what survives. Each stage
+# shrinks the input of the next (the expensive near-dedup only ever
+# sees exact-unique, fingerprint-unique docs).
+# ----------------------------------------------------------------------
+
+
+def _cascade_oracle() -> str:
+    from automated_etl_pipeline_spark.dedup.minhash import pairs_cte_sql
+
+    return f"""
+    WITH exact_reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), d1 AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN exact_reps USING (doc_id)
+    ), fp_reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        FROM d1
+      ) GROUP BY fp
+    ), d2 AS (
+      SELECT d.doc_id, d.text FROM d1 d JOIN fp_reps USING (doc_id)
+    ), {pairs_cte_sql(threshold=0.8, source="d2")},
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs)
+    SELECT 'a_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs
+    UNION ALL SELECT 'b_exact', (SELECT COUNT(*) FROM d1)
+    UNION ALL SELECT 'c_fingerprint', (SELECT COUNT(*) FROM d2)
+    UNION ALL SELECT 'd_minhash',
+      (SELECT COUNT(*) FROM d2) - (SELECT COUNT(*) FROM losers)
+    ORDER BY stage
+    """
+
+
+@query("dedup_cascade_stats", _cascade_oracle())
+def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts after each cascade stage (raw → exact →
+    fingerprint → MinHash near-dedup), stages applied sequentially."""
+    from automated_etl_pipeline_spark.dedup.minhash import deduplicate
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs.select("doc_id", "text")
+
+    exact_reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    d1 = docs.join(exact_reps.select("doc_id"), "doc_id", "left_semi")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    fp_reps = d1.groupBy(fp).agg(F.min("doc_id").alias("doc_id"))
+    d2 = d1.join(fp_reps.select("doc_id"), "doc_id", "left_semi").localCheckpoint()
+    d3 = deduplicate(d2, threshold=0.8)
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        stage("a_raw", docs)
+        .unionByName(stage("b_exact", d1))
+        .unionByName(stage("c_fingerprint", d2))
+        .unionByName(stage("d_minhash", d3))
+        .orderBy("stage")
+    )
