@@ -556,3 +556,119 @@ def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("d_minhash", d3))
         .orderBy("stage")
     )
+
+
+# ----------------------------------------------------------------------
+# Sequence packing — pretraining's concat-then-chunk: documents are
+# concatenated in a deterministic order and cut into fixed-size token
+# sequences. One window cumsum + one explode; the per-sequence roll-up
+# shuffles only (seq_id, contribution) pairs.
+# ----------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ), pos AS (
+      SELECT doc_id, n,
+             CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                  AS BIGINT) AS start_off
+      FROM tok
+    ), spans AS (
+      SELECT doc_id,
+             UNNEST(range(start_off // {PACK_SEQ_LEN},
+                          (start_off + n - 1) // {PACK_SEQ_LEN} + 1)) AS seq_id,
+             start_off, n
+      FROM pos WHERE n > 0
+    )
+    SELECT CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(
+             least((seq_id + 1) * {PACK_SEQ_LEN}, start_off + n)
+             - greatest(seq_id * {PACK_SEQ_LEN}, start_off)
+           ) AS BIGINT) AS n_tokens
+    FROM spans GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the corpus into {PACK_SEQ_LEN}-token training sequences
+    (docs concatenated by doc_id): per sequence, how many documents
+    contribute and how many tokens land in it (= seq_len everywhere
+    but the tail). The global cumsum window is the only single-
+    partition step — at 100 TB replace it with the two-phase
+    per-partition-offset pattern (partition sums → prefix offsets)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    pos = tok.select(
+        "doc_id", "n", (F.sum("n").over(w) - F.col("n")).alias("start_off")
+    ).filter(F.col("n") > 0)
+    spans = pos.select(
+        "doc_id",
+        "start_off",
+        "n",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_off") / PACK_SEQ_LEN),
+                F.floor((F.col("start_off") + F.col("n") - 1) / PACK_SEQ_LEN),
+            )
+        ).alias("seq_id"),
+    )
+    contrib = F.least(
+        (F.col("seq_id") + 1) * PACK_SEQ_LEN, F.col("start_off") + F.col("n")
+    ) - F.greatest(F.col("seq_id") * PACK_SEQ_LEN, F.col("start_off"))
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(contrib).alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+# ----------------------------------------------------------------------
+# Deterministic hash sampling — reproducible stratified sampling with
+# no RNG: a doc is kept iff its md5 bucket falls under the stratum's
+# rate. Same sample on every engine, every run, every cluster layout —
+# the only sane way to sample at 100 TB (rand() re-draws per retry).
+# ----------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 10}  # buckets /100
+
+
+@query(
+    "sample_stratified_hash",
+    f"""
+    WITH tagged AS (
+      SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_sampled FROM tagged
+    WHERE bucket < CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())} ELSE 0 END
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash-sampled doc counts at configured rates
+    (en 50%, de/es/fr 20%, zh 10%)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    rate = F.lit(0)
+    for k, v in _SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return (
+        docs.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )

@@ -30,3 +30,24 @@ def test_query_runs(spark, name):
 def test_every_oracle_has_query():
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_approx_sketches_track_exact(spark):
+    """The 100-TB path for a4_distinct_agg / percentile_price: HLL++
+    and t-digest sketches (single-pass, mergeable) must track the
+    exact values within their advertised error."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+
+    li = load_testdata(spark, "/root/testdata/sf0.01", ["lineitem"])["lineitem"]
+    r = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+    ).first()
+    assert abs(r.approx_d - r.exact_d) / r.exact_d < 0.05
+    assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 < 0.02
