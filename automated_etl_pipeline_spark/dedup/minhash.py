@@ -41,22 +41,37 @@ DEFAULT_SHINGLE_K = 3
 # A odd in [1, 2^31), B in [0, 2^31): A*h + B < 2^63 for 32-bit h, so
 # the arithmetic never overflows BIGINT in either engine. Fixed
 # literals (seeded) shared by the Spark expressions and the oracle SQL.
+# Sized to MAX_NUM_PERM so callers can raise num_perm beyond the
+# default without changing the first permutations.
 MOD = (1 << 61) - 1
+MAX_NUM_PERM = 64
 import numpy as _np  # noqa: E402
 
 _rng = _np.random.default_rng(17)
-PERM_A: list[int] = [int(a) | 1 for a in _rng.integers(1, 1 << 31, DEFAULT_NUM_PERM)]
-PERM_B: list[int] = [int(b) for b in _rng.integers(0, 1 << 31, DEFAULT_NUM_PERM)]
+PERM_A: list[int] = [int(a) | 1 for a in _rng.integers(1, 1 << 31, MAX_NUM_PERM)]
+PERM_B: list[int] = [int(b) for b in _rng.integers(0, 1 << 31, MAX_NUM_PERM)]
+
+
+def _check_num_perm(num_perm: int) -> None:
+    if not 1 <= num_perm <= MAX_NUM_PERM:
+        raise ValueError(
+            f"num_perm must be in [1, {MAX_NUM_PERM}] (got {num_perm}); "
+            "raise MAX_NUM_PERM to extend the shared permutation table"
+        )
 
 
 def shingle_set(text: Column | str, k: int = DEFAULT_SHINGLE_K) -> Column:
-    """Distinct k-token shingles of a whitespace-tokenized text."""
+    """Distinct k-token shingles of a whitespace-tokenized text; empty
+    array for texts shorter than k tokens (the single shared shingle
+    definition — ngram_jaccard verifies against it too)."""
     t = F.split(F.col(text) if isinstance(text, str) else text, " ")
     idx = F.sequence(F.lit(1), F.size(t) - (k - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(t, i + j) for j in range(k)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(t) >= k, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingle_hashes(shingles: Column) -> Column:
@@ -76,6 +91,7 @@ def signature_from_hashes(hv: Column, num_perm: int = DEFAULT_NUM_PERM) -> Colum
     the P array_min expressions — inlining the md5 pass here would
     recompute it P times.
     """
+    _check_num_perm(num_perm)
     return F.array(
         *[
             F.array_min(
@@ -228,6 +244,7 @@ def pairs_cte_sql(
 ) -> str:
     """CTE chain (no leading WITH) ending in ``mh_pairs`` — spliceable
     into larger oracle queries (e.g. the dedup cascade)."""
+    _check_num_perm(num_perm)
     rows_per_band = num_perm // bands
     mins = ", ".join(
         f"list_min(list_transform(h, v -> ({PERM_A[p]} * v + {PERM_B[p]}) % {MOD}))"

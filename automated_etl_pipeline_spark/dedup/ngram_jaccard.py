@@ -26,23 +26,13 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def token_ngrams(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct space-joined n-grams of whitespace tokens (the same
-    shingle definition as dedup/minhash.py)."""
-    toks = F.split(text_col, " ")
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
-    )
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# THE shingle definition is shared with MinHash — near-dedup stages of
+# a cascade must agree on what a shingle is, and both modules' oracle
+# SQL mirrors this single implementation.
+from automated_etl_pipeline_spark.dedup.minhash import shingle_set as token_ngrams
 
 
 def jaccard_pairs(

@@ -55,18 +55,26 @@ def asof_join(
         )
 
     l_cols = [c for c in left.columns]
+    # the payload rides in ONE struct: right rows carry a non-null
+    # struct (even if every payload field inside is NULL), left rows a
+    # NULL struct — so last(ignorenulls) skips only "no row here", never
+    # a legitimately-NULL payload value (ASOF semantics)
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in pays])
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in pays) + ">"
+    )
     tagged_r = right.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).alias(f"__p_{c}") for c in pays],
+        pay_struct.alias("__p"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in l_cols],
     )
     tagged_l = left.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__tag"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in pays],
+        null_struct.alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
     )
     unioned = tagged_r.unionByName(tagged_l)
@@ -78,12 +86,9 @@ def asof_join(
     carried = unioned.select(
         "__tag",
         *[F.col(f"__l_{c}") for c in l_cols],
-        *[
-            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in pays
-        ],
+        F.last("__p", ignorenulls=True).over(w).alias("__c"),
     )
     return carried.filter(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in l_cols],
-        *[F.col(f"__c_{c}").alias(c) for c in pays],
+        *[F.col(f"__c.{c}").alias(c) for c in pays],
     )

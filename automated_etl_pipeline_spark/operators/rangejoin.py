@@ -50,17 +50,28 @@ def range_join(
             )
         ),
     )
-    binned_p = points.withColumn("__bin", F.floor(F.col(value_col) / b).cast("long"))
     cond = (
         (F.col(value_col) >= F.col(lo_col))
         & (F.col(value_col) <= F.col(hi_col))
     )
-    joined = binned_p.join(binned_i, on="__bin", how="inner").filter(cond).drop("__bin")
     if how == "inner":
-        return joined
-    # left: re-attach points that matched nothing
-    matched = joined.select(*points.columns)
-    missing = points.join(matched, on=list(points.columns), how="left_anti")
+        binned_p = points.withColumn(
+            "__bin", F.floor(F.col(value_col) / b).cast("long")
+        )
+        return binned_p.join(binned_i, on="__bin", how="inner").filter(cond).drop(
+            "__bin"
+        )
+    # left: track points by a row id, not value equality — value-based
+    # anti-joins mis-handle NULL columns (null-unsafe equality) and
+    # duplicate point rows. monotonically_increasing_id is partition-
+    # dependent, so the stamped frame is checkpointed to pin the ids
+    # for both the matched and missing branches.
+    pts = points.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    binned_p = pts.withColumn("__bin", F.floor(F.col(value_col) / b).cast("long"))
+    joined = binned_p.join(binned_i, on="__bin", how="inner").filter(cond).drop("__bin")
+    missing = pts.join(joined.select("__rid"), on="__rid", how="left_anti")
     for c in intervals.columns:
         missing = missing.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
-    return joined.unionByName(missing)
+    return joined.drop("__rid").unionByName(missing.drop("__rid"))

@@ -60,7 +60,17 @@ def build_dim(df: DataFrame, spec: DimSpec, key_mode: str = "dense") -> DataFram
     natural = list(spec.natural_cols)
     dim = df.select(*natural).distinct()
     if key_mode == "hash":
-        key = F.xxhash64(*[F.col(c) for c in natural])
+        # Spark's hash functions SKIP null inputs (running hash
+        # unchanged), so (NULL, 'x') and ('x', NULL) would collide;
+        # coalesce every column to a sentinel so position always
+        # contributes. (Sentinel collision requires a natural key
+        # containing a literal NUL char — excluded by contract.)
+        key = F.xxhash64(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
+                for c in natural
+            ]
+        )
     elif key_mode == "dense":
         w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in natural])
         key = F.dense_rank().over(w).cast("long")

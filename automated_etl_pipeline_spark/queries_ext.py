@@ -59,9 +59,11 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .select(
             "c_mktsegment",
-            F.col("F").alias("n_f"),
-            F.col("O").alias("n_o"),
-            F.col("P").alias("n_p"),
+            # a (segment, status) combo with zero rows pivots to NULL,
+            # but COUNT semantics (and the oracle) say 0
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
         )
         .orderBy("c_mktsegment")
     )
@@ -97,18 +99,18 @@ def percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
     WITH ordered AS (
-      SELECT user_id, ts, epoch_us(ts) AS us,
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
       FROM events
     ), flagged AS (
-      SELECT user_id, ts, us,
+      SELECT user_id, ts, event_id, us,
              CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ), numbered AS (
       SELECT user_id, ts,
              CAST(SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
@@ -126,14 +128,17 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     us = F.unix_micros("ts")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the running sum must use the SAME total order as the lag window,
+    # or a tied-timestamp event can land in the wrong session
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy(us)
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     flagged = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag(us).over(w_order).isNull()
             | ((us - F.lag(us).over(w_order)) > 1800 * 1_000_000),
@@ -408,14 +413,14 @@ def a7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM ordered
     )

@@ -72,3 +72,24 @@ def test_range_join_no_nested_loop(spark):
     )
     plan = executed_plan(range_join(points, ivals, "v", "lo", "hi", 10.0))
     assert "BroadcastNestedLoopJoin" not in plan  # the naive BETWEEN plan
+
+
+def test_asof_null_payload_not_skipped(spark):
+    """A right row whose payload is legitimately NULL must win over an
+    older non-null row (ASOF picks the latest ROW, not the latest
+    non-null VALUE)."""
+    left = spark.createDataFrame([(1, ts(9), "x")], "k long, t timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, ts(4), 5.0), (1, ts(7), None)], "k long, t timestamp, v double"
+    )
+    got = asof_join(left, right, ["k"], "t", ["v"]).collect()
+    assert got[0].v is None
+
+
+def test_range_join_left_null_point_column_not_duplicated(spark):
+    from automated_etl_pipeline_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(None, 5.0)], "pid long, v double")
+    ivals = spark.createDataFrame([(10, 0.0, 10.0)], "b int, lo double, hi double")
+    got = range_join(points, ivals, "v", "lo", "hi", 10.0, how="left").collect()
+    assert len(got) == 1 and got[0].b == 10  # matched once, not re-added
