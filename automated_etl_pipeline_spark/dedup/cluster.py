@@ -1,0 +1,91 @@
+"""Connected components over the near-duplicate pair graph — the
+clustering step that turns pairwise dedup output into keep/drop sets.
+
+Pairwise near-dedup (minhash.py / simhash.py) emits edges; dropping
+``doc_b`` of every edge is only one-hop and over-deletes chains
+(a-b, b-c drops both b and c even though c may only resemble b). The
+correct grouping is the connected component, with one survivor per
+component (the min id).
+
+Spark-first formulation: iterative min-label propagation —
+every vertex starts labeled with itself; each round every vertex takes
+the min of its own and its neighbors' labels; fixpoint in
+O(component diameter) rounds. This is the simple variant of the
+small-star/large-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond"); near-dup components are shallow
+(diameter ~ a few hops), so few rounds suffice.
+
+Scale notes:
+- Each round is one join + one groupBy on the edge list — all hash
+  shuffles on vertex ids. Labels only ever decrease, so convergence is
+  monotone; the loop exits when sum(labels) stops changing (one tiny
+  aggregate per round, no row-level diff join).
+- ``localCheckpoint`` per round truncates the lineage — without it the
+  plan doubles every iteration and the driver dies long before the
+  data does (the classic iterative-DataFrame trap).
+- Oracle: a DuckDB recursive CTE reaches the same fixpoint
+  (min reachable id == min label of the component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) — component = min vertex id reachable via edges
+    (undirected). Vertices with no edges form singleton components."""
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.vid)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, labels.vid == nbr.a, "left")
+            .select(
+                "vid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels are monotone-decreasing ints
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))
+
+
+def dedup_keep_set(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One survivor per component (the min id): the correct global
+    keep-set for cascade deletion."""
+    comp = connected_components(vertices, edges, id_col, src_col, dst_col)
+    return comp.filter(F.col(id_col) == F.col("component")).select(id_col)

@@ -672,3 +672,45 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sampled"))
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------
+# Near-dup clustering — connected components over the MinHash pair
+# graph (dedup/cluster.py); the oracle reaches the same fixpoint with
+# a recursive CTE (min reachable id == component label).
+# ----------------------------------------------------------------------
+
+
+def _clusters_oracle() -> str:
+    from automated_etl_pipeline_spark.dedup.minhash import pairs_cte_sql
+
+    return f"""
+    WITH RECURSIVE {pairs_cte_sql(threshold=0.8)},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT s.a AS doc_id, reach.r FROM sym s JOIN reach ON s.b = reach.doc_id
+    )
+    SELECT doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("dedup_minhash_clusters", _clusters_oracle())
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: every document labeled with the
+    min doc_id of its connected component in the jaccard>=0.8 MinHash
+    pair graph (singletons label themselves)."""
+    from automated_etl_pipeline_spark.dedup.cluster import connected_components
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    edges = near_duplicate_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).orderBy("doc_id")

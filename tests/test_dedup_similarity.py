@@ -172,3 +172,22 @@ def test_lang_id_on_real_snippets(spark):
     got = {r.doc_id: r.predicted_lang for r in with_predicted_lang(df).collect()}
     want = {r[0]: r[2] for r in rows}
     assert got == want
+
+
+# ---------------- connected components ----------------
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components,
+        dedup_keep_set,
+    )
+
+    vs = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    es = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"  # chain 1-2-3; pair 5-6
+    )
+    comp = {r.id: r.component for r in connected_components(vs, es).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+    keep = {r.id for r in dedup_keep_set(vs, es).collect()}
+    assert keep == {1, 4, 5, 7}  # one survivor per component
