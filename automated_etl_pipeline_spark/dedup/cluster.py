@@ -51,9 +51,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    # isolated vertices are their own component and never change —
+    # keep them out of the iteration (in a dedup corpus they are the
+    # overwhelming majority) and union them back at the end
+    all_v = vertices.select(F.col(id_col).alias("vid"))
+    edge_v = sym.select(F.col("a").alias("vid")).distinct()
+    singletons = all_v.join(edge_v, "vid", "left_anti").select(
+        "vid", F.col("vid").alias("label")
+    )
+    labels = edge_v.select("vid", F.col("vid").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = (
@@ -75,7 +81,9 @@ def connected_components(
         if cur_sum == prev_sum:  # labels are monotone-decreasing ints
             break
         prev_sum = cur_sum
-    return labels.select(F.col("vid").alias(id_col), F.col("label").alias("component"))
+    return labels.unionByName(singletons).select(
+        F.col("vid").alias(id_col), F.col("label").alias("component")
+    )
 
 
 def dedup_keep_set(
