@@ -562,3 +562,79 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique("o_orderkey"),
     ]
     return run_checks(orders, checks).orderBy("check_name")
+
+
+@query(
+    "rolling_avg_order_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS rolling_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def rolling_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-order moving average per customer — a ROWS-framed sliding
+    aggregate. Exact decimal SUM inside the frame, ONE double division
+    at the end: engine avg() disagrees across engines (Spark keeps
+    decimal scale, DuckDB divides as double), sum/count does not."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_avg"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "customer_order_gaps",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_gap,
+           CAST(MAX(gap_days) AS BIGINT) AS max_gap,
+           CAST(SUM(gap_days) AS BIGINT) AS total_gap_days
+    FROM gaps GROUP BY o_custkey
+    HAVING COUNT(gap_days) > 0
+    ORDER BY o_custkey
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per customer via lag + datediff —
+    integer-day arithmetic, so no float drift to manage."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            F.min("gap_days").cast("long").alias("min_gap"),
+            F.max("gap_days").cast("long").alias("max_gap"),
+            F.sum("gap_days").cast("long").alias("total_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+        .orderBy("o_custkey")
+    )
