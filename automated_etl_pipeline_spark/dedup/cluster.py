@@ -60,7 +60,15 @@ def connected_components(
         "vid", F.col("vid").alias("label")
     )
     labels = edge_v.select("vid", F.col("vid").alias("label")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # convergence probe: labels only ever decrease, so the label sum is
+    # strictly monotone until fixpoint. Summed as DECIMAL(38,0) — a
+    # BIGINT sum of 64-bit hash ids overflows (ANSI mode: crash;
+    # legacy: silent wrap and a bogus convergence signal).
+    label_sum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).first()[0]
+    prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.b == labels.vid)
@@ -77,10 +85,17 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:  # labels are monotone-decreasing ints
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter — "
+            "returning partial labels would silently mislabel components"
+        )
     return labels.unionByName(singletons).select(
         F.col("vid").alias(id_col), F.col("label").alias("component")
     )

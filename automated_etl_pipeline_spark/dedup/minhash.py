@@ -41,15 +41,22 @@ DEFAULT_SHINGLE_K = 3
 # A odd in [1, 2^31), B in [0, 2^31): A*h + B < 2^63 for 32-bit h, so
 # the arithmetic never overflows BIGINT in either engine. Fixed
 # literals (seeded) shared by the Spark expressions and the oracle SQL.
-# Sized to MAX_NUM_PERM so callers can raise num_perm beyond the
-# default without changing the first permutations.
+# A and B come from INDEPENDENT seeded streams, each drawn once at
+# MAX_NUM_PERM: the first k entries are a pure function of the seed
+# regardless of k, so raising num_perm (<= MAX) never re-keys existing
+# signatures. Raising MAX_NUM_PERM itself is also safe for A/B[:64]
+# (longer draws extend, not reshuffle, a given stream's prefix).
 MOD = (1 << 61) - 1
 MAX_NUM_PERM = 64
 import numpy as _np  # noqa: E402
 
-_rng = _np.random.default_rng(17)
-PERM_A: list[int] = [int(a) | 1 for a in _rng.integers(1, 1 << 31, MAX_NUM_PERM)]
-PERM_B: list[int] = [int(b) for b in _rng.integers(0, 1 << 31, MAX_NUM_PERM)]
+PERM_A: list[int] = [
+    int(a) | 1
+    for a in _np.random.default_rng(17).integers(1, 1 << 31, MAX_NUM_PERM)
+]
+PERM_B: list[int] = [
+    int(b) for b in _np.random.default_rng(170).integers(0, 1 << 31, MAX_NUM_PERM)
+]
 
 
 def _check_num_perm(num_perm: int) -> None:

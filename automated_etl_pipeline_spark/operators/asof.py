@@ -30,6 +30,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -61,7 +62,7 @@ def asof_join(
     # a legitimately-NULL payload value (ASOF semantics)
     pay_struct = F.struct(*[F.col(c).alias(c) for c in pays])
     null_struct = F.lit(None).cast(
-        "struct<" + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in pays) + ">"
+        T.StructType([T.StructField(c, right.schema[c].dataType) for c in pays])
     )
     tagged_r = right.select(
         *keys,
@@ -90,5 +91,5 @@ def asof_join(
     )
     return carried.filter(F.col("__tag") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in l_cols],
-        *[F.col(f"__c.{c}").alias(c) for c in pays],
+        *[F.col("__c").getField(c).alias(c) for c in pays],
     )

@@ -62,14 +62,12 @@ def build_dim(df: DataFrame, spec: DimSpec, key_mode: str = "dense") -> DataFram
     if key_mode == "hash":
         # Spark's hash functions SKIP null inputs (running hash
         # unchanged), so (NULL, 'x') and ('x', NULL) would collide;
-        # coalesce every column to a sentinel so position always
-        # contributes. (Sentinel collision requires a natural key
-        # containing a literal NUL char — excluded by contract.)
+        # interleave a non-null null-flag per column so position always
+        # contributes. Columns are hashed as their NATIVE types — a
+        # string cast would make timestamp keys depend on the session
+        # timezone, breaking cross-session key stability.
         key = F.xxhash64(
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\u0000"))
-                for c in natural
-            ]
+            *[x for c in natural for x in (F.col(c), F.col(c).isNull())]
         )
     elif key_mode == "dense":
         w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in natural])

@@ -595,7 +595,7 @@ PACK_SEQ_LEN = 512
     """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack the corpus into {PACK_SEQ_LEN}-token training sequences
+    """Pack the corpus into PACK_SEQ_LEN(=512)-token training sequences
     (docs concatenated by doc_id): per sequence, how many documents
     contribute and how many tokens land in it (= seq_len everywhere
     but the tail). The global cumsum window is the only single-
