@@ -714,3 +714,20 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     ).orderBy("doc_id")
+
+
+# ----------------------------------------------------------------------
+# BM25 retrieval (functions/ranking.py)
+# ----------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "query", "join"]
+
+from automated_etl_pipeline_spark.functions import ranking as _rk  # noqa: E402
+
+
+@query("bm25_topk", _rk.duckdb_oracle_sql(_BM25_TERMS, k=20))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 for a fixed probe query — the
+    filter-postings-first dataflow of functions/ranking.py."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return _rk.bm25_topk(docs, _BM25_TERMS, k=20)
