@@ -638,3 +638,45 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_gaps") > 0)
         .orderBy("o_custkey")
     )
+
+
+def _zorder_oracle() -> str:
+    # DuckDB mirror of interleave2 over ntile(256) ranks
+    inter = " + ".join(
+        f"(((ca >> {i}) & 1) << {2 * i + 1}) + (((cb >> {i}) & 1) << {2 * i})"
+        for i in range(8)
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS ca,
+             ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS cb
+      FROM orders
+    ), z AS (
+      SELECT o_orderkey, {inter} AS zvalue FROM ranked
+    )
+    SELECT CAST(zvalue // 1024 AS BIGINT) AS zbucket,
+           COUNT(*) AS n_rows
+    FROM z GROUP BY zbucket ORDER BY zbucket
+    """
+
+
+@query("zorder_bucket_stats", _zorder_oracle())
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout (operators/zorder.py): orders ranked on
+    (o_custkey, o_totalprice), Morton-interleaved, rolled up into 64
+    z-buckets — the per-file row distribution a zordered write would
+    produce."""
+    from automated_etl_pipeline_spark.operators.zorder import with_zvalue
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    z = with_zvalue(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ["o_custkey", "o_totalprice"],
+        tiebreak="o_orderkey",
+    )
+    return (
+        z.groupBy(F.floor(F.col("zvalue") / 1024).alias("zbucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("zbucket")
+    )

@@ -93,3 +93,45 @@ def test_range_join_left_null_point_column_not_duplicated(spark):
     ivals = spark.createDataFrame([(10, 0.0, 10.0)], "b int, lo double, hi double")
     got = range_join(points, ivals, "v", "lo", "hi", 10.0, how="left").collect()
     assert len(got) == 1 and got[0].b == 10  # matched once, not re-added
+
+
+# ---------------- z-order ----------------
+
+
+def test_interleave2_bit_patterns(spark):
+    from automated_etl_pipeline_spark.operators.zorder import interleave2
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0101), (0, 0), (255, 255)], "a int, b int"
+    )
+    got = [r.z for r in df.select(interleave2(F.col("a"), F.col("b")).alias("z")).collect()]
+    # a bits on odd positions, b bits on even: 1010/0101 -> 10011001_2 x2
+    assert got[0] == 0b10011001
+    assert got[1] == 0
+    assert got[2] == (1 << 16) - 1  # all 16 bits set
+
+
+def test_zorder_clusters_both_columns(spark):
+    """Within a z-bucket, BOTH columns' value ranges are narrow —
+    unlike a plain sort where the secondary column spans everything."""
+    from automated_etl_pipeline_spark.operators.zorder import with_zvalue
+
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 64).alias("x"),
+        F.floor(F.col("id") / 64).alias("y"),
+    )
+    z = with_zvalue(df, ["x", "y"], tiebreak="rid", bits=8)
+    spread = (
+        z.groupBy(F.floor(F.col("zvalue") / 4096).alias("bucket"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.max("sx").alias("mx"), F.max("sy").alias("my"))
+        .first()
+    )
+    # 16 buckets over a 64x64 grid: each bucket is a quadrant-ish
+    # rectangle, so neither column spans more than half the domain
+    assert spread.mx <= 32 and spread.my <= 32
