@@ -69,7 +69,10 @@ def connected_components(
     ).first()[0]
     prev_sum = label_sum(labels)
     converged = False
-    for _ in range(max_iter):
+    # max_iter productive rounds + 1 confirmation round: a component
+    # whose diameter exactly equals max_iter changes the sum on every
+    # productive round and needs the extra pass to prove the fixpoint
+    for _ in range(max_iter + 1):
         nbr = (
             sym.join(labels, sym.b == labels.vid)
             .groupBy("a")

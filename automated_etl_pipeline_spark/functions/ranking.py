@@ -40,28 +40,26 @@ def bm25_topk(
 ) -> DataFrame:
     """(id, score) — top-k documents by BM25 for the given terms."""
     toks = docs.select(F.col(id_col), F.split(text_col, " ").alias("t"))
-    lens = toks.select(id_col, F.size("t").alias("dl"))
     stats = F.broadcast(
-        lens.agg(
+        toks.agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+            (F.sum(F.size("t")) / F.count(F.lit(1))).alias("avgdl"),
         )
     )
     terms = F.array(*[F.lit(t) for t in query_terms])
+    # dl rides the explode and aggregates with first() — joining a
+    # per-document lengths table back would mean broadcasting (or
+    # shuffling) one row per corpus document for nothing
     posting = (
-        toks.select(id_col, F.explode("t").alias("term"))
+        toks.select(id_col, F.size("t").alias("dl"), F.explode("t").alias("term"))
         .filter(F.array_contains(terms, F.col("term")))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
     df_t = F.broadcast(
         posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = (
-        posting.join(df_t, "term")
-        .join(F.broadcast(lens), id_col)
-        .crossJoin(stats)
-    )
+    scored = posting.join(df_t, "term").crossJoin(stats)
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
@@ -77,7 +75,7 @@ def bm25_topk(
 
 def duckdb_oracle_sql(query_terms: list[str], k: int = 20) -> str:
     """Same scoring in DuckDB SQL over the ``documents`` view."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
+    terms = ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents

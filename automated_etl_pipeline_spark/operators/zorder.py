@@ -52,9 +52,14 @@ def with_zvalue(
     """Adds the z-value of two columns' ntile(2^bits) ranks."""
     if len(cols) != 2:
         raise ValueError("v1 z-ordering interleaves exactly 2 columns")
+    if not 1 <= bits <= 31:
+        # ranks are cast to long below, so shifts reach bit 2*31+1 = 63
+        # at most; past 31 the interleaved value would overflow
+        raise ValueError(f"bits must be in [1, 31] (got {bits})")
     n = 1 << bits
     ranks = [
-        F.ntile(n).over(Window.orderBy(F.col(c), F.col(tiebreak))) - 1 for c in cols
+        (F.ntile(n).over(Window.orderBy(F.col(c), F.col(tiebreak))) - 1).cast("long")
+        for c in cols
     ]
     return df.withColumn(out_col, interleave2(ranks[0], ranks[1], bits))
 

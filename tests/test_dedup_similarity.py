@@ -191,3 +191,15 @@ def test_connected_components_chain_and_singletons(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
     keep = {r.id for r in dedup_keep_set(vs, es).collect()}
     assert keep == {1, 4, 5, 7}  # one survivor per component
+
+
+def test_connected_components_diameter_equals_max_iter(spark):
+    """A chain whose diameter exactly equals max_iter must converge
+    (the confirmation round is extra), not raise."""
+    from automated_etl_pipeline_spark.dedup.cluster import connected_components
+
+    n = 7  # path 0-1-2-...-6, diameter 6
+    vs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    es = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    comp = {r.id: r.component for r in connected_components(vs, es, max_iter=6).collect()}
+    assert comp == {i: 0 for i in range(n)}
