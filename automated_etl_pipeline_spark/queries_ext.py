@@ -680,3 +680,35 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(big.total_qty AS DOUBLE) AS total_qty
+    FROM orders JOIN (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    ) big ON o_orderkey = big.l_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (orders whose line quantities sum past a
+    threshold): aggregate-then-join with the HAVING filter applied
+    before the join, so only qualifying keys reach the exchange."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", alias="total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy("o_orderkey")
+    )

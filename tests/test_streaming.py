@@ -114,3 +114,33 @@ def test_stateful_sessionization_matches_batch_closed_sessions(spark, tmp_path):
         for r in sessions.join(last_sid, ["user_id", "sid"], "left_anti").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreachbatch_sink_is_idempotent_under_replay(spark, tmp_path):
+    """Replaying a microbatch (fresh checkpoint over the same input and
+    sink dir) overwrites its batch partitions instead of duplicating."""
+    from automated_etl_pipeline_spark.streaming.sinks import write_stream_idempotent
+
+    events = load_testdata(spark, SF, ["events"])["events"].select(
+        "event_id", "user_id", "value"
+    )
+    drop = str(tmp_path / "drop")
+    events.coalesce(2).write.parquet(drop)
+    out = str(tmp_path / "out")
+
+    def run(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drop)
+        )
+        q = write_stream_idempotent(stream, out, checkpoint)
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    n1 = spark.read.parquet(out).count()
+    # fresh checkpoint -> the source replays everything as the same
+    # batch ids -> partitions overwrite, not append
+    run(str(tmp_path / "ckpt2"))
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == events.count()
