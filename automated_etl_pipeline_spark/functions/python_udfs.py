@@ -1,0 +1,50 @@
+"""The Python UDF surface done right (SURVEY.md §2.9 M1): when logic
+genuinely can't be a column expression, there is a fast shape and a
+slow shape for every UDF kind.
+
+- Row-at-a-time ``F.udf`` — NEVER in a hot path (pickled Python per
+  row); the engine does not use it anywhere.
+- ``@pandas_udf`` (Arrow-vectorized) — scalar and grouped-aggregate
+  forms; batches cross the JVM/Python boundary as Arrow columns,
+  ~10-100x the row-at-a-time throughput.
+- ``@udtf`` (table function, Spark 3.5+) — one row in, many rows out,
+  registered into SQL; the lateral-join surface.
+
+Both demos below are deliberately SQL-expressible (geometric mean =
+exp(avg(ln)); sentence split = explode(split)) so the DuckDB oracle
+can verify the Python path value-for-value — proving the boundary
+crossing is lossless, which is the thing worth testing about UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udtf
+
+
+@pandas_udf("double")
+def geometric_mean(v: pd.Series) -> float:
+    """Grouped-aggregate pandas UDF: exp(mean(ln(x))) per group, one
+    Arrow batch per group partition — the UDAF surface."""
+    return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+
+@udtf(returnType="sentence_idx int, sentence string")
+class SplitSentences:
+    """UDTF: one document row -> one row per '.'-delimited sentence.
+    Lateral-join surface (SQL: ``SELECT ... FROM docs, SplitSentences(text)``)."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text is None:
+            return
+        for i, s in enumerate(x for x in text.split(". ") if x):
+            yield i, s
+
+
+def register_all(spark) -> None:
+    """Expose the UDTF/UDFs to the SQL surface by name."""
+    spark.udtf.register("split_sentences", SplitSentences)
+    spark.udf.register("geometric_mean", geometric_mean)

@@ -86,3 +86,32 @@ def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, float(p)) for t, p in sorted(p_win.items())],
         "team string, p_win double",
     )
+
+
+# ----------------------------------------------------------------------
+# Python UDF surface (functions/python_udfs.py) — Arrow-vectorized
+# grouped-agg UDF with a pure-SQL oracle proving the boundary crossing
+# is lossless.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "udaf_geometric_mean_price",
+    """
+    SELECT o_orderpriority,
+           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def udaf_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order price per priority via a pandas
+    (Arrow-batched) aggregate UDF — value-checked against DuckDB's
+    exp(avg(ln)); rounded to 4 dp to absorb summation-order ulps."""
+    from automated_etl_pipeline_spark.functions.python_udfs import geometric_mean
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(geometric_mean("o_totalprice"), 4).alias("geo_mean_price"))
+        .orderBy("o_orderpriority")
+    )
