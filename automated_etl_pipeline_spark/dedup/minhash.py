@@ -7,8 +7,9 @@ banding analysis as in Mining of Massive Datasets ch.3).
 
 Engine-portability design: each shingle is md5-hashed ONCE, its first
 8 hex chars parsed to a 32-bit integer h, and the P permutations are
-the affine family ``h_p = (A_p * h + B_p) mod M`` (M = 2^61 - 1, A/B
-fixed literals) — identical arithmetic in Spark (`conv`) and DuckDB
+the universal family ``h_p = (A_p * (h mod M) + B_p) mod M`` with
+M = 2^31 - 1 (A/B fixed literals; see the MOD comment for why M must
+be small) — identical arithmetic in Spark (`conv`) and DuckDB
 (`('0x'||..)::BIGINT`), so the whole pipeline is oracle-checkable
 (unlike engine-native hash(): xxhash64 vs murmur). One md5 per shingle
 instead of P: hashing dominates signature cost, so this is ~P times
@@ -41,21 +42,28 @@ DEFAULT_SHINGLE_K = 3
 # A odd in [1, 2^31), B in [0, 2^31): A*h + B < 2^63 for 32-bit h, so
 # the arithmetic never overflows BIGINT in either engine. Fixed
 # literals (seeded) shared by the Spark expressions and the oracle SQL.
+# The family is h_p = (A_p * (h mod M) + B_p) mod M with M = 2^31 - 1
+# (Mersenne prime). M MUST be small relative to A*h: with a large M
+# (an earlier revision used 2^61 - 1) the product wraps only ~3 times,
+# leaving each "permutation" piecewise-monotone in h — the 12 minima
+# then correlate, LSH bands collide together, and candidate counts
+# explode ~20x while the S-curve guarantee silently degrades. With
+# M = 2^31 - 1 the product wraps ~A times (proper universal mixing)
+# and A*(h mod M) + B < 2^62 + 2^31 never overflows BIGINT in either
+# engine.
 # A and B come from INDEPENDENT seeded streams, each drawn once at
 # MAX_NUM_PERM: the first k entries are a pure function of the seed
 # regardless of k, so raising num_perm (<= MAX) never re-keys existing
-# signatures. Raising MAX_NUM_PERM itself is also safe for A/B[:64]
-# (longer draws extend, not reshuffle, a given stream's prefix).
-MOD = (1 << 61) - 1
+# signatures.
+MOD = (1 << 31) - 1
 MAX_NUM_PERM = 64
 import numpy as _np  # noqa: E402
 
 PERM_A: list[int] = [
-    int(a) | 1
-    for a in _np.random.default_rng(17).integers(1, 1 << 31, MAX_NUM_PERM)
+    int(a) for a in _np.random.default_rng(17).integers(1, MOD, MAX_NUM_PERM)
 ]
 PERM_B: list[int] = [
-    int(b) for b in _np.random.default_rng(170).integers(0, 1 << 31, MAX_NUM_PERM)
+    int(b) for b in _np.random.default_rng(170).integers(0, MOD, MAX_NUM_PERM)
 ]
 
 
@@ -104,7 +112,8 @@ def signature_from_hashes(hv: Column, num_perm: int = DEFAULT_NUM_PERM) -> Colum
             F.array_min(
                 F.transform(
                     hv,
-                    lambda v: (F.lit(PERM_A[p]) * v + F.lit(PERM_B[p])) % F.lit(MOD),
+                    lambda v: (F.lit(PERM_A[p]) * (v % F.lit(MOD)) + F.lit(PERM_B[p]))
+                    % F.lit(MOD),
                 )
             )
             for p in range(num_perm)
@@ -254,7 +263,8 @@ def pairs_cte_sql(
     _check_num_perm(num_perm)
     rows_per_band = num_perm // bands
     mins = ", ".join(
-        f"list_min(list_transform(h, v -> ({PERM_A[p]} * v + {PERM_B[p]}) % {MOD}))"
+        f"list_min(list_transform(h, v -> "
+        f"({PERM_A[p]} * (v % {MOD}) + {PERM_B[p]}) % {MOD}))"
         for p in range(num_perm)
     )
     return f"""tok AS (
