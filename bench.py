@@ -42,6 +42,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # drop dangling localCheckpoint/cache blocks between queries:
+        # Python refs die here, gc lets the async ContextCleaner
+        # unpersist them instead of letting block-manager memory
+        # pressure bleed into later queries' timings
+        import gc
+
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
