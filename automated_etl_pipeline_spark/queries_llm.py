@@ -731,3 +731,71 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter-postings-first dataflow of functions/ranking.py."""
     (docs,) = _t(spark, sf_dir, "documents")
     return _rk.bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+# ----------------------------------------------------------------------
+# Multimodal plumbing under the value gate: a media table derived from
+# documents (payload = utf-8 text bytes) flows through the REAL
+# Arrow/mapInPandas decode path (multimodal/binary_ops.py, fake codec);
+# the fake is md5-byte arithmetic, so DuckDB recomputes it exactly —
+# proving the batch iteration, schema, and boundary crossing lossless.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + (('0x' || substr(md5(text), 1, 2))::INT % 240) AS INT) AS width,
+           CAST(16 + (('0x' || substr(md5(text), 3, 2))::INT % 240) AS INT) AS height,
+           CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 4) AS INT) AS channels,
+           ('0x' || substr(md5(text), 7, 2))::INT / 255.0 AS mean_luma
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over mapInPandas (deterministic fake
+    codec): documents' text bytes stand in for image payloads."""
+    from automated_etl_pipeline_spark.multimodal.binary_ops import (
+        extract_image_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    return extract_image_features(media, deterministic_fake=True).orderBy("media_id")
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           0.5 + ('0x' || substr(md5(text), 1, 2))::INT / 8.0 AS duration_s,
+           CAST(CASE (('0x' || substr(md5(text), 3, 2))::INT % 4)
+                WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                WHEN 2 THEN 22000 ELSE 44000 END AS INT) AS sample_rate,
+           ('0x' || substr(md5(text), 5, 2))::INT / 255.0 AS rms
+    FROM documents ORDER BY media_id
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over mapInPandas (deterministic fake
+    codec), same payload stand-in as the image query."""
+    from automated_etl_pipeline_spark.multimodal.binary_ops import (
+        extract_audio_features,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.length("text").cast("long").alias("n_bytes"),
+    )
+    return extract_audio_features(media, deterministic_fake=True).orderBy("media_id")
