@@ -712,3 +712,41 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "streaming_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start ORDER BY window_start
+    """,
+)
+def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution under the value gate: events are
+    staged to a drop directory, drained through a file stream ->
+    watermark -> windowed aggregation -> memory sink with an
+    availableNow trigger, and the final (complete-mode) table must
+    equal the batch/DuckDB computation exactly — incremental state
+    merges included."""
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        windowed_counts,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_stream_gate_")
+    events.write.mode("overwrite").parquet(drop)
+    name = f"stream_gate_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory_sink(
+        windowed_counts(read_events_stream(spark, drop, max_files_per_trigger=4)),
+        name,
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start")

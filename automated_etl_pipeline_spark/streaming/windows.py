@@ -50,7 +50,10 @@ def windowed_counts(
     src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
     return src.groupBy(w.getField("start").alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        # decimal inside the sum: partial-aggregation order (and the
+        # stream's incremental state merges) must not drift from a
+        # batch/oracle recompute
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
     )
 
 
