@@ -38,10 +38,8 @@ DEFAULT_NUM_PERM = 12
 DEFAULT_BANDS = 4
 DEFAULT_SHINGLE_K = 3
 
-# affine permutation family over M = 2^61 - 1 (Mersenne prime).
-# A odd in [1, 2^31), B in [0, 2^31): A*h + B < 2^63 for 32-bit h, so
-# the arithmetic never overflows BIGINT in either engine. Fixed
-# literals (seeded) shared by the Spark expressions and the oracle SQL.
+# Fixed literal permutation tables, shared by the Spark expressions
+# and the generated oracle SQL.
 # The family is h_p = (A_p * (h mod M) + B_p) mod M with M = 2^31 - 1
 # (Mersenne prime). M MUST be small relative to A*h: with a large M
 # (an earlier revision used 2^61 - 1) the product wraps only ~3 times,

@@ -59,15 +59,18 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_bytes(payload: bytes, deterministic_fake: bool) -> tuple[int, int, int, float]:
-    """(width, height, channels, mean_luma). Real impl needs PIL —
-    STUB: not available in this container."""
+def _decode_image_bytes(payload: bytes | None, deterministic_fake: bool):
+    """(width, height, channels, mean_luma); all-None for a NULL
+    payload (matches SQL semantics — an absent payload has no
+    features). Real impl needs PIL — STUB: not in this container."""
     if not deterministic_fake:
         raise NotImplementedError(
             "image decode requires PIL/opencv (not installed); "
             "pass deterministic_fake=True for the content-derived stand-in"
         )
-    h = hashlib.md5(payload or b"").digest()
+    if payload is None:
+        return None, None, None, None
+    h = hashlib.md5(payload).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4, h[3] / 255.0
 
 
@@ -83,6 +86,38 @@ def _sample_frames_bytes(
     return [
         hashlib.md5((payload or b"") + bytes([i])).hexdigest() for i in range(n_frames)
     ]
+
+
+_ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+def _set_arrow_batch_size(spark, batch_size: int) -> None:
+    """Set the Arrow batch cap for the next mapInPandas stage.
+
+    NOTE: this is session state, not plan state — Spark offers no
+    per-operation knob. Callers sharing a session with other Arrow
+    work should bracket execution with arrow_batch_size() instead of
+    relying on this permanent set.
+    """
+    spark.conf.set(_ARROW_BATCH_CONF, str(batch_size))
+
+
+class arrow_batch_size:
+    """Context manager: temporarily cap Arrow batch size, restoring the
+    previous session value afterwards."""
+
+    def __init__(self, spark, batch_size: int):
+        self.spark, self.batch_size = spark, batch_size
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(_ARROW_BATCH_CONF, None)
+        self.spark.conf.set(_ARROW_BATCH_CONF, str(self.batch_size))
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(_ARROW_BATCH_CONF)
+        else:
+            self.spark.conf.set(_ARROW_BATCH_CONF, self.prev)
 
 
 def attach_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -112,7 +147,7 @@ def extract_image_features(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(spark, batch_size)
     imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -140,7 +175,7 @@ def sample_video_frames(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(spark, batch_size)
     vids = media.filter(F.col("media_type") == "video").select("media_id", "payload")
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
@@ -164,17 +199,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _audio_features_bytes(
-    payload: bytes, deterministic_fake: bool
-) -> tuple[float, int, float]:
-    """(duration_s, sample_rate, rms). Real impl needs librosa/soundfile —
-    STUB: not available in this container."""
+def _audio_features_bytes(payload: bytes | None, deterministic_fake: bool):
+    """(duration_s, sample_rate, rms); all-None for a NULL payload.
+    Real impl needs librosa/soundfile — STUB: not in this container."""
     if not deterministic_fake:
         raise NotImplementedError(
             "audio decode requires librosa/soundfile (not installed); "
             "pass deterministic_fake=True for the content-derived stand-in"
         )
-    h = hashlib.md5(payload or b"").digest()
+    if payload is None:
+        return None, None, None
+    h = hashlib.md5(payload).digest()
     return 0.5 + h[0] / 8.0, (8, 16, 22, 44)[h[1] % 4] * 1000, h[2] / 255.0
 
 
@@ -211,7 +246,7 @@ def extract_audio_features(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(spark, batch_size)
     auds = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
     return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -241,6 +276,6 @@ def resize_images(
             )
 
     spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _set_arrow_batch_size(spark, batch_size)
     imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)

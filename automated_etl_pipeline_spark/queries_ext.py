@@ -740,13 +740,27 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_counts,
     )
 
+    import shutil
+
     events = load_testdata(spark, sf_dir, ["events"])["events"]
     drop = tempfile.mkdtemp(prefix="spark_graft_stream_gate_")
-    events.write.mode("overwrite").parquet(drop)
     name = f"stream_gate_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory_sink(
-        windowed_counts(read_events_stream(spark, drop, max_files_per_trigger=4)),
-        name,
-    )
-    q.awaitTermination(300)
-    return spark.table(name).orderBy("window_start")
+    try:
+        events.write.mode("overwrite").parquet(drop)
+        q = run_to_memory_sink(
+            windowed_counts(read_events_stream(spark, drop, max_files_per_trigger=4)),
+            name,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow drain did not finish in 300s")
+        # detach the result from the memory sink so the sink table and
+        # the drop dir can be released (the window result is tiny)
+        snapshot = spark.table(name).orderBy("window_start")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("window_start")

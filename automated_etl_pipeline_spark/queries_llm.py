@@ -766,9 +766,13 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("image/png").alias("mime"),
-        F.length("text").cast("long").alias("n_bytes"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
-    return extract_image_features(media, deterministic_fake=True).orderBy("media_id")
+    # batch_size: these payloads are small text, so don't leave the
+    # session's Arrow cap at the multi-MB-media default of 64
+    return extract_image_features(
+        media, deterministic_fake=True, batch_size=10_000
+    ).orderBy("media_id")
 
 
 @query(
@@ -796,6 +800,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("audio").alias("media_type"),
         F.encode("text", "UTF-8").alias("payload"),
         F.lit("audio/wav").alias("mime"),
-        F.length("text").cast("long").alias("n_bytes"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
     )
-    return extract_audio_features(media, deterministic_fake=True).orderBy("media_id")
+    return extract_audio_features(
+        media, deterministic_fake=True, batch_size=10_000
+    ).orderBy("media_id")

@@ -47,13 +47,15 @@ def windowed_counts(
         if slide
         else F.window(ts_col, window_len)
     )
+    # the shared decimal-sum rule: partial-aggregation order (and the
+    # stream's incremental state merges) must not drift from a
+    # batch/oracle recompute
+    from automated_etl_pipeline_spark.queries import dsum
+
     src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
     return src.groupBy(w.getField("start").alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        # decimal inside the sum: partial-aggregation order (and the
-        # stream's incremental state merges) must not drift from a
-        # batch/oracle recompute
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        dsum("value", scale=6, alias="sum_value"),
     )
 
 

@@ -37,17 +37,19 @@ def main() -> None:
     # Warm-up: JVM, parquet footer reads, codegen caches.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # drop dangling localCheckpoint/cache blocks between queries:
-        # Python refs die here, gc lets the async ContextCleaner
-        # unpersist them instead of letting block-manager memory
-        # pressure bleed into later queries' timings
-        import gc
-
+        # collecting the py4j proxies makes the JVM-side Datasets
+        # unreachable, and local-mode allocation pressure plus the
+        # ContextCleaner then releases their blocks (measured: cut a
+        # 66-query sf0.1 run from 167s to 108s; forcing System.gc()
+        # per query was tried and bought nothing further)
         gc.collect()
 
     total = round(sum(timings.values()), 3)
