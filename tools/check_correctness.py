@@ -59,9 +59,12 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    import gc
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        gc.collect()  # release prior queries' checkpoint blocks (see bench.py)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
