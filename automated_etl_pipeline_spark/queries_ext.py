@@ -764,3 +764,68 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ] else None
         shutil.rmtree(drop, ignore_errors=True)
     return out.orderBy("window_start")
+
+
+@query(
+    "mom_order_growth",
+    """
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+      FROM orders GROUP BY order_month
+    )
+    SELECT order_month, month_total,
+           ROUND(month_total / lag(month_total) OVER (ORDER BY order_month) - 1, 6)
+             AS mom_growth
+    FROM monthly ORDER BY order_month
+    """,
+)
+def mom_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate composition: monthly revenue plus
+    month-over-month growth via lag on the aggregated series (the
+    aggregate shrinks the data to months, so the unpartitioned lag
+    window is driver-trivial by construction)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    ).agg(dsum("o_totalprice", alias="month_total"))
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        "month_total",
+        F.round(
+            F.col("month_total") / F.lag("month_total").over(w) - 1, 6
+        ).alias("mom_growth"),
+    ).orderBy("order_month")
+
+
+@query(
+    "event_type_bigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    ORDER BY event_type, next_type
+    """,
+)
+def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: counts of consecutive event-type transitions per
+    user (lead over the per-user timeline, then a global roll-up) —
+    the Markov-matrix building block of funnel/journey analytics."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("event_type", "next_type")
+    )

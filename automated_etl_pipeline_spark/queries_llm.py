@@ -805,3 +805,38 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(
         media, deterministic_fake=True, batch_size=10_000
     ).orderBy("media_id")
+
+
+@query(
+    "top_terms_per_lang",
+    """
+    WITH tf AS (
+      SELECT lang, term, COUNT(*) AS n FROM (
+        SELECT lang, UNNEST(string_split(text, ' ')) AS term FROM documents
+      ) GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM tf
+    )
+    SELECT lang, CAST(rnk AS INT) AS rnk, term, n
+    FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language: explode -> per-(lang, term) count ->
+    rank within lang. Spark 3.5+ plans the rank filter as
+    WindowGroupLimit (per-partition top-k, no full sort per group)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "rnk", "term", "n")
+        .orderBy("lang", "rnk")
+    )
