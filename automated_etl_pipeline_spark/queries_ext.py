@@ -829,3 +829,65 @@ def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("event_type", "next_type")
     )
+
+
+@query(
+    "nation_revenue_share",
+    """
+    WITH per_nation AS (
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+    FROM per_nation ORDER BY n_name
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: per-nation revenue over a window-summed global
+    total — the denominator window runs over the 25-row aggregate, not
+    the fact table (sums are exact decimals, so the single double
+    division matches the oracle bit-for-bit)."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    per_nation = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice", alias="revenue"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    ).orderBy("n_name")
+
+
+@query(
+    "doc_length_histogram",
+    """
+    SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY bucket ORDER BY bucket
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document lengths (100-char buckets) —
+    the profiling pass every corpus intake runs; pure integer
+    arithmetic, one agg shuffle over bucket ids."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bucket")
+    )
