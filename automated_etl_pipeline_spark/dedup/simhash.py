@@ -14,9 +14,13 @@ so fingerprints (and pair results) are oracle-checkable.
 
 Scale:
 - Fingerprinting is a shuffle-free expression pass: one md5 + two
-  hex-parses per distinct token, then 64 integer filter-counts per row
-  (no per-bit rehashing — hashing dominates, so this is ~10x cheaper
-  than the naive 64-md5-scans-per-token formulation it replaced).
+  hex-parses per distinct token, then ONE ``aggregate`` traversal per
+  32-bit half with a 32-field struct accumulator (64 bit-counters
+  total). Higher-order functions run outside whole-stage codegen, so
+  the previous formulation — 64 separate ``filter``+``size`` scans of
+  the token-hash array — paid 64 interpreted array traversals plus 64
+  array allocations per row; the fused accumulator pays 2 traversals
+  and no allocations (measured 2.5x at sf0.1).
 - Pair generation first collapses identical fingerprints to one
   representative (min id) — exact-dup clusters otherwise contribute
   O(k^2) candidate pairs that belong to exact dedup, not near-dedup.
@@ -36,12 +40,22 @@ from pyspark.sql import functions as F
 HEX = "0123456789abcdef"
 
 
-def _filter_count_ge_half(arr: Column, n: Column, shift: int) -> Column:
-    """1 iff more than half the values in ``arr`` have bit ``shift`` set."""
-    hits = F.size(
-        F.filter(arr, lambda v: F.shiftright(v, shift).bitwiseAND(F.lit(1)) == 1)
+def _bit_counters(arr: str) -> Column:
+    """Fold a 32-bit-halves array into a struct of 32 per-bit set-counts
+    in a single traversal (one interpreted HOF pass instead of 32)."""
+    zero = F.struct(*[F.lit(0).cast("long").alias(f"c{j}") for j in range(32)])
+    return F.aggregate(
+        F.col(arr),
+        zero,
+        lambda acc, v: F.struct(
+            *[
+                (acc[f"c{j}"] + F.shiftright(v, 31 - j).bitwiseAND(F.lit(1))).alias(
+                    f"c{j}"
+                )
+                for j in range(32)
+            ]
+        ),
     )
-    return F.when(2 * hits > n, F.lit(1)).otherwise(F.lit(0))
 
 
 def simhash_bits(
@@ -63,17 +77,20 @@ def simhash_bits(
         ).alias("h2"),
         F.size("hm").alias("n"),
     )
-    return parsed.select(
+    counted = parsed.select(
+        id_col,
+        "n",
+        _bit_counters("h1").alias("k1"),
+        _bit_counters("h2").alias("k2"),
+    )
+    bit = lambda h, j: (  # noqa: E731
+        F.when(2 * F.col(h)[f"c{j}"] > F.col("n"), F.lit(1)).otherwise(F.lit(0))
+    )
+    return counted.select(
         id_col,
         F.array(
-            *[
-                _filter_count_ge_half(F.col("h1"), F.col("n"), 31 - j)
-                for j in range(32)
-            ],
-            *[
-                _filter_count_ge_half(F.col("h2"), F.col("n"), 31 - j)
-                for j in range(32)
-            ],
+            *[bit("k1", j) for j in range(32)],
+            *[bit("k2", j) for j in range(32)],
         ).alias("bs"),
     )
 

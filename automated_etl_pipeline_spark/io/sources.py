@@ -60,15 +60,43 @@ def read_parquet(
 def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) isn't a Spark type: with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` the column scans as
-    int64 nanos; convert to microsecond timestamps (floor-truncate —
-    matching DuckDB's ns→µs cast) so downstream semantics match."""
+    int64 nanos; convert to microsecond timestamps (floor division —
+    matching DuckDB's ns→µs cast for pre-epoch values too; plain
+    ``div`` truncates toward zero and would round negative nanos up).
+    Integer-only arithmetic: int64 nanos exceed 2^53, so a double
+    round-trip would lose precision."""
     from pyspark.sql import types as T
 
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in ts_cols:
         if isinstance(fields.get(c), T.LongType):
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestamp_micros(({c} div 1000)"
+                    f" - (CASE WHEN {c} % 1000 < 0 THEN 1 ELSE 0 END))"
+                ),
+            )
     return df
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan so expression-heavy per-row work (md5
+    per token, trigram extraction, codec UDFs) uses every core.
+
+    The driver testdata files are single-row-group parquet, so Spark
+    reads each as ONE input partition regardless of
+    ``files.maxPartitionBytes`` — a CPU-bound operator would run on 1
+    of 32 cores. At 100 TB the scan arrives with thousands of
+    splits and this is a no-op (we only repartition UP); the same
+    guard also makes it the standard small-file compaction escape
+    hatch rather than an extra shuffle in the big-data path.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def load_testdata(

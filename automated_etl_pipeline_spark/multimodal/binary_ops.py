@@ -91,15 +91,24 @@ def _sample_frames_bytes(
 _ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
 
-def _set_arrow_batch_size(spark, batch_size: int) -> None:
-    """Set the Arrow batch cap for the next mapInPandas stage.
+def _rechunk(
+    batches: Iterator[pd.DataFrame], batch_size: int
+) -> Iterator[pd.DataFrame]:
+    """Slice incoming Arrow batches to <= batch_size rows.
 
-    NOTE: this is session state, not plan state — Spark offers no
-    per-operation knob. Callers sharing a session with other Arrow
-    work should bracket execution with arrow_batch_size() instead of
-    relying on this permanent set.
+    The Arrow maxRecordsPerBatch conf is session state read at ACTION
+    time, so a lazy operator cannot set-and-restore it without either
+    leaking it session-wide (the bug this replaced) or having it never
+    apply. Internal re-chunking bounds per-batch decode memory and the
+    OUTPUT Arrow batches regardless of the session conf; for multi-MB
+    payload INPUT transfer, bracket the action with arrow_batch_size():
+
+        with arrow_batch_size(spark, 64):
+            extract_image_features(media).write.parquet(...)
     """
-    spark.conf.set(_ARROW_BATCH_CONF, str(batch_size))
+    for pdf in batches:
+        for lo in range(0, len(pdf), batch_size):
+            yield pdf.iloc[lo : lo + batch_size]
 
 
 class arrow_batch_size:
@@ -132,7 +141,7 @@ def extract_image_features(
     """Image decode + feature extraction over Arrow batches."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_size):
             feats = [
                 _decode_image_bytes(p, deterministic_fake) for p in pdf["payload"]
             ]
@@ -146,8 +155,6 @@ def extract_image_features(
                 }
             )
 
-    spark = media.sparkSession
-    _set_arrow_batch_size(spark, batch_size)
     imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -161,7 +168,7 @@ def sample_video_frames(
     """Frame sampling: one output row per (video, frame_idx)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_size):
             ids, idxs, hashes = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 for i, fh in enumerate(
@@ -174,8 +181,6 @@ def sample_video_frames(
                 {"media_id": ids, "frame_idx": idxs, "frame_hash": hashes}
             )
 
-    spark = media.sparkSession
-    _set_arrow_batch_size(spark, batch_size)
     vids = media.filter(F.col("media_type") == "video").select("media_id", "payload")
     return vids.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
@@ -232,7 +237,7 @@ def extract_audio_features(
     """Audio decode + feature extraction over Arrow batches."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_size):
             feats = [
                 _audio_features_bytes(p, deterministic_fake) for p in pdf["payload"]
             ]
@@ -245,8 +250,6 @@ def extract_audio_features(
                 }
             )
 
-    spark = media.sparkSession
-    _set_arrow_batch_size(spark, batch_size)
     auds = media.filter(F.col("media_type") == "audio").select("media_id", "payload")
     return auds.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -262,7 +265,7 @@ def resize_images(
     payload-rewriting op shares: decode → transform → re-encode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _rechunk(batches, batch_size):
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -275,7 +278,5 @@ def resize_images(
                 }
             )
 
-    spark = media.sparkSession
-    _set_arrow_batch_size(spark, batch_size)
     imgs = media.filter(F.col("media_type") == "image").select("media_id", "payload")
     return imgs.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -40,6 +40,14 @@ def range_join(
     columns."""
     if how not in ("inner", "left"):
         raise ValueError("range_join supports inner/left")
+    shared = set(points.columns) & set(intervals.columns)
+    if shared:
+        # A shared name would leave ambiguous duplicates after the join
+        # (and the left-mode NULL-fill would clobber the point column).
+        raise ValueError(
+            f"points/intervals column names must be disjoint; shared: {sorted(shared)}"
+            " — alias one side (e.g. intervals.select(F.col(c).alias('i_'+c)))"
+        )
     b = F.lit(float(bin_width))
     binned_i = intervals.withColumn(
         "__bin",

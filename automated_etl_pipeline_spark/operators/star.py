@@ -93,19 +93,40 @@ def build_star(
     df: DataFrame,
     dims: Sequence[DimSpec],
     fact_measures: Sequence[str],
-    key_mode: str = "dense",
+    key_mode: str = "hash",
 ) -> dict[str, DataFrame]:
     """P3/W1/J1-J2 — split ``df`` into ``{dim_name: dim_df, 'fact': fact_df}``.
 
     The fact carries one FK per dim plus the measure columns. Dim
     lookups are broadcast joins on the natural key (map-side; no fact
-    shuffle)."""
+    shuffle). Joins are null-SAFE: build_dim deliberately assigns a
+    surrogate key to NULL natural keys (asc_nulls_first / null-flag
+    hashing), so fact rows with NULL naturals resolve to that dim row
+    instead of being silently dropped by null-unsafe equality.
+
+    Default ``key_mode="hash"`` is the scale path (fully distributed,
+    idempotent across incremental loads — no global window anywhere in
+    the star build); pass ``key_mode="dense"`` when contiguous 1-based
+    keys are required (oracle parity, compact BI exports)."""
     out: dict[str, DataFrame] = {}
     fact = df
     for spec in dims:
         dim = build_dim(df, spec, key_mode=key_mode)
         out[spec.name] = dim
-        fact = fact.join(F.broadcast(dim), on=list(spec.natural_cols), how="inner")
+        # Alias dim-side naturals: dim derives from the same plan as
+        # fact, so unaliased attribute references would be an ambiguous
+        # self-join.
+        renamed = {c: f"__{spec.name}_{c}" for c in spec.natural_cols}
+        dim_j = dim.select(
+            spec.key_col, *[F.col(c).alias(t) for c, t in renamed.items()]
+        )
+        cond = None
+        for c, t in renamed.items():
+            eq = F.col(c).eqNullSafe(F.col(t))
+            cond = eq if cond is None else cond & eq
+        fact = fact.join(F.broadcast(dim_j), on=cond, how="inner").drop(
+            *renamed.values()
+        )
     out["fact"] = fact.select(
         *[s.key_col for s in dims], *[F.col(m) for m in fact_measures]
     )

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.io.sources import spread
 from automated_etl_pipeline_spark.queries import _t, query
 
 # ----------------------------------------------------------------------
@@ -291,7 +292,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-set Jaccard ≥ 0.8 (see dedup/minhash.py for the scale
     analysis: signature computation is shuffle-free HOF codegen)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return _mh.near_duplicate_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+    return _mh.near_duplicate_pairs(spread(docs), threshold=0.8).orderBy("doc_a", "doc_b")
 
 
 # ----------------------------------------------------------------------
@@ -307,7 +308,7 @@ from automated_etl_pipeline_spark.dedup import simhash as _sh  # noqa: E402
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprint per document (dedup/simhash.py)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return _sh.with_simhash(docs).orderBy("doc_id")
+    return _sh.with_simhash(spread(docs)).orderBy("doc_id")
 
 
 @query("dedup_simhash_pairs", _sh.pairs_oracle_sql(max_hamming=3))
@@ -317,7 +318,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by pigeonhole) + integer bit_count verification."""
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        _sh.simhash_pairs(docs, max_hamming=3)
+        _sh.simhash_pairs(spread(docs), max_hamming=3)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
@@ -368,7 +369,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, n=3, threshold=0.6, max_df_frac=0.02).orderBy(
+    return jaccard_pairs(spread(docs), n=3, threshold=0.6, max_df_frac=0.02).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -429,7 +430,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     snippets in tests — this corpus's text is synthetic)."""
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        _txt.with_predicted_lang(docs)
+        _txt.with_predicted_lang(spread(docs))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted_lang")
@@ -472,7 +473,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks are emitted as (count, content-hash) so the gate compares
     chunk boundaries exactly without shipping the text twice."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = spread(docs).select("doc_id", F.split("text", " ").alias("t"))
     chunks = toks.select(
         "doc_id",
         F.explode(
@@ -535,7 +536,7 @@ def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.dedup.minhash import deduplicate
 
     (docs,) = _t(spark, sf_dir, "documents")
-    docs = docs.select("doc_id", "text")
+    docs = spread(docs).select("doc_id", "text")
 
     exact_reps = docs.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
     d1 = docs.join(exact_reps.select("doc_id"), "doc_id", "left_semi")
@@ -568,6 +569,37 @@ def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 PACK_SEQ_LEN = 512
 
 
+def _global_start_offsets(tok: DataFrame) -> DataFrame:
+    """(doc_id, n, start_off): exclusive global running sum of ``n`` in
+    doc_id order, without a single-partition window (two-phase prefix
+    sum; see pack_sequences docstring)."""
+    spark = tok.sparkSession
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = tok.repartitionByRange(nparts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("local_cum", F.sum("n").over(w_local)).localCheckpoint()
+    totals = sorted(
+        local.groupBy("pid").agg(F.max("local_cum").alias("tot")).collect(),
+        key=lambda r: r["pid"],
+    )
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["pid"], acc))
+        acc += r["tot"]
+    off_df = spark.createDataFrame(offsets, "pid int, p_off long")
+    return local.join(F.broadcast(off_df), "pid").select(
+        "doc_id",
+        "n",
+        (F.col("p_off") + F.col("local_cum") - F.col("n")).alias("start_off"),
+    )
+
+
 @query(
     "pack_sequences",
     f"""
@@ -598,14 +630,19 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the corpus into PACK_SEQ_LEN(=512)-token training sequences
     (docs concatenated by doc_id): per sequence, how many documents
     contribute and how many tokens land in it (= seq_len everywhere
-    but the tail). The global cumsum window is the only single-
-    partition step — at 100 TB replace it with the two-phase
-    per-partition-offset pattern (partition sums → prefix offsets)."""
+    but the tail).
+
+    The global running sum uses the two-phase prefix pattern, NOT a
+    single-partition window: range-partition by doc_id, cumsum within
+    each partition (window keyed on spark_partition_id — P-way
+    parallel), then add per-partition prefix offsets computed driver-
+    side from the P partition totals (P rows — tiny at any scale).
+    Range partition i holds doc_ids strictly below partition i+1's, so
+    offset(i) = sum of totals of partitions < i gives the exact global
+    cumsum."""
     (docs,) = _t(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    pos = tok.select(
-        "doc_id", "n", (F.sum("n").over(w) - F.col("n")).alias("start_off")
+    pos = _global_start_offsets(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
     ).filter(F.col("n") > 0)
     spans = pos.select(
         "doc_id",
@@ -710,7 +747,7 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
-    edges = near_duplicate_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    edges = near_duplicate_pairs(spread(docs), threshold=0.8).select("doc_a", "doc_b")
     return connected_components(
         docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
     ).orderBy("doc_id")
@@ -730,7 +767,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for a fixed probe query — the
     filter-postings-first dataflow of functions/ranking.py."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return _rk.bm25_topk(docs, _BM25_TERMS, k=20)
+    return _rk.bm25_topk(spread(docs), _BM25_TERMS, k=20)
 
 
 # ----------------------------------------------------------------------
@@ -829,7 +866,7 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit (per-partition top-k, no full sort per group)."""
     (docs,) = _t(spark, sf_dir, "documents")
     tf = (
-        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        spread(docs).select("lang", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )

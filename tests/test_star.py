@@ -55,6 +55,34 @@ def test_fact_join_uses_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_build_star_keeps_null_natural_keys(spark):
+    df = spark.createDataFrame(
+        [("2014-06-15", "Germany", 4), (None, "France", 3)],
+        "d string, team string, score int",
+    )
+    star = build_star(df, [DimSpec("date_dim", ["d"], "date_id")], ["score"])
+    # the NULL-date row must resolve to the NULL dim row, not be dropped
+    assert star["fact"].count() == 2
+    assert star["date_dim"].count() == 2
+    joined = join_star(star["fact"], {"date_dim": (star["date_dim"], "date_id")})
+    assert {(r.d, r.score) for r in joined.collect()} == {
+        ("2014-06-15", 4),
+        (None, 3),
+    }
+
+
+def test_build_star_hash_mode_has_no_window(spark):
+    df = _wide(spark)
+    star = build_star(
+        df,
+        [DimSpec("date_dim", ["d"], "date_id"), DimSpec("team_dim", ["team"], "team_id")],
+        ["score"],
+        key_mode="hash",
+    )
+    plan = star["fact"]._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # fully distributed: no global-sort rank
+
+
 def test_hash_key_mode_stable_and_unique(spark):
     from automated_etl_pipeline_spark.operators.star import (
         DimSpec,
