@@ -26,32 +26,49 @@ from automated_etl_pipeline_spark import queries_ml  # noqa: F401  (registers)
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _driver_verified() -> set[str]:
-    """Query names already green in a past round's driver correctness file.
+def _last_green_round() -> dict[str, int]:
+    """For each query, the latest round whose driver correctness file has
+    it green on ALL three axes (rows/schema/hash — a hash mismatch means
+    ordering/float drift and must NOT count as verified).
 
-    The driver checks queries in registration order under a budget (r1
-    stopped at exactly 50 entries), so we surface never-verified queries
-    first each round.  A query counts as verified only if all three axes
-    (rows/schema/hash) were green.
+    The driver checks queries in registration order under a budget (~50
+    entries/round), so ordering by least-recently-verified bounds any
+    query's staleness at ceil(n_queries / budget) rounds.
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for f in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.split("_r")[-1])
+        except ValueError:
+            rnd = 0
         try:
             data = json.loads(f.read_text())
         except (OSError, json.JSONDecodeError):
             continue
         for name, res in data.items():
-            if isinstance(res, dict) and res.get("rows_match") and res.get("schema_match"):
-                seen.add(name)
-    return seen
+            if not isinstance(res, dict):
+                continue
+            all_green = (
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+            )
+            # no_oracle entries record None on all three axes; a clean
+            # run (rows produced, no other error) is their whole contract.
+            rows_only_green = (
+                res.get("err") == "no_oracle" and res.get("spark_rows") is not None
+            )
+            if all_green or rows_only_green:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_names() -> list[str]:
-    verified = _driver_verified()
+    last = _last_green_round()
     names = list(_q.QUERIES)
-    fresh = [n for n in names if n not in verified]
-    rest = [n for n in names if n in verified]
-    return fresh + rest
+    # Never-verified queries (last-green 0) first, then least recently
+    # verified; registration order breaks ties so runs are deterministic.
+    return sorted(names, key=lambda n: (last.get(n, 0), names.index(n)))
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -41,9 +41,17 @@ def fit_poisson_rates(
     categorical_cols: list[str],
     label_col: str,
     weight_col: str | None = None,
-    reg_param: float = 0.0,
+    reg_param: float = 1e-8,
 ) -> PoissonRates:
-    """Fit E[label | categoricals] with a log-link Poisson GLM."""
+    """Fit E[label | categoricals] with a log-link Poisson GLM.
+
+    ``reg_param`` defaults to a 1e-8 ridge floor: the one-hot design
+    over (team, opponent) is saturated (columns sum to the intercept),
+    so at 0.0 the normal-equations Cholesky factorization hits a
+    singular covariance matrix and IRLS falls back to Quasi-Newton with
+    a warning on every iteration.  The floor restores positive
+    definiteness while perturbing predictions below float precision.
+    """
     stages = []
     feature_cols = []
     for c in categorical_cols:

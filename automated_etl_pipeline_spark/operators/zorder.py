@@ -6,17 +6,20 @@ interleaving the bits of both columns' ranks clusters on BOTH, so
 min/max statistics prune files for predicates on either column (the
 layout behind Delta/Iceberg OPTIMIZE ZORDER; Morton 1966).
 
-Dataflow: per column, rank rows into 2^bits quantile buckets
-(``ntile`` over a total order — ties broken by a unique key so the
-assignment is deterministic and oracle-checkable); interleave the
-bucket bits into one integer; range-partition + sort by it at write
-time.
+Dataflow: per column, rank rows into 2^bits quantile buckets, then
+interleave the bucket bits into one integer; range-partition + sort by
+it at write time.
 
-Scale: exact ntile is a global window (single-partition sort) — right
-for oracle parity here, wrong at 100 TB, where the bucket boundaries
-come from approxQuantile cutpoints (driver-size array, broadcast) and
-bucketing becomes a per-row binary search; the interleave and the
-write path are unchanged.
+Scale (the default path): bucket boundaries come from
+``approxQuantile`` — a single-pass Greenwald-Khanna sketch, merged on
+the driver into a 2^bits-1 element cutpoint array (a few KiB), then
+applied per-row as a *binary-search tree of literal comparisons*
+(depth = bits, stays inside whole-stage codegen).  No global sort, no
+window, no shuffle: the plan is scan → project, which survives 100 TB.
+
+``exact=True`` keeps the original ``ntile`` over a total order
+(single-partition window) — deterministic and oracle-checkable, used
+only by the DuckDB-parity gate query, never for real layout work.
 """
 
 from __future__ import annotations
@@ -27,6 +30,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_BITS = 8
+# approxQuantile relative error: at 1e-3 the cutpoint rank is within
+# 0.1% of exact — far finer than the 1/256 bucket width it feeds.
+DEFAULT_EPS = 1e-3
 
 
 def interleave2(a: Column, b: Column, bits: int = DEFAULT_BITS) -> Column:
@@ -42,14 +48,54 @@ def interleave2(a: Column, b: Column, bits: int = DEFAULT_BITS) -> Column:
     return z
 
 
+def _bucket_tree(col: Column, cuts: Sequence[float], lo: int, hi: int) -> Column:
+    """Binary search over sorted cutpoints as a nested-CASE tree.
+
+    Buckets ``lo..hi``; ``cuts[i]`` is the boundary between bucket i
+    and i+1 (values <= cuts[i] fall at or below bucket i).  Each row
+    evaluates only ``log2(hi-lo+1)`` comparisons, all on literals, so
+    the whole thing compiles into one codegen stage.
+    """
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(col <= F.lit(cuts[mid]), _bucket_tree(col, cuts, lo, mid)).otherwise(
+        _bucket_tree(col, cuts, mid + 1, hi)
+    )
+
+
+def quantile_bucket(
+    df: DataFrame, col: str, bits: int = DEFAULT_BITS, eps: float = DEFAULT_EPS
+) -> Column:
+    """Scale-safe quantile bucketing: 2^bits-1 approxQuantile cutpoints
+    (driver-size, effectively broadcast as literals) + per-row binary
+    search.  NULLs land in bucket 0."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    cuts = df.stat.approxQuantile(col, probs, eps)
+    c = F.col(col)
+    return F.when(c.isNull(), F.lit(0)).otherwise(
+        _bucket_tree(c, cuts, 0, n - 1).cast("long")
+    )
+
+
 def with_zvalue(
     df: DataFrame,
     cols: Sequence[str],
     tiebreak: str,
     bits: int = DEFAULT_BITS,
     out_col: str = "zvalue",
+    exact: bool = False,
+    eps: float = DEFAULT_EPS,
 ) -> DataFrame:
-    """Adds the z-value of two columns' ntile(2^bits) ranks."""
+    """Adds the z-value of two columns' 2^bits quantile-bucket ranks.
+
+    Default (``exact=False``) uses approxQuantile cutpoints + binary
+    search — no window, no global sort, scales to arbitrary input.
+    ``exact=True`` uses ntile over a total order (ties broken by
+    ``tiebreak`` so the assignment is deterministic and
+    oracle-checkable) — a single-partition window, gate-query only.
+    """
     if len(cols) != 2:
         raise ValueError("v1 z-ordering interleaves exactly 2 columns")
     if not 1 <= bits <= 31:
@@ -57,10 +103,15 @@ def with_zvalue(
         # at most; past 31 the interleaved value would overflow
         raise ValueError(f"bits must be in [1, 31] (got {bits})")
     n = 1 << bits
-    ranks = [
-        (F.ntile(n).over(Window.orderBy(F.col(c), F.col(tiebreak))) - 1).cast("long")
-        for c in cols
-    ]
+    if exact:
+        ranks = [
+            (F.ntile(n).over(Window.orderBy(F.col(c), F.col(tiebreak))) - 1).cast(
+                "long"
+            )
+            for c in cols
+        ]
+    else:
+        ranks = [quantile_bucket(df, c, bits, eps) for c in cols]
     return df.withColumn(out_col, interleave2(ranks[0], ranks[1], bits))
 
 
@@ -73,6 +124,8 @@ def zorder_repartition(
 ) -> DataFrame:
     """Layout pass before a write: range-partition + sort by z-value so
     every output file covers a compact rectangle of the (a, b) space —
-    min/max pruning then works for either column's predicates."""
+    min/max pruning then works for either column's predicates.  Uses
+    the scale-safe cutpoint path: the only shuffle is the final
+    range-partition by zvalue, which is what the write needs anyway."""
     z = with_zvalue(df, cols, tiebreak, bits)
     return z.repartitionByRange(n_files, "zvalue").sortWithinPartitions("zvalue")

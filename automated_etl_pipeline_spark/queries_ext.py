@@ -666,7 +666,8 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout (operators/zorder.py): orders ranked on
     (o_custkey, o_totalprice), Morton-interleaved, rolled up into 64
     z-buckets — the per-file row distribution a zordered write would
-    produce."""
+    produce.  Uses the exact ntile path (deterministic, DuckDB-
+    mirrorable); real layout work uses the approxQuantile default."""
     from automated_etl_pipeline_spark.operators.zorder import with_zvalue
 
     (orders,) = _t(spark, sf_dir, "orders")
@@ -674,6 +675,7 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select("o_orderkey", "o_custkey", "o_totalprice"),
         ["o_custkey", "o_totalprice"],
         tiebreak="o_orderkey",
+        exact=True,
     )
     return (
         z.groupBy(F.floor(F.col("zvalue") / 1024).alias("zbucket"))

@@ -122,6 +122,18 @@ def test_glm_orders_team_strength(matches):
     assert all(v > 0 for v in preds.values())  # log link ⇒ positive rates
 
 
+def test_glm_ridge_floor_is_default(matches):
+    """The saturated one-hot design (team + opponent columns sum to the
+    intercept) makes the normal-equations covariance singular at
+    regParam=0 — IRLS then Cholesky-fails and retries with Quasi-Newton
+    every iteration.  The 1e-8 ridge floor must be on by default so the
+    Cholesky path succeeds first try."""
+    tf = team_strength_training_frame(matches)
+    model = fit_poisson_rates(tf, ["team", "opponent"], "goals", weight_col="weight")
+    glr_model = model.model.stages[-1]
+    assert glr_model.getRegParam() == pytest.approx(1e-8)
+
+
 def test_outcome_probs_sum_to_one():
     p = outcome_probs(1.5, 1.1)
     assert p.home_win + p.draw + p.away_win == pytest.approx(1.0, abs=1e-6)

@@ -65,6 +65,23 @@ def test_minhash_signatures_have_no_python_udf(spark, name):
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
 
 
+def test_zorder_default_path_has_no_window(spark):
+    """The default (approxQuantile cutpoint) z-order path must plan as
+    scan -> project: no WindowExec, no single-partition exchange — the
+    exact-ntile global window is gate-query-only (exact=True)."""
+    from automated_etl_pipeline_spark.operators.zorder import with_zvalue
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    z = with_zvalue(orders, ["o_custkey", "o_totalprice"], tiebreak="o_orderkey")
+    plan = executed_plan(z)
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange" not in plan  # no shuffle at all: pure narrow project
+    assert "*(1) Project" in plan  # binary-search tree stays in codegen stage 1
+
+
 def test_asof_join_is_union_window_not_join(spark):
     """The as-of join must plan as union + window — no Join operator;
     its only hash exchanges are the right-side dedup aggregate and the

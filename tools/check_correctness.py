@@ -34,7 +34,9 @@ def normalize(rows: list[tuple], ndigits: int = 9) -> list[tuple]:
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(f"{round(v, ndigits):.9f}")
+                    # v + 0.0 folds -0.0 into +0.0 (IEEE): both sides
+                    # normalize to the same string
+                    vals.append(f"{round(v + 0.0, ndigits):.9f}")
             elif v is None:
                 vals.append("\x00NULL")
             else:
@@ -81,11 +83,13 @@ def main() -> int:
         try:
             odf = con.execute(oracles[name]).fetch_arrow_table()
             oracle_cols = sorted(odf.column_names)
-            opd = odf.to_pandas()
+            # Arrow to_pylist preserves SQL NULL (None) vs float NaN —
+            # pandas would fold NULL floats into NaN, which forced the old
+            # NaN->None remap and silently passed Spark-NULL vs oracle-NaN
+            # divergences.  normalize() now treats NaN identically on both
+            # sides, so NaN==NaN passes and NULL-vs-NaN fails loudly.
             oracle_rows = [
-                tuple(None if (isinstance(v, float) and math.isnan(v)) else v
-                      for v in row)
-                for row in opd[oracle_cols].itertuples(index=False, name=None)
+                tuple(d[c] for c in oracle_cols) for d in odf.to_pylist()
             ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
