@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from automated_etl_pipeline_spark import schemas
 from automated_etl_pipeline_spark.io.sources import read_csv
 from automated_etl_pipeline_spark.operators import cleaning
-from automated_etl_pipeline_spark.operators.star import DimSpec, build_star
+from automated_etl_pipeline_spark.operators.star import (
+    DimSpec,
+    build_star,
+    validate_unique_keys,
+)
 
 
 @dataclass(frozen=True)
@@ -69,7 +73,14 @@ def clean_results(spark: SparkSession, cfg: FootballEtlConfig) -> DataFrame:
 
 
 def build_football_star(results: DataFrame) -> dict[str, DataFrame]:
-    """Star split (spark_etl_job.py:74-78 → proper dims, SURVEY.md §2.2 P3)."""
+    """Star split (spark_etl_job.py:74-78 → proper dims, SURVEY.md §2.2 P3).
+
+    ``key_mode="hash"`` is pinned explicitly: surrogate keys are sparse
+    xxhash64 values (idempotent across incremental loads), NOT the
+    contiguous 1-based ranks this pipeline emitted before round 2 —
+    downstream consumers of persisted fact/dim tables must join on the
+    key, never assume density.  Hash keys can collide (~n²/2⁶⁵), so
+    each dim is collision-checked before the star is returned."""
     results = results.cache()  # 4-way fan-out reads this once (SURVEY §4.3)
     star = build_star(
         results,
@@ -82,7 +93,10 @@ def build_football_star(results: DataFrame) -> dict[str, DataFrame]:
             ),
         ],
         fact_measures=["home_score", "away_score"],
+        key_mode="hash",
     )
+    validate_unique_keys(star["date_dim"], "date_id")
+    validate_unique_keys(star["game_dim"], "game_id")
     star["results"] = results
     return star
 

@@ -60,9 +60,12 @@ def read_parquet(
 def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) isn't a Spark type: with
     ``spark.sql.legacy.parquet.nanosAsLong=true`` the column scans as
-    int64 nanos; convert to microsecond timestamps (floor division —
-    matching DuckDB's ns→µs cast for pre-epoch values too; plain
-    ``div`` truncates toward zero and would round negative nanos up).
+    int64 nanos; convert to microsecond timestamps with plain ``div``
+    (truncation toward zero).  For pre-epoch values this rounds UP
+    (-1501 ns → -1 µs), which is exactly what the installed DuckDB's
+    ns→µs cast does — pinned by
+    tests/test_io.py::test_normalize_nanos_pre_epoch_matches_duckdb,
+    which fails loudly if a DuckDB upgrade flips to floor semantics.
     Integer-only arithmetic: int64 nanos exceed 2^53, so a double
     round-trip would lose precision."""
     from pyspark.sql import types as T
@@ -70,13 +73,7 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in ts_cols:
         if isinstance(fields.get(c), T.LongType):
-            df = df.withColumn(
-                c,
-                F.expr(
-                    f"timestamp_micros(({c} div 1000)"
-                    f" - (CASE WHEN {c} % 1000 < 0 THEN 1 ELSE 0 END))"
-                ),
-            )
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
     return df
 
 
@@ -91,10 +88,25 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     splits and this is a no-op (we only repartition UP); the same
     guard also makes it the standard small-file compaction escape
     hatch rather than an extra shuffle in the big-data path.
+
+    Reserve it for expression-heavy operators (md5-per-shingle dedup,
+    trigram language-ID, codec UDFs): on shuffle-light queries the
+    repartition costs more than the parallelism buys back.
+
+    The width probe uses ``inputFiles()`` — a FileIndex lookup on the
+    analyzed plan — rather than ``df.rdd.getNumPartitions()``, which
+    forces full physical planning plus a DataFrame→RDD conversion on
+    every call (this helper sits on ~10 query paths).  File count
+    lower-bounds the scan's split count, so "many files ⇒ skip" errs
+    only toward skipping, never toward a down-shuffle.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        width = len(df.inputFiles())
+    except Exception:  # non-file-backed lineage: fall back to the RDD probe
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)
 

@@ -591,7 +591,9 @@ def _global_start_offsets(tok: DataFrame) -> DataFrame:
     offsets, acc = [], 0
     for r in totals:
         offsets.append((r["pid"], acc))
-        acc += r["tot"]
+        # a partition whose every n is NULL yields tot=None — treat as
+        # contributing 0 to downstream offsets rather than TypeError
+        acc += r["tot"] or 0
     off_df = spark.createDataFrame(offsets, "pid int, p_off long")
     return local.join(F.broadcast(off_df), "pid").select(
         "doc_id",
@@ -641,8 +643,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset(i) = sum of totals of partitions < i gives the exact global
     cumsum."""
     (docs,) = _t(spark, sf_dir, "documents")
+    # coalesce: NULL text must count 0 tokens BEFORE the prefix sum —
+    # a NULL n would poison every later document's running offset
     pos = _global_start_offsets(
-        docs.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        docs.select(
+            "doc_id",
+            F.coalesce(F.size(F.split("text", " ")), F.lit(0)).alias("n"),
+        )
     ).filter(F.col("n") > 0)
     spans = pos.select(
         "doc_id",
@@ -767,7 +774,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 documents by BM25 for a fixed probe query — the
     filter-postings-first dataflow of functions/ranking.py."""
     (docs,) = _t(spark, sf_dir, "documents")
-    return _rk.bm25_topk(spread(docs), _BM25_TERMS, k=20)
+    # no spread(): the postings build is one explode+filter — shuffle
+    # cost of a pre-repartition exceeds the parallelism it buys
+    return _rk.bm25_topk(docs, _BM25_TERMS, k=20)
 
 
 # ----------------------------------------------------------------------
@@ -865,8 +874,10 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank within lang. Spark 3.5+ plans the rank filter as
     WindowGroupLimit (per-partition top-k, no full sort per group)."""
     (docs,) = _t(spark, sf_dir, "documents")
+    # no spread(): split+explode is cheap; the groupBy shuffle already
+    # redistributes, so a pre-repartition is pure added cost
     tf = (
-        spread(docs).select("lang", F.explode(F.split("text", " ")).alias("term"))
+        docs.select("lang", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -41,3 +41,32 @@ def test_idempotent_append_run_id(spark, tmp_path):
     assert spark.read.parquet(path).count() == 2
     write_parquet_append(df, path, run_id="r2")
     assert spark.read.parquet(path).count() == 4
+
+
+def test_normalize_nanos_pre_epoch_matches_duckdb(spark, tmp_path):
+    """Pin _normalize_nanos's floor-division ns→µs semantics for
+    PRE-EPOCH values against the DuckDB oracle (ADVICE r2: DuckDB's
+    cast path could be truncation-toward-zero in some versions — this
+    test fails loudly if the installed DuckDB disagrees)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from automated_etl_pipeline_spark.io.sources import _normalize_nanos
+
+    nanos = [-1, -999, -1000, -1001, -1_500_000_001, 0, 1, 1999, 1_500_000_001]
+    tbl = pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))})
+    path = str(tmp_path / "nanos.parquet")
+    pq.write_table(tbl, path)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = _normalize_nanos(spark.read.parquet(path))
+    got = sorted(r.ts for r in sdf.collect())
+
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT CAST(ts AS TIMESTAMP) FROM '{path}' "
+        ).fetchall()
+    )
+    assert got == want
