@@ -2,12 +2,19 @@
 typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing —
-is real and tested; the actual codec calls (PIL/ffmpeg/librosa are not
-in this container) are isolated behind ``_decode_image_bytes`` /
-``_sample_frames_bytes``, which raise ``NotImplementedError`` unless
-``deterministic_fake=True`` substitutes a seeded, content-derived fake
-(md5 of the bytes → stable pseudo-dimensions/features) so tests can
-exercise the full distributed path.
+is real and tested.  Codec resolution is tiered per payload:
+
+1. PIL / soundfile when importable (try-import, never required);
+2. pure-stdlib decoders that work in THIS container: PNG via zlib +
+   numpy unfiltering (8-bit non-interlaced gray/RGB/RGBA) and PCM WAV
+   via the ``wave`` module — real decodes, no external deps;
+3. ``NotImplementedError`` for formats neither tier handles (JPEG
+   without PIL, MP3, any video — ffmpeg isn't here).
+
+``deterministic_fake=True`` bypasses all of that with a seeded,
+content-derived fake (md5 of the bytes → stable pseudo-features) so the
+oracle gate and tests can exercise the full distributed path with
+DuckDB-recomputable values.
 
 Scale notes:
 - Binary payloads ride in parquet with the metadata columns, so
@@ -59,19 +66,130 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 )
 
 
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (palette needs its PLTE table — PIL tier only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_decode(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-row unfilter) for
+    8-bit non-interlaced gray/gray+alpha/RGB/RGBA — the no-PIL real
+    path.  Returns (width, height, channels, pixel ndarray [h,w,c])."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_MAGIC):
+        raise NotImplementedError(
+            "cannot decode non-PNG payload without PIL installed"
+        )
+    pos, idat, meta = len(_PNG_MAGIC), [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
+            pos + 4 : pos + 8
+        ]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, color, interlace)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if meta is None or not idat:
+        raise NotImplementedError("malformed PNG (no IHDR/IDAT)")
+    w, h, depth, color, interlace = meta
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"stdlib PNG path handles 8-bit non-interlaced gray/RGB[A] only "
+            f"(depth={depth} color={color} interlace={interlace}); install PIL"
+        )
+    c = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        filt, line = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if filt == 0:
+            cur = line
+        elif filt == 2:  # Up
+            cur = line + prev
+        else:  # Sub/Average/Paeth carry a left-pixel dependency: scan
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - c] if x >= c else 0
+                b = int(prev[x])
+                if filt == 1:
+                    cur[x] += a
+                elif filt == 3:
+                    cur[x] += (int(a) + b) // 2
+                elif filt == 4:
+                    cc = int(prev[x - c]) if x >= c else 0
+                    p = int(a) + b - cc
+                    pa, pb, pc = abs(p - int(a)), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    cur[x] += pred
+                else:
+                    raise NotImplementedError(f"PNG filter {filt}")
+        prev = (cur & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return w, h, c, out.reshape(h, w, c)
+
+
+def _luma(px) -> float:
+    """Mean luma in [0,1]: ITU-R 601 for color, plain mean for gray
+    (alpha ignored)."""
+    import numpy as np
+
+    px = px.astype(np.float64)
+    if px.shape[2] >= 3:
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    else:
+        y = px[:, :, 0]
+    return float(y.mean() / 255.0)
+
+
 def _decode_image_bytes(payload: bytes | None, deterministic_fake: bool):
     """(width, height, channels, mean_luma); all-None for a NULL
     payload (matches SQL semantics — an absent payload has no
-    features). Real impl needs PIL — STUB: not in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv (not installed); "
-            "pass deterministic_fake=True for the content-derived stand-in"
-        )
+    features).  Real path: PIL when importable, else the stdlib PNG
+    decoder; raises NotImplementedError for formats neither handles."""
     if payload is None:
         return None, None, None, None
-    h = hashlib.md5(payload).digest()
-    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4, h[3] / 255.0
+    if deterministic_fake:
+        h = hashlib.md5(payload).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 4, h[3] / 255.0
+    pil = _try_import("PIL.Image")
+    if pil is not None:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        channels = len(img.getbands())
+        import numpy as np
+
+        px = np.asarray(img)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return img.width, img.height, channels, _luma(px)
+    w, h2, c, px = _png_decode(payload)
+    return w, h2, c, _luma(px)
 
 
 def _sample_frames_bytes(
@@ -204,31 +322,79 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _wav_decode(payload: bytes):
+    """Pure-stdlib PCM WAV parse via the ``wave`` module — the
+    no-soundfile real path.  Returns (duration_s, sample_rate, rms)
+    with rms over samples normalized to [-1, 1]."""
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate, nframes, width = (
+                wf.getframerate(),
+                wf.getnframes(),
+                wf.getsampwidth(),
+            )
+            frames = wf.readframes(nframes)
+    except (wave.Error, EOFError) as e:
+        raise NotImplementedError(f"not a PCM WAV payload: {e}") from e
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {width}")
+    x = np.frombuffer(frames, dtype=dtype).astype(np.float64)
+    if width == 1:  # 8-bit WAV is unsigned, centered at 128
+        x = x - 128.0
+    x /= float(1 << (8 * width - 1))
+    rms = float(np.sqrt((x**2).mean())) if x.size else 0.0
+    return nframes / rate if rate else 0.0, rate, rms
+
+
 def _audio_features_bytes(payload: bytes | None, deterministic_fake: bool):
     """(duration_s, sample_rate, rms); all-None for a NULL payload.
-    Real impl needs librosa/soundfile — STUB: not in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decode requires librosa/soundfile (not installed); "
-            "pass deterministic_fake=True for the content-derived stand-in"
-        )
+    Real path: soundfile when importable, else the stdlib ``wave``
+    parser; raises NotImplementedError for non-WAV without soundfile."""
     if payload is None:
         return None, None, None
-    h = hashlib.md5(payload).digest()
-    return 0.5 + h[0] / 8.0, (8, 16, 22, 44)[h[1] % 4] * 1000, h[2] / 255.0
+    if deterministic_fake:
+        h = hashlib.md5(payload).digest()
+        return 0.5 + h[0] / 8.0, (8, 16, 22, 44)[h[1] % 4] * 1000, h[2] / 255.0
+    sf = _try_import("soundfile")
+    if sf is not None:
+        import io
+
+        import numpy as np
+
+        data, rate = sf.read(io.BytesIO(payload), dtype="float64")
+        rms = float(np.sqrt((data**2).mean())) if data.size else 0.0
+        return len(data) / rate if rate else 0.0, rate, rms
+    return _wav_decode(payload)
 
 
 def _resize_image_bytes(
     payload: bytes, width: int, height: int, deterministic_fake: bool
 ) -> bytes:
-    """Resized image bytes. Real impl needs PIL — STUB."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image resize requires PIL/opencv (not installed); "
-            "pass deterministic_fake=True for the content-derived stand-in"
-        )
-    # content- and size-derived stand-in payload (stable across runs)
-    return hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
+    """Resized image bytes.  Real path needs a re-ENCODER, so it is
+    PIL-only (the stdlib tier can decode PNG but not write one back
+    efficiently); without PIL, NotImplementedError."""
+    if deterministic_fake:
+        # content- and size-derived stand-in payload (stable across runs)
+        return hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest()
+    if _try_import("PIL.Image") is not None:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).resize((width, height))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+    raise NotImplementedError(
+        "image resize requires PIL/opencv (not installed); "
+        "pass deterministic_fake=True for the content-derived stand-in"
+    )
 
 
 def extract_audio_features(

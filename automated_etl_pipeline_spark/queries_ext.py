@@ -893,3 +893,89 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# Source/sink contract gates (SURVEY.md §2.1 S1 + S5) — previously
+# pytest-only; these put the scan/load contracts under the driver's
+# DuckDB-oracle gate.  Both round-trip through real files in a fresh
+# temp dir, then aggregate; the oracle computes the same aggregate from
+# the parquet table directly, so any loss, duplication, or type drift
+# in the file round-trip hash-mismatches.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "s1_csv_failfast_roundtrip",
+    """
+    SELECT n_regionkey,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           MIN(n_name) AS first_name,
+           MAX(n_name) AS last_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def s1_csv_failfast_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 — schemaful FAILFAST CSV scan (spark_etl_job.py:36 semantics;
+    max_bad_records=0 of spark-bq-dag.py:126): nation is written to CSV
+    then re-read with the explicit schema in FAILFAST mode — a single
+    malformed row would abort the scan rather than null-fill."""
+    import tempfile
+
+    from automated_etl_pipeline_spark import schemas
+    from automated_etl_pipeline_spark.io.sinks import write_csv
+    from automated_etl_pipeline_spark.io.sources import read_csv
+
+    (nation,) = _t(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="s1_csv_gate_")
+    write_csv(nation.select([f.name for f in schemas.NATION.fields]), path,
+              header=True, num_files=1)
+    df = read_csv(spark, path, schemas.NATION, mode="FAILFAST")
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "s5_validated_append_idempotent",
+    """
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def s5_validated_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 — validated idempotent append (spark-bq-dag.py:58-127
+    contract: WRITE_APPEND + REQUIRED columns + max_bad_records=0):
+    supplier is append-loaded TWICE under the same run_id (the Airflow
+    retry scenario), read back, NOT-NULL-validated, and aggregated.  A
+    non-idempotent append would double every count/sum and fail the
+    value hash; a NULL in a required column raises before any write."""
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.sinks import (
+        validate_not_null,
+        write_parquet_append,
+    )
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    required = ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    path = tempfile.mkdtemp(prefix="s5_append_gate_") + "/warehouse"
+    write_parquet_append(sup, path, required=required, run_id="gate-run")
+    write_parquet_append(sup, path, required=required, run_id="gate-run")  # retry
+    back = validate_not_null(spark.read.parquet(path).drop("run_id"), required)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", alias="total_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )

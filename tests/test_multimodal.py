@@ -77,3 +77,144 @@ def test_audio_features_and_resize(spark):
     assert [r.media_id for r in resized] == [2]
     want = hashlib.md5(b"pngbytes-2" + b"32x32").digest()
     assert bytes(resized[0].payload) == want and resized[0].width == 32
+
+
+# ---------------- real codec tier (no external libs needed) ----------------
+
+
+def _make_png(pixels, filters=None):
+    """Hand-roll an 8-bit RGB PNG from an [h][w][3] nested list,
+    encoding each row with the given PNG filter type (default all 0) —
+    exercises the decoder's unfilter logic against known pixels."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+    filters = filters or [0] * h
+    c = 3
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = [0] * (w * c)
+    for y, filt in enumerate(filters):
+        line = [v for px in pixels[y] for v in px]
+        enc = [0] * (w * c)
+        for x in range(w * c):
+            a = line[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if filt == 0:
+                pred = 0
+            elif filt == 1:
+                pred = a
+            elif filt == 2:
+                pred = b
+            elif filt == 3:
+                pred = (a + b) // 2
+            else:  # paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(filt)
+        raw.extend(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_wav(rate=8000, n=4000, amp=16384):
+    """Square-wave PCM16 WAV: rms == amp/32768 exactly."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        samples = [amp if i % 2 == 0 else -amp for i in range(n)]
+        wf.writeframes(struct.pack(f"<{n}h", *samples))
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("filters", [[0, 0], [1, 2], [3, 4]])
+def test_stdlib_png_decode_all_filters(filters):
+    """_png_decode must invert every PNG filter type bit-exactly."""
+    import numpy as np
+
+    from automated_etl_pipeline_spark.multimodal.binary_ops import _png_decode
+
+    pixels = [
+        [[10, 20, 30], [40, 50, 60], [200, 150, 100]],
+        [[15, 25, 35], [45, 55, 65], [250, 128, 7]],
+    ]
+    w, h, c, px = _png_decode(_make_png(pixels, filters))
+    assert (w, h, c) == (3, 2, 3)
+    assert np.array_equal(px, np.array(pixels, dtype=np.uint8))
+
+
+def test_real_image_decode_through_spark(spark):
+    """Real (non-fake) PNG decode over the distributed mapInPandas
+    path: known 2-pixel image → exact width/height/channels and luma."""
+    png = _make_png([[[255, 255, 255], [0, 0, 0]]])  # 2x1: white, black
+    df = spark.createDataFrame(
+        [Row(media_id=1, media_type="image", payload=png, mime="image/png",
+             n_bytes=len(png))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_image_features(df, deterministic_fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.channels) == (2, 1, 3)
+    assert r.mean_luma == pytest.approx(0.5, abs=1e-6)  # mean of 255 and 0
+
+
+def test_real_wav_decode_through_spark(spark):
+    from automated_etl_pipeline_spark.multimodal.binary_ops import (
+        extract_audio_features,
+    )
+
+    wav = _make_wav(rate=8000, n=4000, amp=16384)
+    df = spark.createDataFrame(
+        [Row(media_id=7, media_type="audio", payload=wav, mime="audio/wav",
+             n_bytes=len(wav))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_audio_features(df, deterministic_fake=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.sample_rate == 8000
+    assert r.duration_s == pytest.approx(0.5)  # 4000 frames @ 8 kHz
+    assert r.rms == pytest.approx(16384 / 32768, abs=1e-9)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="PIL not installed — stdlib PNG tier covers this container",
+)
+def test_pil_tier_resize(spark):
+    """Exercised only where PIL exists: real resize re-encodes bytes."""
+    from automated_etl_pipeline_spark.multimodal.binary_ops import resize_images
+
+    png = _make_png([[[255, 0, 0], [0, 255, 0]]])
+    df = spark.createDataFrame(
+        [Row(media_id=1, media_type="image", payload=png, mime="image/png",
+             n_bytes=len(png))],
+        MEDIA_SCHEMA,
+    )
+    out = resize_images(df, 4, 4, deterministic_fake=False).collect()
+    assert out[0].width == 4 and out[0].payload.startswith(b"\x89PNG")
