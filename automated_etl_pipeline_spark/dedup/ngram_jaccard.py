@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 from automated_etl_pipeline_spark.dedup.minhash import shingle_set as token_ngrams
 
 
+def shingle_hash60(s: Column) -> Column:
+    """60-bit shingle hash: first 15 hex chars of md5, parsed base-16.
+
+    Why not minhash.shingle_hashes' 32-bit variant: that width exists
+    for the permutation arithmetic (products must stay under BIGINT);
+    here the hash IS the set element, and at 32 bits a corpus-wide
+    birthday collision is likely (n²/2³³), silently perturbing an
+    "exact" Jaccard.  60 bits keeps collisions negligible AND parses
+    identically in DuckDB (('0x' || 15 hex)::BIGINT < 2⁶³ never
+    overflows; 16 hex could)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -55,9 +68,21 @@ def jaccard_pairs(
     magnitude. The shingle table is localCheckpoint-ed — the index
     self-join plus the two verification joins would otherwise
     re-execute the shingle pass three times (persist(MEMORY_AND_DISK)
-    at cluster scale)."""
+    at cluster scale).
+
+    Shingles are 60-bit-hashed ONCE up front (``shingle_hash60``): the
+    index join keys and the verification arrays are then 8-byte longs
+    instead of raw n-gram strings — a several-fold smaller shuffle
+    payload for the exact-verify join, with identical Jaccard values
+    (the oracle hashes its sets the same way; collisions at 60 bits
+    are ~n²/2⁶¹)."""
     sh = (
-        docs.select(F.col(id_col), token_ngrams(F.col(text_col), n).alias("s"))
+        docs.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(token_ngrams(F.col(text_col), n), shingle_hash60)
+            ).alias("s"),
+        )
         .filter(F.size("s") > 0)
         .localCheckpoint()
     )

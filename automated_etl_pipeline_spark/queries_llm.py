@@ -335,9 +335,13 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
+      -- shingle sets are 60-bit md5 hashes, mirroring Spark's
+      -- shingle_hash60 (15 hex chars -> BIGINT) exactly
       SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+             list_distinct(list_transform(
+               list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+               g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS s
       FROM tok WHERE len(t) >= 3
     ), inv AS (
       SELECT doc_id, UNNEST(s) AS g FROM sh
