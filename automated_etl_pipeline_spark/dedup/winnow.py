@@ -1,0 +1,102 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm).
+
+Rolling k-gram hashes, then the minimum hash of every w-wide window of
+consecutive gram hashes: any shared substring of length >= k + w - 1
+between two documents is GUARANTEED to produce at least one shared
+fingerprint (the winnowing guarantee), while only ~2/(w+1) of gram
+hashes are kept.  The selected-min fingerprint set is the standard
+local-similarity sketch for plagiarism/near-dup detection —
+complementary to MinHash (global resemblance) because it localizes
+matches to contiguous runs.
+
+Spark dataflow — everything before the pair join is a narrow
+per-document column expression (no UDF, no shuffle):
+
+  tokens → ordered k-gram hash array H (one md5 per gram) →
+  window minima ``min(H[j..j+w-1])`` → distinct fingerprint set →
+  explode → hot-capped inverted index → pair self-join.
+
+Scale notes:
+- The per-window ``array_min(slice(...))`` is O(n·w) per doc; the
+  O(n) ascending-minima deque is not expressible as a column
+  expression, but w is a small constant (4-10) so the factor is flat
+  and the work stays inside codegen per-row.  At 100 TB this remains
+  embarrassingly parallel — zero shuffles until the index join.
+- The inverted index reuses the n-gram module's defenses: a relative
+  document-frequency cap drops boilerplate fingerprints shared by a
+  large fraction of the corpus (pair blowup is sum(df²)), and the
+  pair aggregation shuffles only (doc_a, doc_b) longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+
+DEFAULT_K = 4
+DEFAULT_W = 5
+
+
+def winnow_fingerprint_set(
+    tokens: Column, k: int = DEFAULT_K, w: int = DEFAULT_W
+) -> Column:
+    """Distinct winnowed fingerprints of an ordered token array.
+
+    Caller must filter ``size(tokens) >= k + w - 1`` (shorter docs
+    have no full window; ``F.sequence`` would run DESCENDING for a
+    negative span and silently fabricate windows)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: shingle_hash60(F.concat_ws(" ", F.slice(tokens, i, k))),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    return F.array_distinct(wins)
+
+
+def fingerprint_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DEFAULT_K,
+    w: int = DEFAULT_W,
+    min_shared: int = 2,
+    max_df_frac: float = 0.02,
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared): pairs sharing >= min_shared winnowed
+    fingerprints of relative document frequency <= max_df_frac."""
+    toks = F.split(F.col(text_col), " ")
+    fp = (
+        docs.select(F.col(id_col), toks.alias("t"))
+        .filter(F.size("t") >= k + w - 1)
+        .select(id_col, winnow_fingerprint_set(F.col("t"), k, w).alias("fp"))
+        .localCheckpoint()  # consumed by df-agg AND both join sides
+    )
+    inv = fp.select(id_col, F.explode("fp").alias("f"))
+    n_docs = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = (
+        inv.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
+        .select("f")
+    )
+    inv = inv.join(keep, "f", "left_semi")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

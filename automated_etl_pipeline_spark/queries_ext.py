@@ -979,3 +979,139 @@ def s5_validated_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("s_nationkey")
     )
+
+
+@query(
+    "streaming_dedup_watermark",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY window_start ORDER BY window_start
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup under the value gate: events are
+    staged to the drop directory TWICE (the duplicate-delivery failure
+    mode of every at-least-once transport), drained through a file
+    stream -> watermark -> dropDuplicates(event_id) -> windowed
+    aggregation -> memory sink.  The final table must equal the batch
+    hourly rollup of the events table read ONCE — i.e. the stream
+    suppressed every duplicate across trigger batches.
+
+    The watermark delay is set beyond the dataset's whole time span so
+    dedup state is never evicted (exact global dedup); in production
+    the delay bounds state size and guarantees dedup only within the
+    lateness window — that trade is the operator's contract."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        windowed_counts,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        # coalesce(4): 8 staged files -> 2 triggers at 4 files each, so
+        # the duplicate copy still lands in a LATER batch than the
+        # original (cross-batch dedup is the point) without paying for
+        # 64 part files / 16 micro-batches
+        events.coalesce(4).write.mode("append").parquet(drop)
+        events.coalesce(4).write.mode("append").parquet(drop)  # duplicate delivery
+        stream = (
+            read_events_stream(spark, drop, max_files_per_trigger=4)
+            .withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+        )
+        # watermark_delay=None: the stream above already carries its
+        # watermark; Spark disallows redefining it across stateful ops
+        q = run_to_memory_sink(windowed_counts(stream, watermark_delay=None), name)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name).orderBy("window_start")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("window_start")
+
+
+@query(
+    "jsonl_scan_roundtrip",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3-adjacent source coverage: documents round-trip through
+    newline-delimited JSON (the interchange format most LLM corpora
+    ship as) with an explicit schema on the re-read — no inference
+    scan, and any escaping/unicode loss in the round-trip shifts
+    total_chars and fails the hash."""
+    import tempfile
+
+    from automated_etl_pipeline_spark import schemas
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="jsonl_gate_") + "/docs"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(schemas.DOCUMENTS).json(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "salted_skew_agg",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation over a low-cardinality (so
+    inherently skewed) key: rows first aggregate on (key, salt16) —
+    spreading each hot key over 16 reducers — then the 16 partials
+    combine per key.  Partials stay DECIMAL until the final cast, so
+    the result is bit-identical to the direct groupBy (the oracle).
+    Spark's map-side partial aggregation makes plain COUNT/SUM safe
+    unsalted; the salt pattern is the template for the cases where
+    partials DON'T apply (exact distinct, collect_list-style state) —
+    gated here so the building block itself stays verified."""
+    (events,) = _t(spark, sf_dir, "events")
+    salted = events.withColumn(
+        "__salt", F.pmod(F.xxhash64("event_id"), F.lit(16)).cast("int")
+    )
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -892,3 +892,57 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rnk", "term", "n")
         .orderBy("lang", "rnk")
     )
+
+
+# ----------------------------------------------------------------------
+# Winnowing fingerprints (dedup/winnow.py) — MOSS-style local
+# similarity, complementing MinHash's global resemblance.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "winnow_fingerprint_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), ok AS (
+      SELECT doc_id, t FROM tok WHERE len(t) >= 8  -- k + w - 1
+    ), grams AS (
+      -- ordered 4-gram 60-bit hashes, mirroring shingle_hash60
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 2),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT
+             ) AS h
+      FROM ok
+    ), wins AS (
+      -- min of every 5-wide window of consecutive gram hashes
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(h) - 3),
+               j -> list_min(h[j:j+4]))) AS fp
+      FROM grams
+    ), inv AS (
+      SELECT doc_id, UNNEST(fp) AS f FROM wins
+    ), keep AS (
+      SELECT f FROM inv GROUP BY f
+      HAVING COUNT(*) <= 0.02 * (SELECT COUNT(*) FROM wins)
+    ), ki AS (
+      SELECT doc_id, f FROM inv JOIN keep USING (f)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM ki a JOIN ki b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 discriminative winnowed fingerprints
+    (k=4 grams, w=5 windows — the winnowing guarantee catches any
+    shared run of >= 8 tokens).  See dedup/winnow.py for the scale
+    analysis."""
+    from automated_etl_pipeline_spark.dedup.winnow import fingerprint_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return fingerprint_pairs(
+        spread(docs), k=4, w=5, min_shared=2, max_df_frac=0.02
+    ).orderBy("doc_a", "doc_b")

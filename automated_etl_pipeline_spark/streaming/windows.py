@@ -37,11 +37,16 @@ def windowed_counts(
     events: DataFrame,
     window_len: str = "1 hour",
     slide: str | None = None,
-    watermark_delay: str = "2 hours",
+    watermark_delay: str | None = "2 hours",
     ts_col: str = "ts",
 ) -> DataFrame:
     """Tumbling (or sliding) event-time counts+sums with late-data
-    handling — works identically on batch and streaming DataFrames."""
+    handling — works identically on batch and streaming DataFrames.
+
+    Pass ``watermark_delay=None`` when the input stream already
+    carries a watermark (e.g. upstream dropDuplicates): Spark forbids
+    redefining the watermark mid-chain with multiple stateful
+    operators."""
     w = (
         F.window(ts_col, window_len, slide)
         if slide
@@ -52,7 +57,11 @@ def windowed_counts(
     # batch/oracle recompute
     from automated_etl_pipeline_spark.queries import dsum
 
-    src = events.withWatermark(ts_col, watermark_delay) if events.isStreaming else events
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming and watermark_delay
+        else events
+    )
     return src.groupBy(w.getField("start").alias("window_start")).agg(
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", scale=6, alias="sum_value"),
