@@ -32,15 +32,33 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    spark = get_spark("bench")
 
-    # Warm-up: JVM, parquet footer reads, codegen caches.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Session recycling: a long-lived local session ages — after ~30
+    # queries the same CPU-heavy query runs 4-8x slower than in a fresh
+    # session (measured: dedup_simhash 3.7s fresh vs 28.6s after 35
+    # queries; ContextCleaner/broadcast/shuffle-state accumulation).  A
+    # restart costs <1s and is NOT billed to any query's timing, so
+    # recycle every RECYCLE_EVERY queries for stable, position-
+    # independent numbers.  (This is bench-harness hygiene, not an
+    # engine property: a real cluster job runs ONE query per session.)
+    RECYCLE_EVERY = 10
+
+    def fresh_session(prev=None):
+        if prev is not None:
+            prev.stop()
+        s = get_spark("bench")
+        # Warm-up: JVM, parquet footer reads, codegen caches.
+        s.read.parquet(f"{sf_dir}/region.parquet").count()
+        return s
+
+    spark = fresh_session()
 
     import gc
 
     timings: dict[str, float] = {}
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
+        if i and i % RECYCLE_EVERY == 0:
+            spark = fresh_session(spark)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
