@@ -1115,3 +1115,57 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scd2_priority_history",
+    """
+    WITH ch AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ), runs AS (
+      SELECT o_custkey, o_orderpriority,
+             SUM(chg) OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ch
+    ), agg AS (
+      SELECT o_custkey, run_id,
+             MIN(o_orderpriority) AS priority,
+             COUNT(*) AS run_len
+      FROM runs GROUP BY o_custkey, run_id
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           arg_max(priority, run_id) AS current_priority
+    FROM agg GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 collapse (operators/scd.py) of each customer's order-
+    priority change stream, rolled up per customer: how many versions,
+    the longest stable run, and the live version — the shape every
+    'attribute AT time t' warehouse question needs."""
+    from automated_etl_pipeline_spark.operators.scd import scd2_history
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    return (
+        hist.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("n_updates").alias("longest_run"),
+            F.max_by("o_orderpriority", "version").alias("current_priority"),
+        )
+        .orderBy("o_custkey")
+    )

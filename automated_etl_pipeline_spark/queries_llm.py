@@ -946,3 +946,71 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_pairs(
         spread(docs), k=4, w=5, min_shared=2, max_df_frac=0.02
     ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "oov_rate_quality",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+        ORDER BY n DESC, term LIMIT 500
+      )
+    ), tot AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    ), oov AS (
+      SELECT doc_id, COUNT(*) AS n_oov FROM tok
+      WHERE term NOT IN (SELECT term FROM vocab) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / t.n_tokens AS oov_rate
+    FROM tot t LEFT JOIN oov o ON t.doc_id = o.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def oov_rate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary-rate quality filter: vocabulary = top-500
+    corpus terms (count desc, term asc — deterministic), per-doc OOV
+    ratio as an exact int/int division.  The log-free stand-in for
+    LM-perplexity filtering (ln() is not identically rounded across
+    engines, so a perplexity gate could never hash-match; OOV rate
+    ranks documents nearly as well for boilerplate/noise detection).
+
+    Scale: vocab is a TakeOrderedAndProject top-k (per-partition heaps,
+    no global sort) broadcast into a left-anti join against the
+    exploded tokens — the heavy side shuffles only for its per-doc
+    count aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(500)
+        .select("term")
+    )
+    tot = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    oov = (
+        toks.join(F.broadcast(vocab), "term", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_oov"))
+    )
+    return (
+        tot.join(oov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            (
+                F.coalesce("n_oov", F.lit(0)).cast("double") / F.col("n_tokens")
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

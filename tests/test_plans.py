@@ -82,6 +82,33 @@ def test_zorder_default_path_has_no_window(spark):
     assert "*(1) Project" in plan  # binary-search tree stays in codegen stage 1
 
 
+def test_winnow_pipeline_has_no_python_udf(spark):
+    """Winnowing fingerprints must stay in column expressions — no
+    BatchEvalPython anywhere (the hashes, window minima and index join
+    are all JVM-side)."""
+    plan = plan_of(spark, "winnow_fingerprint_pairs")
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_oov_vocab_is_topk_and_broadcast(spark):
+    """The OOV vocabulary must plan as TakeOrderedAndProject (top-k,
+    no global sort) and join broadcast (never shuffle the token side
+    against a 500-row vocab)."""
+    plan = plan_of(spark, "oov_rate_quality")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_reuses_one_exchange_per_key(spark):
+    """SCD-2's windows + aggregate all partition by the key: the plan
+    must not re-shuffle between the change-flag window, the run
+    aggregate, and the lead window."""
+    plan = plan_of(spark, "scd2_priority_history")
+    # one hash exchange for the key partitioning + the final orderBy's
+    # range exchange; anything more means a redundant reshuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_asof_join_is_union_window_not_join(spark):
     """The as-of join must plan as union + window — no Join operator;
     its only hash exchanges are the right-side dedup aggregate and the

@@ -1,0 +1,91 @@
+"""SCD-2 history operator tests (operators/scd.py)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.operators.scd import current_version, scd2_history
+
+
+def _updates(spark):
+    rows = [
+        # key 1: A, A, B, A  -> 3 versions (A x2, B, A)
+        (1, "2020-01-01", 10, "A"),
+        (1, "2020-02-01", 11, "A"),
+        (1, "2020-03-01", 12, "B"),
+        (1, "2020-04-01", 13, "A"),
+        # key 2: NULL -> NULL -> C : null run collapses, null->C changes
+        (2, "2020-01-01", 20, None),
+        (2, "2020-02-01", 21, None),
+        (2, "2020-03-01", 22, "C"),
+        # key 3: single row
+        (3, "2020-06-01", 30, "Z"),
+    ]
+    return spark.createDataFrame(
+        rows, "k int, d string, seq int, attr string"
+    ).withColumn("d", F.to_date("d"))
+
+
+def test_scd2_runs_and_validity(spark):
+    hist = scd2_history(
+        _updates(spark), ["k"], ["attr"], ts_col="d", tiebreak="seq"
+    ).orderBy("k", "version")
+    rows = hist.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+
+    k1 = by_key[1]
+    assert [r.attr for r in k1] == ["A", "B", "A"]
+    assert [r.n_updates for r in k1] == [2, 1, 1]
+    assert k1[0].valid_from == datetime.date(2020, 1, 1)
+    # intervals chain: each valid_to equals the next valid_from
+    assert k1[0].valid_to == k1[1].valid_from == datetime.date(2020, 3, 1)
+    assert k1[1].valid_to == k1[2].valid_from == datetime.date(2020, 4, 1)
+    assert k1[2].valid_to is None
+
+    k2 = by_key[2]
+    assert [r.attr for r in k2] == [None, "C"]  # NULL run kept, NULL->C change
+    assert [r.n_updates for r in k2] == [2, 1]
+
+    assert len(by_key[3]) == 1 and by_key[3][0].valid_to is None
+
+
+def test_scd2_current_version(spark):
+    hist = scd2_history(_updates(spark), ["k"], ["attr"], ts_col="d", tiebreak="seq")
+    live = {r.k: r.attr for r in current_version(hist).collect()}
+    assert live == {1: "A", 2: "C", 3: "Z"}
+
+
+def test_scd2_tiebreak_orders_same_day(spark):
+    rows = [(1, "2020-01-01", 2, "B"), (1, "2020-01-01", 1, "A")]
+    df = (
+        _updates(spark)
+        .sparkSession.createDataFrame(rows, "k int, d string, seq int, attr string")
+        .withColumn("d", F.to_date("d"))
+    )
+    hist = scd2_history(df, ["k"], ["attr"], ts_col="d", tiebreak="seq").orderBy(
+        "version"
+    )
+    assert [r.attr for r in hist.collect()] == ["A", "B"]  # seq order wins
+
+
+def test_winnowing_guarantee(spark):
+    """Two docs sharing a run of >= k+w-1 tokens MUST share >= 1
+    fingerprint (Schleimer et al. 2003, theorem 1)."""
+    from automated_etl_pipeline_spark.dedup.winnow import winnow_fingerprint_set
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+    rows = [
+        (1, "x1 y1 z1 " + shared + " p1 q1"),
+        (2, "a2 b2 " + shared + " r2 s2 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = df.select(
+        "doc_id",
+        winnow_fingerprint_set(F.split("text", " "), k=4, w=5).alias("fp"),
+    )
+    a, b = [set(r.fp) for r in fp.orderBy("doc_id").collect()]
+    assert a & b, "winnowing guarantee violated: no shared fingerprint"
