@@ -394,7 +394,9 @@ def emb_cosine_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has no vector closer than 0.52, so the demo threshold sits
     where results exist)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return _cd.cosine_sim_join(emb, _SIM_JOIN_TAU).orderBy("vec_a", "vec_b")
+    # spread: the coding pass is CPU-bound and the testdata scan is one
+    # partition; at real scale the scan arrives pre-split (no-op)
+    return _cd.cosine_sim_join(spread(emb), _SIM_JOIN_TAU).orderBy("vec_a", "vec_b")
 
 
 # ----------------------------------------------------------------------

@@ -203,3 +203,19 @@ def test_connected_components_diameter_equals_max_iter(spark):
     es = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
     comp = {r.id: r.component for r in connected_components(vs, es, max_iter=6).collect()}
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_sign_code_vectorized_matches_hof(spark):
+    """The Arrow matmul coding path must produce bit-identical codes to
+    the sequential-fold HOF reference on the real testdata."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.similarity.cosine_dedup import (
+        sign_code,
+        sign_code_vectorized,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select("vec_id", sign_code(F.col("embedding")).alias("c1"))
+    b = emb.select("vec_id", sign_code_vectorized()(F.col("embedding")).alias("c2"))
+    assert a.join(b, "vec_id").filter(F.col("c1") != F.col("c2")).count() == 0
