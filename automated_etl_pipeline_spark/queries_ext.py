@@ -1169,3 +1169,48 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "merge_upsert_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 = 0
+    ), merged AS (
+      SELECT * FROM orders WHERE o_orderkey % 10 != 0
+      UNION ALL SELECT * FROM updates
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics (operators/merge.py): a CDC batch (every
+    10th order re-priced, status 'U') upserts into the orders snapshot
+    — matched keys replaced, the rest untouched — then rolls up by
+    status.  The oracle computes the merged state set-theoretically;
+    a dropped or duplicated key shifts both count and decimal sum."""
+    from automated_etl_pipeline_spark.operators.merge import merge_upsert
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(orders, updates, key_cols=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="total"),
+        )
+        .orderBy("o_orderstatus")
+    )

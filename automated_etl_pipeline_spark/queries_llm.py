@@ -1016,3 +1016,71 @@ def oov_rate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "vocab_encode_checksum",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), flat AS (
+      SELECT doc_id, UNNEST(t) AS term FROM tok
+    ), vocab AS (
+      SELECT term, row_number() OVER (ORDER BY n DESC, term) AS token_id
+      FROM (SELECT term, COUNT(*) AS n FROM flat GROUP BY term
+            ORDER BY n DESC, term LIMIT 500)
+    ), pos AS (
+      SELECT doc_id, u.p AS p, t[u.p] AS term
+      FROM tok, UNNEST(range(1, len(t) + 1)) AS u(p)
+    ), enc AS (
+      SELECT pos.doc_id, pos.p,
+             COALESCE(v.token_id, 0) AS token_id
+      FROM pos LEFT JOIN vocab v ON pos.term = v.term
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (token_id = 0) AS BIGINT) AS n_unk,
+           CAST(SUM(p * token_id) AS BIGINT) AS checksum
+    FROM enc GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def vocab_encode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization against a learned vocabulary: top-500 terms
+    get dense 1-based ids (count desc, term asc — deterministic), every
+    document encodes to (position, token_id) with OOV -> 0, verified by
+    a position-weighted integer checksum — an ordering or lookup error
+    anywhere in the encode pipeline shifts it.
+
+    Scale: the vocab id assignment is a window over the top-k result
+    (500 rows — driver-trivial after TakeOrderedAndProject); encoding
+    is posexplode + broadcast hash join, no shuffle on the corpus side
+    until the per-doc aggregate."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    flat = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    topk = (
+        flat.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(500)
+    )
+    vocab = topk.select(
+        "term",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .alias("token_id"),
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "term")
+    enc = pos.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "p", F.coalesce("token_id", F.lit(0)).alias("token_id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("token_id") == 0, 1)).alias("n_unk"),
+            F.sum(F.col("p") * F.col("token_id")).alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -89,3 +89,43 @@ def test_winnowing_guarantee(spark):
     )
     a, b = [set(r.fp) for r in fp.orderBy("doc_id").collect()]
     assert a & b, "winnowing guarantee violated: no shared fingerprint"
+
+
+# ---------------- MERGE / upsert (operators/merge.py) ----------------
+
+
+def test_merge_upsert_last_writer_wins(spark):
+    from automated_etl_pipeline_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, ver int"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 2), (4, "D", 2)], "k int, v string, ver int"
+    )
+    got = {r.k: r.v for r in merge_upsert(snap, upd, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "D"}
+
+
+def test_merge_upsert_version_wins_over_source(spark):
+    """A LATE-arriving stale batch (lower version) must not clobber a
+    newer snapshot row when version_col is given."""
+    from automated_etl_pipeline_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, "new", 5)], "k int, v string, ver int")
+    stale = spark.createDataFrame([(1, "old", 3)], "k int, v string, ver int")
+    got = merge_upsert(snap, stale, ["k"], version_col="ver").collect()
+    assert got[0].v == "new"
+    # equal versions: updates side wins (tie toward the batch)
+    tie = spark.createDataFrame([(1, "tie", 5)], "k int, v string, ver int")
+    got2 = merge_upsert(snap, tie, ["k"], version_col="ver").collect()
+    assert got2[0].v == "tie"
+
+
+def test_merge_delete_tombstones(spark):
+    from automated_etl_pipeline_spark.operators.merge import merge_delete
+
+    snap = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    dead = spark.createDataFrame([(2,), (9,)], "k int")
+    got = sorted(r.k for r in merge_delete(snap, dead, ["k"]).collect())
+    assert got == [1, 3]
