@@ -33,9 +33,18 @@ def m2_poisson_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     # deterministic ~1% training sample: a 2-categorical-feature GLM is
     # saturated by a few thousand rows, and the fit (driver-coordinated
-    # IRLS iterations) dominates this query's runtime
-    train = li.filter(F.col("l_orderkey") % 100 == 0).select(
-        "l_returnflag", "l_linestatus", F.col("l_quantity").cast("double").alias("qty")
+    # IRLS iterations) dominates this query's runtime.
+    # localCheckpoint: the pipeline fit makes MANY passes (2 indexer
+    # distinct scans + per-IRLS-iteration aggregates), each of which
+    # would otherwise re-run the parquet scan + filter (measured 2.6x)
+    train = (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .localCheckpoint()
     )
     rates = fit_poisson_rates(
         train, categorical_cols=["l_returnflag", "l_linestatus"], label_col="qty"
