@@ -1214,3 +1214,76 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "streaming_stateful_sessions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, us,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             CAST(MIN(us) AS BIGINT) AS session_start_us,
+             CAST(MAX(us) AS BIGINT) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events
+    FROM sess
+    WHERE session_id < (SELECT MAX(s2.session_id) FROM sess s2
+                        WHERE s2.user_id = sess.user_id)
+    ORDER BY user_id, session_start_us
+    """,
+)
+def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the value gate:
+    applyInPandasWithState sessionization (streaming/stateful.py) over
+    a staged event stream must equal the batch gaps-and-islands
+    computation MINUS each user's trailing session (the operator's
+    contract: only gap-closed sessions are emitted; the open session
+    stays in state).  Single availableNow batch — the per-batch sort
+    in the handler owns event-time ordering, state-store round-trips
+    included."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.stateful import sessionize_stateful
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_state_stream_")
+    name = f"state_sessions_{uuid.uuid4().hex[:8]}"
+    try:
+        events.coalesce(8).write.mode("overwrite").parquet(drop)
+        stream = read_events_stream(spark, drop).select("user_id", "ts")
+        sessions = sessionize_stateful(stream, gap_minutes=30)
+        q = run_to_memory_sink(sessions, name, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name).orderBy("user_id", "session_start_us")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("user_id", "session_start_us")
