@@ -1084,3 +1084,124 @@ def vocab_encode_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _dedup_apply_oracle() -> str:
+    from automated_etl_pipeline_spark.dedup.minhash import pairs_cte_sql
+
+    return f"""
+    WITH RECURSIVE {pairs_cte_sql(threshold=0.8)},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT s.a AS doc_id, reach.r FROM sym s JOIN reach ON s.b = reach.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (c.component = d.doc_id) AS BIGINT) AS n_survivors,
+           CAST(COUNT(*) FILTER (c.component != d.doc_id) AS BIGINT) AS n_removed
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@query("dedup_apply_survivors", _dedup_apply_oracle())
+def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup APPLICATION step the cascade exists for: keep one
+    representative (min doc_id) per near-dup component, drop the rest,
+    reported per language.  Composes near_duplicate_pairs ->
+    connected_components -> survivor filter — the full
+    candidate/verify/cluster/apply dataflow under one gate."""
+    from automated_etl_pipeline_spark.dedup.cluster import connected_components
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    edges = near_duplicate_pairs(spread(docs), threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(comp, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("component") == F.col("doc_id"), 1)).alias(
+                "n_survivors"
+            ),
+            F.count(F.when(F.col("component") != F.col("doc_id"), 1)).alias(
+                "n_removed"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_KNN_DIM = 64
+_KNN_DOT = "list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+_KNN_NE = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))"
+_KNN_NQ = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
+
+
+@query(
+    "knn_batch_topk",
+    f"""
+    WITH sims AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND({_KNN_DOT} / ({_KNN_NE} * {_KNN_NQ}), 6) AS cosine_sim
+      FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+      WHERE q.vec_id < 5
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM sims
+    )
+    SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cosine_sim
+    FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk
+    """,
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join — top-10 exact-cosine neighbors for EACH of a
+    broadcast batch of query vectors (vec_id < 5), the many-query
+    generalization of ann_cosine_topk.
+
+    Scale: the query batch broadcasts (Q rows); each scan partition
+    scores its vectors against all Q in one pass and the per-query
+    top-k resolves in a WindowGroupLimit (rank filter) — no all-pairs
+    shuffle, volume Q x k out of the window.  For Q beyond broadcast
+    size, switch to the IVF/LSH candidate paths (similarity/)."""
+    from automated_etl_pipeline_spark.similarity.brute_force import dot, l2_norm
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    sim = F.round(
+        dot(F.col("embedding"), F.col("q_emb"))
+        / (l2_norm(F.col("embedding")) * l2_norm(F.col("q_emb"))),
+        6,
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "rnk", "neighbor_id", "cosine_sim")
+        .orderBy("query_id", "rnk")
+    )

@@ -129,3 +129,65 @@ def test_merge_delete_tombstones(spark):
     dead = spark.createDataFrame([(2,), (9,)], "k int")
     got = sorted(r.k for r in merge_delete(snap, dead, ["k"]).collect())
     assert got == [1, 3]
+
+
+# ------------- invariants on seeded random change streams -------------
+
+
+def _random_stream(spark, seed=11, n=400, keys=25):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [
+        (
+            int(rng.integers(1, keys + 1)),
+            f"2020-{1 + int(rng.integers(0, 12)):02d}-{1 + int(rng.integers(0, 28)):02d}",
+            i,
+            str(rng.choice(["A", "B", "C", None])),
+        )
+        for i in range(n)
+    ]
+    rows = [(k, d, s, None if a == "None" else a) for k, d, s, a in rows]
+    return spark.createDataFrame(
+        rows, "k int, d string, seq int, attr string"
+    ).withColumn("d", F.to_date("d"))
+
+
+def test_scd2_invariants_random(spark):
+    df = _random_stream(spark)
+    hist = scd2_history(df, ["k"], ["attr"], ts_col="d", tiebreak="seq").cache()
+    # every input row lands in exactly one run
+    assert hist.agg(F.sum("n_updates")).first()[0] == df.count()
+    # exactly one open (valid_to IS NULL) version per key
+    open_per_key = (
+        hist.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_per_key)
+    assert len(open_per_key) == df.select("k").distinct().count()
+    # versions are contiguous 1..n per key
+    bad = (
+        hist.groupBy("k")
+        .agg(F.count("*").alias("n"), F.max("version").alias("mx"), F.min("version").alias("mn"))
+        .filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1))
+        .count()
+    )
+    assert bad == 0
+    # no zero-length intervals: valid_to (when set) >= valid_from
+    assert hist.filter(F.col("valid_to") < F.col("valid_from")).count() == 0
+
+
+def test_merge_invariants_random(spark):
+    from automated_etl_pipeline_spark.operators.merge import merge_upsert
+
+    snap = _random_stream(spark, seed=3).dropDuplicates(["k"])
+    upd = _random_stream(spark, seed=4).dropDuplicates(["k"]).filter("k % 2 = 0")
+    merged = merge_upsert(snap, upd, ["k"]).cache()
+    # key set = union of key sets; one row per key
+    assert merged.count() == merged.select("k").distinct().count()
+    expect_keys = {
+        r.k for r in snap.select("k").union(upd.select("k")).distinct().collect()
+    }
+    assert {r.k for r in merged.select("k").collect()} == expect_keys
+    # idempotent: re-applying the same batch changes nothing
+    again = merge_upsert(merged, upd, ["k"])
+    assert again.exceptAll(merged).count() == 0 and merged.exceptAll(again).count() == 0
