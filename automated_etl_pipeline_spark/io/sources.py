@@ -104,7 +104,12 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     target = min_partitions or sc.defaultParallelism
     try:
         width = len(df.inputFiles())
-    except Exception:  # non-file-backed lineage: fall back to the RDD probe
+    except Exception:
+        width = 0
+    if not width:
+        # non-file-backed lineage (range, shuffle output, in-memory):
+        # inputFiles() is empty, NOT an error — fall back to the exact
+        # probe or we would repartition DOWN a pre-split frame
         width = df.rdd.getNumPartitions()
     if width >= target:
         return df

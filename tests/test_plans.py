@@ -117,3 +117,45 @@ def test_asof_join_is_union_window_not_join(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_quantile_bucket_monotone_and_balanced(spark):
+    """The approxQuantile bucketing must be monotone in the value and
+    roughly balanced on uniform data (the property min/max file
+    skipping relies on)."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.operators.zorder import quantile_bucket
+
+    df = spark.range(20_000).select(F.col("id").cast("double").alias("v"))
+    b = df.select("v", quantile_bucket(df, "v", bits=4).alias("bucket"))
+    # monotone: bucket of max(v) per bucket never exceeds next bucket's min
+    rows = (
+        b.groupBy("bucket")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n"))
+        .orderBy("bucket")
+        .collect()
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo, "buckets overlap — not monotone"
+    # balance: uniform data, 16 buckets -> each within 3x of fair share
+    n = 20_000 / 16
+    assert all(n / 3 <= r.n <= n * 3 for r in rows), [r.n for r in rows]
+    # null handling: null lands in bucket 0, not an error
+    withnull = spark.createDataFrame([(None,), (5.0,)], "v double")
+    got = {
+        r.v: r.bucket
+        for r in withnull.select(
+            "v", quantile_bucket(df, "v", bits=4).alias("bucket")
+        ).collect()
+    }
+    assert got[None] == 0
+
+
+def test_spread_noop_on_wide_input(spark):
+    """spread() must never repartition DOWN — a pre-split input passes
+    through untouched (the 100 TB no-op guarantee)."""
+    from automated_etl_pipeline_spark.io.sources import spread
+
+    wide = spark.range(1000).repartition(64)
+    assert spread(wide, min_partitions=32) is wide

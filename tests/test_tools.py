@@ -33,3 +33,31 @@ def test_float_rounding_unchanged():
     b = normalize([(1.234567890,)])
     assert a == b  # 9-digit round still in force
     assert not math.isnan(float(a[0][0]))
+
+
+def test_lrv_rotation_orders_stale_first(tmp_path, monkeypatch):
+    """__spark_entry__ must order queries never-verified first, then by
+    least-recently-green round; hash mismatch must NOT count as green;
+    no_oracle clean runs must count."""
+    import json
+
+    import __spark_entry__ as e
+
+    files = {
+        "CORRECTNESS_r01.json": {
+            "q_green_r1": {"rows_match": True, "schema_match": True, "hash_match": True},
+            "q_hash_mismatch": {"rows_match": True, "schema_match": True, "hash_match": False},
+            "q_no_oracle": {"rows_match": None, "schema_match": None, "hash_match": None,
+                            "spark_rows": 5, "err": "no_oracle"},
+        },
+        "CORRECTNESS_r02.json": {
+            "q_green_r2": {"rows_match": True, "schema_match": True, "hash_match": True},
+        },
+    }
+    for name, data in files.items():
+        (tmp_path / name).write_text(json.dumps(data))
+    monkeypatch.setattr(e, "_REPO", tmp_path)
+    last = e._last_green_round()
+    assert last["q_green_r1"] == 1 and last["q_green_r2"] == 2
+    assert last["q_no_oracle"] == 1
+    assert "q_hash_mismatch" not in last  # stays in the fresh group
