@@ -1205,3 +1205,143 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rnk", "neighbor_id", "cosine_sim")
         .orderBy("query_id", "rnk")
     )
+
+
+@query(
+    "length_bucketed_batches",
+    """
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) > 0
+    ), bucketed AS (
+      SELECT doc_id, n, least(n // 32, 8) AS len_bucket FROM tok
+    ), numbered AS (
+      SELECT doc_id, n, len_bucket,
+             (row_number() OVER (PARTITION BY len_bucket ORDER BY n, doc_id) - 1) // 16
+               AS batch_id
+      FROM bucketed
+    )
+    SELECT len_bucket, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n) AS BIGINT) AS max_len,
+           CAST(MAX(n) * COUNT(*) - SUM(n) AS BIGINT) AS padding_waste
+    FROM numbered GROUP BY len_bucket, batch_id
+    ORDER BY len_bucket, batch_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed training batches: docs bucketed by token count
+    (32-token-wide buckets, overflow at 256), batched 16-at-a-time
+    within each bucket in (length, doc_id) order; reports per-batch
+    padding waste (max_len*n - sum_len) — the tokens a fixed-shape
+    training step would burn on pad.  Grouping similar lengths is THE
+    standard trick for cutting that waste.
+
+    Scale: the per-bucket row_number is a window over one bucket's docs
+    — bounded skew (9 buckets); at petabyte scale replace it with the
+    two-phase prefix sum used by pack_sequences (same shape, no
+    single-bucket window)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    ).filter(F.col("n") > 0)
+    bucketed = tok.withColumn(
+        "len_bucket", F.least(F.floor(F.col("n") / 32), F.lit(8))
+    )
+    w = Window.partitionBy("len_bucket").orderBy("n", "doc_id")
+    numbered = bucketed.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / 16)
+    )
+    return (
+        numbered.groupBy("len_bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n").alias("max_len"),
+            (F.max("n") * F.count(F.lit(1)) - F.sum("n")).alias("padding_waste"),
+        )
+        .orderBy("len_bucket", "batch_id")
+    )
+
+
+from automated_etl_pipeline_spark.dedup import ngram_jaccard as _ng  # noqa: E402
+
+
+@query(
+    "decontamination_overlap",
+    """
+    WITH probe AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 20 = 0
+    ), corpus AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id % 20 != 0
+    ), pg AS (
+      SELECT doc_id AS bench_doc,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 6),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+             ))) AS g
+      FROM probe WHERE len(t) >= 8
+    ), cg AS (
+      SELECT doc_id AS corpus_doc,
+             UNNEST(list_distinct(list_transform(range(1, len(t) - 6),
+               i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT
+             ))) AS g
+      FROM corpus WHERE len(t) >= 8
+    ), hits AS (
+      SELECT pg.bench_doc, cg.corpus_doc, COUNT(*) AS n_shared
+      FROM pg JOIN cg USING (g) GROUP BY bench_doc, corpus_doc
+    )
+    SELECT p.doc_id AS bench_doc,
+           CAST(COUNT(h.corpus_doc) AS BIGINT) AS n_contaminated_docs,
+           CAST(COALESCE(SUM(h.n_shared), 0) AS BIGINT) AS total_shared_grams
+    FROM probe p LEFT JOIN hits h ON p.doc_id = h.bench_doc
+    GROUP BY p.doc_id ORDER BY p.doc_id
+    """,
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each probe document (a stand-in
+    eval set, doc_id % 20 = 0), how many corpus documents share >= 1
+    distinct 8-gram and how many gram hits in total — the overlap
+    audit run before training on a scraped corpus (8-grams are the
+    usual contamination unit: long enough to be specific, short enough
+    to survive light edits).
+
+    Scale: probe gram sets are tiny relative to the corpus — broadcast
+    them; the corpus side explodes to (gram, doc) pairs and the join
+    is a hash join on the 60-bit gram key.  No df-cap needed: 8-grams
+    are rare by construction, so gram fan-out is near-linear."""
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def grams8(df, out_id):
+        t = F.split("text", " ")
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 7),
+                lambda i: _ng.shingle_hash60(F.concat_ws(" ", F.slice(t, i, 8))),
+            )
+        )
+        return (
+            df.filter(F.size(t) >= 8)
+            .select(F.col("doc_id").alias(out_id), g.alias("gs"))
+            .select(out_id, F.explode("gs").alias("g"))
+        )
+
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = spread(docs.filter(F.col("doc_id") % 20 != 0))
+    pg = grams8(probe, "bench_doc")
+    cg = grams8(corpus, "corpus_doc")
+    hits = (
+        cg.join(F.broadcast(pg), "g")
+        .groupBy("bench_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        probe.select(F.col("doc_id").alias("bench_doc"))
+        .join(hits, "bench_doc", "left")
+        .groupBy("bench_doc")
+        .agg(
+            F.count("corpus_doc").alias("n_contaminated_docs"),
+            F.coalesce(F.sum("n_shared"), F.lit(0)).alias("total_shared_grams"),
+        )
+        .orderBy("bench_doc")
+    )
