@@ -1345,3 +1345,222 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bench_doc")
     )
+
+
+# ----------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher rules), source mixture
+# weighting, and train/val/test splitting — the remaining curation
+# steps between "deduped corpus" and "training shards".
+# ----------------------------------------------------------------------
+
+
+@query(
+    "repetition_quality_flags",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)),
+               i -> array_to_string(t[i:i+1], chr(31)))) AS g
+      FROM tok
+    ), bgc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ), bstat AS (
+      SELECT doc_id,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+      FROM bgc GROUP BY doc_id
+    ), tg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - 1),
+               i -> array_to_string(t[i:i+2], chr(31)))) AS g
+      FROM tok
+    ), tgc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g
+    ), tstat AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c)
+               AS dup_trigram_frac
+      FROM tgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.top_bigram_frac, t.dup_trigram_frac,
+           (b.top_bigram_frac > 0.18 OR t.dup_trigram_frac > 0.30) AS flagged
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def repetition_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, public): per
+    document, the fraction of bigram occurrences taken by the single
+    most frequent bigram, and the fraction of trigram occurrences that
+    belong to trigrams appearing more than once.  Docs over threshold
+    (0.18 / 0.30) are flagged as boilerplate/spam — the standard
+    repetition gate run after dedup and before mixing.
+
+    Both fractions are exact int/int divisions (hash-stable vs the
+    oracle).  Scale: explode to (doc_id, gram), two-level agg keyed on
+    doc_id — map-side partial agg collapses each doc's grams before the
+    exchange; keys are near-uniform (doc_id), no skew.  No windows, no
+    driver state."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = spread(
+        docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 3)
+    )
+
+    def gram_counts(width: int):
+        g = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (width - 1)),
+                lambda i: F.concat_ws("\x1f", F.slice("t", i, width)),
+            )
+        )
+        return (
+            base.select("doc_id", g.alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bstat = (
+        gram_counts(2)
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac")
+        )
+    )
+    tstat = (
+        gram_counts(3)
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum("c")
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        bstat.join(tstat, "doc_id")
+        .select(
+            "doc_id",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+            (
+                (F.col("top_bigram_frac") > 0.18)
+                | (F.col("dup_trigram_frac") > 0.30)
+            ).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "source_mixture_weights",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY source
+    ), t AS (
+      SELECT SUM(n_tokens) AS tot,
+             SUM(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS pow_sum
+      FROM s
+    )
+    SELECT s.source, CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(s.n_tokens AS DOUBLE) / t.tot, 6) AS token_share,
+           round(pow(CAST(s.n_tokens AS DOUBLE), 0.7) / t.pow_sum, 6)
+             AS mixture_weight,
+           round((pow(CAST(s.n_tokens AS DOUBLE), 0.7) / t.pow_sum)
+                 / (CAST(s.n_tokens AS DOUBLE) / t.tot), 6)
+             AS oversample_factor
+    FROM s CROSS JOIN t ORDER BY s.source
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha=0.7, the multilingual /
+    multi-corpus sampling rule from public LM recipes): per source,
+    token share p, mixture weight p^a normalized, and the implied
+    oversample factor w/p.  This is the table a sharding job consumes
+    to draw training batches across heterogeneous sources.
+
+    Scale: one groupBy(source) with map-side combine, then a 1-row
+    totals aggregate broadcast-crossJoined back (sources are few by
+    definition).  pow() on identical doubles, rounded to 6 — stable vs
+    the oracle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+        )
+    )
+    tot = s.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), 0.7)).alias("pow_sum"),
+    )
+    p = F.col("n_tokens").cast("double") / F.col("tot")
+    w = F.pow(F.col("n_tokens").cast("double"), 0.7) / F.col("pow_sum")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("token_share"),
+            F.round(w, 6).alias("mixture_weight"),
+            F.round(w / p, 6).alias("oversample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "split_train_val_test",
+    """
+    WITH tagged AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket of
+    doc_id — content-stable (re-runs and late-arriving shards land in
+    the same split; no RNG, no seed file to lose), reported as per
+    (split, lang) doc and token counts for mixture bookkeeping.
+
+    Scale: pure column expressions plus one 2-key aggregate; the hash
+    assignment is embarrassingly parallel and retry-stable — the same
+    property sample_stratified_hash relies on."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+        )
+        .orderBy("split", "lang")
+    )
