@@ -40,6 +40,29 @@ DEFAULT_K = 4
 DEFAULT_W = 5
 
 
+def gram_hash_array(tokens: Column, k: int = DEFAULT_K) -> Column:
+    """Ordered 60-bit k-gram hashes of an ordered token array."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
+        lambda i: shingle_hash60(F.concat_ws(" ", F.slice(tokens, i, k))),
+    )
+
+
+def window_minima_set(grams: Column, w: int = DEFAULT_W) -> Column:
+    """Distinct minima of every w-wide window of consecutive gram
+    hashes.  ``grams`` MUST be a materialized column attribute, never
+    the gram-hash expression itself: higher-order lambdas run outside
+    codegen with no common-subexpression elimination, so an inlined
+    gram expression is recomputed for every window — O(n²) md5 calls
+    per document (the round-1 MinHash lesson)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+
+
 def winnow_fingerprint_set(
     tokens: Column, k: int = DEFAULT_K, w: int = DEFAULT_W
 ) -> Column:
@@ -47,16 +70,14 @@ def winnow_fingerprint_set(
 
     Caller must filter ``size(tokens) >= k + w - 1`` (shorter docs
     have no full window; ``F.sequence`` would run DESCENDING for a
-    negative span and silently fabricate windows)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (k - 1)),
-        lambda i: shingle_hash60(F.concat_ws(" ", F.slice(tokens, i, k))),
-    )
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-        lambda j: F.array_min(F.slice(grams, j, w)),
-    )
-    return F.array_distinct(wins)
+    negative span and silently fabricate windows).
+
+    Single-expression convenience for tests/small frames ONLY — it
+    inlines the gram array into the window lambda and pays the O(n²)
+    recompute above.  Pipelines go through ``gram_hash_array`` +
+    ``window_minima_set`` across two projections (see
+    ``fingerprint_pairs``)."""
+    return window_minima_set(gram_hash_array(tokens, k), w)
 
 
 def fingerprint_pairs(
@@ -74,7 +95,11 @@ def fingerprint_pairs(
     fp = (
         docs.select(F.col(id_col), toks.alias("t"))
         .filter(F.size("t") >= k + w - 1)
-        .select(id_col, winnow_fingerprint_set(F.col("t"), k, w).alias("fp"))
+        # two projections: "h" is an attribute (referenced twice below —
+        # size + slice — so CollapseProject keeps it), and each gram is
+        # hashed exactly once instead of once per window
+        .select(id_col, gram_hash_array(F.col("t"), k).alias("h"))
+        .select(id_col, window_minima_set(F.col("h"), w).alias("fp"))
         .localCheckpoint()  # consumed by df-agg AND both join sides
     )
     inv = fp.select(id_col, F.explode("fp").alias("f"))
