@@ -1564,3 +1564,178 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+# ----------------------------------------------------------------------
+# PII / denylist scrubbing, per-source caps, and int8 quantization —
+# the scrub-and-ship end of the curation pipeline.
+# ----------------------------------------------------------------------
+
+# The synthetic corpus contains no emails/phones (functions/redact.py's
+# PII_PATTERNS are exercised on literal fixtures in tests/test_curation
+# .py); the gate scrubs a denylist pattern that actually fires here so
+# the regex path is driver-verified end-to-end.
+_DENY_PATTERN = r"\b(key|hash)\w*\b"
+
+
+@query(
+    "pii_denylist_redaction",
+    r"""
+    WITH r AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '\b(key|hash)\w*\b')) AS n_hits,
+             len(regexp_replace(text, '\b(key|hash)\w*\b', '[TERM]', 'g'))
+               AS n_res
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_touched,
+           CAST(SUM(n_hits) AS BIGINT) AS total_redactions,
+           CAST(SUM(n_res) AS BIGINT) AS redacted_chars
+    FROM r GROUP BY lang ORDER BY lang
+    """,
+)
+def pii_denylist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist/PII scrub audit: per lang, how many docs were touched,
+    how many spans were replaced, and the post-scrub character volume.
+    The scrub itself (functions/redact.py) is chained regexp_replace —
+    pure codegen expressions, written in the Java-regex ∩ RE2 subset so
+    the identical pattern runs in the DuckDB oracle.
+
+    Scale: a narrow projection over the text scan plus one tiny
+    aggregate — the scrub is a free rider on any pass that already
+    reads the text column; no shuffle beyond the 5-group agg."""
+    from automated_etl_pipeline_spark.functions.redact import (
+        match_count,
+        redact,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            match_count(F.col("text"), _DENY_PATTERN).alias("n_hits"),
+            F.length(
+                redact(F.col("text"), {"deny": _DENY_PATTERN}, "[TERM]")
+            ).alias("n_res"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") > 0).cast("long")).alias("docs_touched"),
+            F.sum("n_hits").alias("total_redactions"),
+            F.sum("n_res").alias("redacted_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "source_cap_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+           CAST(SUM(n) AS BIGINT) AS kept_tokens
+    FROM ranked WHERE rk <= 15 GROUP BY source ORDER BY source
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (anti-over-representation: no single
+    domain may contribute more than N docs), deterministic via
+    md5(doc_id) ordering — re-runs and late shards pick the same
+    survivors, no RNG. Reports per-source kept counts plus id/token
+    checksums over the survivor set.
+
+    Scale: the rank-then-filter shape is exactly what Spark's
+    WindowGroupLimit rewrite targets — each map task keeps only its
+    local top-N per source BEFORE the shuffle, so a billion-doc source
+    moves N×partitions rows, not a billion, through the exchange (plan
+    asserted in tests/test_plans.py)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n"),
+        F.row_number().over(w).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 15)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("kept_id_sum"),
+            F.sum("n").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "emb_quantize_int8",
+    """
+    WITH q AS (
+      SELECT label, embedding,
+             127.0 / CAST(list_max(list_transform(embedding,
+               x -> abs(x))) AS DOUBLE) AS scale
+      FROM embeddings
+    ), c AS (
+      SELECT label,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))
+               AS codes,
+             list_max(list_transform(embedding, x ->
+               abs(CAST(x AS DOUBLE)
+                   - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))
+               AS max_err
+      FROM q)
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(list_sum(codes)) AS BIGINT) AS code_sum,
+           CAST(SUM(list_sum(list_transform(codes, c -> abs(c))))
+             AS BIGINT) AS code_abs_sum,
+           round(MAX(max_err), 6) AS max_q_err
+    FROM c GROUP BY label ORDER BY label
+    """,
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (similarity/quantize.py):
+    per-vector scale 127/max|x|, codes floor(x*scale+0.5). Reported as
+    per-label integer code checksums plus the worst dequantization
+    error — the audit a 4×-compression rollout of a 100 TB embedding
+    store would run. floor(+0.5) pins rounding identically in Spark
+    and DuckDB; all checksums are integers (no float fold-order).
+
+    Scale: two narrow projections (max-abs materialized once per
+    vector — HOFs get no CSE) and one small agg; no shuffle beyond the
+    label groupBy."""
+    from automated_etl_pipeline_spark.similarity.quantize import with_int8
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    q = with_int8(emb, "embedding")
+    per_vec = q.select(
+        "label",
+        F.aggregate(
+            "q_codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.aggregate(
+            "q_codes", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("code_abs_sum"),
+        "q_max_err",
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("code_sum").alias("code_sum"),
+            F.sum("code_abs_sum").alias("code_abs_sum"),
+            F.round(F.max("q_max_err"), 6).alias("max_q_err"),
+        )
+        .orderBy("label")
+    )

@@ -61,3 +61,86 @@ def test_split_conserves_docs_and_tokens(spark):
     assert set(by_split) == {"train", "val", "test"}
     # md5 buckets are near-uniform: 90/5/5 within wide tolerance at 500 docs
     assert 0.80 <= by_split["train"] / tot.n <= 0.97
+
+
+def test_pii_patterns_redact_fixtures(spark):
+    """functions/redact.py built-in PII patterns on literal fixtures
+    (the synthetic corpus has no PII; the gate exercises the denylist
+    path — this exercises the shipped email/phone/ip/ssn patterns)."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.functions.redact import (
+        PII_PATTERNS,
+        match_count,
+        redact,
+        total_match_count,
+    )
+
+    rows = [
+        ("contact alice.smith+x@example.co.uk or bob@sub.domain.org now", 2),
+        ("call +1 (555) 123-4567 today", 1),
+        # dotted-quads match BOTH ipv4 and the phone pattern (digit +
+        # 6+ separator-or-digit + digit) — scrub-volume double-counts
+        # overlapping patterns by design; the text is still scrubbed once
+        ("server at 10.0.255.7 and 192.168.1.1", 4),
+        ("ssn 123-45-6789 on file", 2),  # ssn + phone overlap, as above
+        ("nothing sensitive here", 0),
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    got = df.select(
+        "expected",
+        total_match_count(F.col("text")).alias("n"),
+        redact(F.col("text")).alias("clean"),
+    ).collect()
+    for r in got:
+        assert r.n == r.expected, r
+    # every sensitive span is gone from the redacted text
+    joined = " ".join(r.clean for r in got)
+    for frag in ("@", "555", "10.0.255.7", "123-45-6789"):
+        assert frag not in joined
+    # per-pattern counts are individually correct on a mixed row
+    mixed = spark.createDataFrame(
+        [("a@b.io and 1.2.3.4 and 123-45-6789",)], ["text"]
+    ).select(
+        *[
+            match_count(F.col("text"), p).alias(k)
+            for k, p in PII_PATTERNS.items()
+        ]
+    ).first()
+    assert (mixed.email, mixed.ipv4, mixed.ssn) == (1, 1, 1)
+
+
+def test_source_cap_respects_cap_and_is_deterministic(spark):
+    q = entry_mod.queries()["source_cap_sample"]
+    a = {r.source: r for r in q(spark, SF_SMOKE).collect()}
+    b = {r.source: r for r in q(spark, SF_SMOKE).collect()}
+    assert a and set(a) == set(b)
+    for src, r in a.items():
+        assert 0 < r.n_kept <= 15
+        assert r.kept_id_sum == b[src].kept_id_sum  # same survivors
+        assert r.kept_tokens == b[src].kept_tokens
+
+
+def test_int8_quantization_bounds_and_roundtrip(spark):
+    """Codes in [-127,127], worst dequant error <= 0.5/scale, and the
+    all-zero vector degenerates safely (scale 0, codes 0, err 0)."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.similarity.quantize import with_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [1e-3, -1e-3, 5e-4, 2e-4]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {r.vec_id: r for r in with_int8(df).collect()}
+    for r in out.values():
+        assert all(-127 <= c <= 127 for c in r.q_codes)
+        if r.q_scale > 0:
+            assert max(abs(c) for c in r.q_codes) == 127
+            assert r.q_max_err <= 0.5 / r.q_scale + 1e-12
+    z = out[3]
+    assert z.q_scale == 0.0 and set(z.q_codes) == {0} and z.q_max_err == 0.0

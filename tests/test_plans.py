@@ -159,3 +159,12 @@ def test_spread_noop_on_wide_input(spark):
 
     wide = spark.range(1000).repartition(64)
     assert spread(wide, min_partitions=32) is wide
+
+
+def test_source_cap_uses_window_group_limit(spark):
+    """source_cap_sample's rank-filter must hit the WindowGroupLimit
+    rewrite: each map task pre-trims to the per-source cap before the
+    shuffle — the property that bounds a billion-doc source's exchange
+    volume to cap x partitions."""
+    plan = plan_of(spark, "source_cap_sample")
+    assert "WindowGroupLimit" in plan
