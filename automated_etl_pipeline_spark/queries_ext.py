@@ -1287,3 +1287,49 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ] else None
         shutil.rmtree(drop, ignore_errors=True)
     return out.orderBy("user_id", "session_start_us")
+
+
+@query(
+    "rolling_90d_peak_spend",
+    """
+    WITH r AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+               RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) AS roll
+      FROM orders)
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(MAX(roll) AS DOUBLE) AS peak_90d_spend
+    FROM r GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame rolling aggregate: each order's trailing
+    90-day spend for its customer, reduced to the per-customer peak —
+    the burst-detection shape (peak trailing spend / rate limiting /
+    trailing-window features) that a ROWS frame gets wrong whenever
+    event density varies. The frame is value-based: all orders within
+    89 days before the current one, including same-day peers, exactly
+    matching DuckDB's RANGE BETWEEN on the same integer day offset.
+
+    Scale: one hash-partition shuffle on o_custkey, per-partition sort,
+    single window pass — no global window, no driver state. DECIMAL
+    partial sums keep the oracle hash-stable."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
+    base = orders.select(
+        "o_custkey",
+        day.alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-89, 0)
+    return (
+        base.select("o_custkey", F.sum("p").over(w).alias("roll"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("roll").cast("double").alias("peak_90d_spend"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -1739,3 +1739,53 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "weighted_sample_aes",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS w,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, round(w, 6) AS weight,
+           round(pow(u, 1.0 / w), 6) AS sample_key
+    FROM scored ORDER BY sample_key DESC, doc_id LIMIT 50
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES, 2006, public): key = u^(1/w) with u uniform from md5(doc_id)
+    and w a quality weight (distinct-token ratio) — the top-k keys ARE
+    a weighted sample, drawn deterministically (retry/re-run stable,
+    no RNG state) and in one distributed pass. This is how a curation
+    pipeline draws a quality-weighted training subset at 100 TB: no
+    per-source iteration, no rejection loop.
+
+    Scale: embarrassingly parallel scoring + TakeOrderedAndProject
+    top-k — no shuffle at all. Keys rounded to 6dp before ranking with
+    a doc_id tiebreak (libm pow may differ in the last ulp across
+    engines)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = F.split("text", " ")
+    w_expr = F.size(F.array_distinct(tok)).cast("double") / F.size(tok)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    scored = docs.select(
+        "doc_id", w_expr.alias("w"), u.alias("u")
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round("w", 6).alias("weight"),
+            F.round(F.pow("u", 1.0 / F.col("w")), 6).alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), "doc_id")
+        .limit(50)
+    )

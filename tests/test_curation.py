@@ -144,3 +144,16 @@ def test_int8_quantization_bounds_and_roundtrip(spark):
             assert r.q_max_err <= 0.5 / r.q_scale + 1e-12
     z = out[3]
     assert z.q_scale == 0.0 and set(z.q_codes) == {0} and z.q_max_err == 0.0
+
+
+def test_weighted_sample_aes_keys_and_determinism(spark):
+    q = entry_mod.queries()["weighted_sample_aes"]
+    a = q(spark, SF_SMOKE).collect()
+    b = q(spark, SF_SMOKE).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    assert len(a) == min(50, len(a)) and len(a) > 0
+    for r in a:
+        assert 0.0 < r.weight <= 1.0
+        assert 0.0 <= r.sample_key <= 1.0
+    keys = [r.sample_key for r in a]
+    assert keys == sorted(keys, reverse=True)

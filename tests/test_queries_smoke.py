@@ -51,3 +51,25 @@ def test_approx_sketches_track_exact(spark):
     ).first()
     assert abs(r.approx_d - r.exact_d) / r.exact_d < 0.05
     assert abs(r.approx_p50 - r.exact_p50) / r.exact_p50 < 0.02
+
+
+def test_rolling_peak_at_least_max_single_order(spark):
+    """The trailing-90d frame always contains the current order, so the
+    per-customer peak can never be below the largest single order."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+
+    peak = entry_mod.queries()["rolling_90d_peak_spend"](spark, SF_SMOKE)
+    orders = load_testdata(spark, SF_SMOKE, ["orders"])["orders"]
+    mx = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = peak.join(mx, "o_custkey").collect()
+    assert j
+    for r in j:
+        assert r.n_orders == r.n
+        assert r.peak_90d_spend >= r.mx - 1e-6
