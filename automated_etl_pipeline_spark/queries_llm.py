@@ -1789,3 +1789,80 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "fingerprint_pagerank",
+    """
+    WITH RECURSIVE
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS f
+      FROM documents),
+    grp AS (SELECT f FROM fp GROUP BY f HAVING COUNT(*) BETWEEN 2 AND 50),
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM fp a JOIN grp USING (f) JOIN fp b USING (f)
+      WHERE a.doc_id <> b.doc_id),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM documents),
+    pr(iter, doc_id, r) AS (
+      SELECT 0, doc_id, CAST(1.0 AS DOUBLE) / (SELECT cnt FROM n)
+      FROM documents
+      UNION ALL
+      SELECT p.iter + 1, p.doc_id,
+             CAST(0.15 AS DOUBLE) / (SELECT cnt FROM n)
+             + CAST(0.85 AS DOUBLE) * CAST(COALESCE(s.m, 0) AS DOUBLE)
+      FROM (SELECT * FROM pr WHERE iter < 5) p
+      LEFT JOIN (
+        SELECT e.dst, SUM(CAST(pr2.r / dg.d AS DECIMAL(20,12))) AS m
+        FROM pr pr2
+        JOIN edges e ON pr2.doc_id = e.src
+        JOIN deg dg ON dg.src = e.src
+        GROUP BY e.dst) s ON s.dst = p.doc_id)
+    SELECT doc_id, round(r, 9) AS pagerank
+    FROM pr WHERE iter = 5 ORDER BY doc_id
+    """,
+)
+def fingerprint_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed power iterations, d=0.85) over the prefix-
+    fingerprint co-membership graph — link-centrality as a document
+    quality prior, the corpus-level signal web-scale curation uses
+    alongside per-document filters. Hub fingerprints (>50 docs) are
+    dropped before edge expansion so a boilerplate prefix can't blow
+    the edge list up quadratically (same cap idea as MinHash's
+    max_bucket).
+
+    Scale: graph/pagerank.py — per-iteration cost is one src-shuffle
+    join + one dst-shuffle decimal aggregate, lineage checkpointed
+    every 2 rounds; edges/degrees computed once. Decimal contribution
+    sums make values bit-stable across partitionings and equal to the
+    recursive-CTE oracle."""
+    from automated_etl_pipeline_spark.graph.pagerank import pagerank
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "f"
+        ),
+    )
+    grp = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter((F.col("nf") >= 2) & (F.col("nf") <= 50))
+        .select("f")
+    )
+    fpk = fp.join(grp, "f")
+    a, b = fpk.alias("a"), fpk.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.f") == F.col("b.f"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    ranks = pagerank(
+        docs.select("doc_id"), edges, id_col="doc_id", iters=5, damping=0.85
+    )
+    return ranks.select(
+        "doc_id", F.round("pagerank", 9).alias("pagerank")
+    ).orderBy("doc_id")

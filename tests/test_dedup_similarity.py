@@ -219,3 +219,38 @@ def test_sign_code_vectorized_matches_hof(spark):
     a = emb.select("vec_id", sign_code(F.col("embedding")).alias("c1"))
     b = emb.select("vec_id", sign_code_vectorized()(F.col("embedding")).alias("c2"))
     assert a.join(b, "vec_id").filter(F.col("c1") != F.col("c2")).count() == 0
+
+
+def test_pagerank_matches_hand_computed_power_iteration(spark):
+    """Triangle 1-2-3 (symmetric) plus isolated node 4, checked against
+    an independent numpy power iteration with the same fixed-iteration,
+    no-dangling-redistribution semantics."""
+    import numpy as np
+
+    from automated_etl_pipeline_spark.graph.pagerank import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["doc_id"])
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {
+        r.doc_id: r.pagerank
+        for r in pagerank(nodes, edges, iters=5).collect()
+    }
+
+    n, d = 4, 0.85
+    ids = [1, 2, 3, 4]
+    adj = {1: [2, 3], 2: [1, 3], 3: [1, 2], 4: []}
+    pr = {i: 1.0 / n for i in ids}
+    for _ in range(5):
+        nxt = {}
+        for v in ids:
+            s = sum(pr[u] / len(adj[u]) for u in ids if v in adj[u])
+            nxt[v] = (1 - d) / n + d * s
+        pr = nxt
+    for i in ids:
+        assert abs(got[i] - pr[i]) < 1e-9, (i, got[i], pr[i])
+    # triangle nodes equal by symmetry; isolated node settles at (1-d)/N
+    assert abs(got[4] - 0.15 / 4) < 1e-12
+    assert abs(got[1] - got[2]) < 1e-12 and abs(got[2] - got[3]) < 1e-12

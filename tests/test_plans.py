@@ -168,3 +168,28 @@ def test_source_cap_uses_window_group_limit(spark):
     volume to cap x partitions."""
     plan = plan_of(spark, "source_cap_sample")
     assert "WindowGroupLimit" in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-partitioned parquet layout: a filter on the partition column
+    must become a PartitionFilter (directory pruning — zero IO for the
+    other partitions), not a post-scan filter. This is the layout
+    validated_append writes (io/sinks.py partition_by) and the single
+    biggest scan-cost lever at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+
+    orders = load_testdata(spark, SF_SMOKE, ["orders"])["orders"]
+    path = str(tmp_path / "orders_by_priority")
+    orders.withColumn("prio", F.col("o_orderpriority")).write.mode(
+        "overwrite"
+    ).partitionBy("prio").parquet(path)
+
+    back = spark.read.parquet(path).filter(F.col("prio") == "1-URGENT")
+    plan = executed_plan(back)
+    assert "PartitionFilters" in plan
+    line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "1-URGENT" in line
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert back.count() == expected
