@@ -1866,3 +1866,155 @@ def fingerprint_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "doc_id", F.round("pagerank", 9).alias("pagerank")
     ).orderBy("doc_id")
+
+
+@query(
+    "ann_int8_topk",
+    """
+    WITH q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    q1 AS (SELECT qe, CAST(list_max(list_transform(qe, x -> abs(x)))
+                      AS DOUBLE) AS qmax FROM q0),
+    q2 AS (SELECT qmax, list_transform(qe, x ->
+             CAST(floor(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / qmax)
+                        + 0.5) AS BIGINT)) AS qc FROM q1),
+    e1 AS (SELECT vec_id, label, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+               AS DOUBLE) AS emax
+           FROM embeddings),
+    e2 AS (SELECT vec_id, label, emax, list_transform(embedding, x ->
+             CAST(floor(CAST(x AS DOUBLE) * (CAST(127 AS DOUBLE) / emax)
+                        + 0.5) AS BIGINT)) AS ec FROM e1)
+    SELECT e2.vec_id, e2.label,
+           CAST(list_sum(list_transform(range(1, 65), i -> ec[i] * qc[i]))
+             AS BIGINT) AS int_dot,
+           round(emax * qmax / 16129.0
+                 * list_sum(list_transform(range(1, 65), i -> ec[i] * qc[i])),
+                 6) AS approx_dot
+    FROM e2 CROSS JOIN q2
+    ORDER BY approx_dot DESC, vec_id LIMIT 20
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 neighbors of vec_id=0 scored on int8-quantized vectors:
+    the integer code dot product, dequantized by emax*qmax/127^2 — the
+    serving path quantization buys (4x smaller vectors, integer
+    multiply-accumulate). The integer dot is EXACT cross-engine; only
+    the final dequantized score is float, rounded to 6dp with a vec_id
+    tiebreak. Recall vs the float baseline is asserted in
+    tests/test_dedup_similarity.py.
+
+    Scale: same shape as ann_cosine_topk — broadcast 1-row quantized
+    query, narrow per-row scoring, TakeOrderedAndProject top-k; the
+    max-abs scan is materialized per vector before the quantize lambda
+    (HOFs get no CSE)."""
+    from automated_etl_pipeline_spark.similarity.quantize import (
+        abs_max,
+        quantize_expr,
+    )
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    e1 = emb.select(
+        "vec_id", "label", "embedding", abs_max(F.col("embedding")).alias("emax")
+    )
+    e2 = e1.select(
+        "vec_id",
+        "label",
+        "emax",
+        quantize_expr(
+            F.col("embedding"), F.lit(127.0) / F.col("emax")
+        ).alias("ec"),
+    )
+    q1 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        abs_max(F.col("embedding")).alias("qmax"),
+    )
+    q2 = q1.select(
+        "qmax",
+        quantize_expr(F.col("qe"), F.lit(127.0) / F.col("qmax")).alias("qc"),
+    )
+    both = e2.crossJoin(F.broadcast(q2))
+    int_dot = F.aggregate(
+        F.zip_with("ec", "qc", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = both.select(
+        "vec_id",
+        "label",
+        int_dot.alias("int_dot"),
+        F.round(
+            F.col("emax") * F.col("qmax") / F.lit(16129.0) * int_dot, 6
+        ).alias("approx_dot"),
+    )
+    return scored.orderBy(F.desc("approx_dot"), F.asc("vec_id")).limit(20)
+
+
+@query(
+    "incremental_ingest_dedup",
+    """
+    WITH tagged AS (
+      SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 AS b
+      FROM documents),
+    corpus AS (SELECT * FROM tagged WHERE b < 80),
+    batch AS (SELECT * FROM tagged WHERE b >= 80),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    cf AS (SELECT DISTINCT
+             md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS f
+           FROM corpus)
+    SELECT batch.lang, COUNT(*) AS n_batch,
+           CAST(SUM(CASE WHEN ch.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS exact_dups,
+           CAST(SUM(CASE WHEN ch.h IS NULL AND cf.f IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+           CAST(SUM(CASE WHEN ch.h IS NULL AND cf.f IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS kept
+    FROM batch
+    LEFT JOIN ch ON md5(batch.text) = ch.h
+    LEFT JOIN cf ON md5(array_to_string(string_split(batch.text, ' ')[1:8],
+                        ' ')) = cf.f
+    GROUP BY batch.lang ORDER BY batch.lang
+    """,
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a new crawl batch (hash-bucketed
+    20% of documents) checked against the existing corpus (the other
+    80%) — exact content-hash hits dropped first, then prefix-
+    fingerprint near-dup hits, remainder kept. This is the shape of
+    every continuous-crawl pipeline: the corpus index is an append-only
+    hash set; the batch never rescans corpus text.
+
+    Scale: the corpus side reduces to DISTINCT 128-bit hashes (tiny
+    relative to text) before the joins; the batch side is the small,
+    new data. Both joins are equi-joins on the hash — shuffle bounded
+    by hash-set size, not corpus text size; at 100 TB the hash set is
+    the only thing that persists between runs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    tagged = docs.select("doc_id", "lang", "text", bucket.alias("b"))
+    corpus = tagged.filter(F.col("b") < 80)
+    batch = tagged.filter(F.col("b") >= 80)
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    cf = corpus.select(fp.alias("f")).distinct()
+    flagged = (
+        batch.select("lang", F.md5("text").alias("bh"), fp.alias("bf"))
+        .join(ch, F.col("bh") == F.col("h"), "left")
+        .join(cf, F.col("bf") == F.col("f"), "left")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("h").isNotNull().cast("long")).alias("exact_dups"),
+            F.sum(
+                (F.col("h").isNull() & F.col("f").isNotNull()).cast("long")
+            ).alias("near_dups"),
+            F.sum(
+                (F.col("h").isNull() & F.col("f").isNull()).cast("long")
+            ).alias("kept"),
+        )
+        .orderBy("lang")
+    )

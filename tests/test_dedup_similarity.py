@@ -254,3 +254,36 @@ def test_pagerank_matches_hand_computed_power_iteration(spark):
     # triangle nodes equal by symmetry; isolated node settles at (1-d)/N
     assert abs(got[4] - 0.15 / 4) < 1e-12
     assert abs(got[1] - got[2]) < 1e-12 and abs(got[2] - got[3]) < 1e-12
+
+
+def test_int8_ann_recall_vs_float_baseline(spark):
+    """Int8 scoring is an approximation of the float dot product — its
+    top-20 must overlap the exact cosine top-20 heavily (the corpus
+    vectors are near-unit-norm, so dot and cosine rank alike)."""
+    import __spark_entry__ as entry_mod
+
+    from tests.conftest import SF_SMOKE
+
+    qs = entry_mod.queries()
+    int8 = {r.vec_id for r in qs["ann_int8_topk"](spark, SF_SMOKE).collect()}
+    exact = {
+        r.vec_id for r in qs["ann_cosine_topk"](spark, SF_SMOKE).collect()
+    }
+    assert len(int8) == 20 and len(exact) == 20
+    assert len(int8 & exact) >= 15, sorted(int8 & exact)
+
+
+def test_incremental_ingest_dedup_conserves_batch(spark):
+    import __spark_entry__ as entry_mod
+
+    from tests.conftest import SF_SMOKE
+
+    rows = entry_mod.queries()["incremental_ingest_dedup"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_batch == r.exact_dups + r.near_dups + r.kept
+        assert r.kept >= 0 and r.exact_dups >= 0 and r.near_dups >= 0
+    # the hash split puts ~20% of docs in the batch
+    assert 0.05 <= sum(r.n_batch for r in rows) / 500 <= 0.40
