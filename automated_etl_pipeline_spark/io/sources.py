@@ -58,22 +58,37 @@ def read_parquet(
 
 
 def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) isn't a Spark type: with
-    ``spark.sql.legacy.parquet.nanosAsLong=true`` the column scans as
-    int64 nanos; convert to microsecond timestamps with plain ``div``
-    (truncation toward zero).  For pre-epoch values this rounds UP
-    (-1501 ns → -1 µs), which is exactly what the installed DuckDB's
-    ns→µs cast does — pinned by
-    tests/test_io.py::test_normalize_nanos_pre_epoch_matches_duckdb,
-    which fails loudly if a DuckDB upgrade flips to floor semantics.
-    Integer-only arithmetic: int64 nanos exceed 2^53, so a double
-    round-trip would lose precision."""
+    """Normalize every physical timestamp encoding the testdata has
+    shipped to ONE canonical Spark ``TIMESTAMP`` type, so no consumer
+    (queries, streaming, tests) ever branches on the scan type.
+
+    - int64 nanos (parquet TIMESTAMP(NANOS) under
+      ``spark.sql.legacy.parquet.nanosAsLong=true``): convert to
+      microsecond timestamps with plain ``div`` (truncation toward
+      zero).  For pre-epoch values this rounds UP (-1501 ns → -1 µs),
+      which is exactly what the installed DuckDB's ns→µs cast does —
+      pinned by tests/test_io.py::
+      test_normalize_nanos_pre_epoch_matches_duckdb, which fails loudly
+      if a DuckDB upgrade flips to floor semantics.  Integer-only
+      arithmetic: int64 nanos exceed 2^53, so a double round-trip would
+      lose precision.
+    - TIMESTAMP_NTZ (parquet µs with ``isAdjustedToUTC=false`` — the
+      pandas/pyarrow default): ``cast("timestamp")`` reinterprets the
+      wall-clock instant in the session timezone, which is pinned to
+      UTC (session.py), so the cast is a pure type change with zero
+      shift.  DuckDB reads the same parquet as naive timestamps, so
+      oracle hashes stay aligned.  NTZ-only expressions like
+      ``unix_micros`` then work everywhere downstream.
+    """
     from pyspark.sql import types as T
 
     fields = {f.name: f.dataType for f in df.schema.fields}
     for c in ts_cols:
-        if isinstance(fields.get(c), T.LongType):
+        dt = fields.get(c)
+        if isinstance(dt, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -47,8 +47,11 @@ def main() -> None:
         if prev is not None:
             prev.stop()
         s = get_spark("bench")
-        # Warm-up: JVM, parquet footer reads, codegen caches.
-        s.read.parquet(f"{sf_dir}/region.parquet").count()
+        try:
+            # Warm-up: JVM, parquet footer reads, codegen caches.
+            s.read.parquet(f"{sf_dir}/region.parquet").count()
+        except Exception:
+            pass  # warm-up is best-effort; never kill the harness
         return s
 
     spark = fresh_session()
@@ -63,19 +66,34 @@ def main() -> None:
     # that lands on a single sf0.1 timing here (measured: dedup_simhash
     # 56s cold vs 8s warm in the same fresh session). The warm pass runs
     # the same plan shape on sf0.001 so the timed number is steady-state.
+    # SPARK_GRAFT_BENCH_COLD=1 skips it (cold numbers, comparable to a
+    # driver bench that has no warm pass) so warm-vs-cold regressions are
+    # attributable to code, not methodology (VERDICT r3 ask #6).
     WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") not in ("", "0")
 
+    # Failure isolation (VERDICT r3 ask #2): one broken query must never
+    # zero out the whole round's perf signal. Errors are recorded per
+    # query under "errors"; the JSON line is always emitted.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(qs.items()):
         if i and i % RECYCLE_EVERY == 0:
             spark = fresh_session(spark)
-        try:
-            fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warm pass is best-effort; the timed run still reports
+        if not COLD:
+            try:
+                fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # warm pass is best-effort; the timed run still reports
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            # a failed query can leave the session in a bad state
+            # (half-registered temp views, dangling streams) — recycle
+            spark = fresh_session(spark)
         # drop dangling localCheckpoint/cache blocks between queries:
         # collecting the py4j proxies makes the JVM-side Datasets
         # unreachable, and local-mode allocation pressure plus the
@@ -85,17 +103,18 @@ def main() -> None:
         gc.collect()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"total_wall_sec_{len(timings)}_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": f"total_wall_sec_{len(timings)}_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    if COLD:
+        out["mode"] = "cold"
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -70,3 +70,42 @@ def test_normalize_nanos_pre_epoch_matches_duckdb(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_normalize_ntz_to_timestamp_matches_duckdb(spark, tmp_path):
+    """Pin the TIMESTAMP_NTZ path of _normalize_nanos (round-3 driver
+    testdata regeneration: parquet µs with isAdjustedToUTC=false, the
+    pandas/pyarrow default).  Under the UTC-pinned session the NTZ →
+    TIMESTAMP cast must be a pure type change: wall-clock values equal
+    DuckDB's naive read of the same file, and downstream NTZ-unsafe
+    expressions (unix_micros) work."""
+    import datetime
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from automated_etl_pipeline_spark.io.sources import _normalize_nanos
+
+    vals = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 6, 15, 23, 59, 59, 999999),
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+    ]
+    tbl = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
+    path = str(tmp_path / "ntz.parquet")
+    pq.write_table(tbl, path)
+
+    raw = spark.read.parquet(path)
+    assert isinstance(raw.schema["ts"].dataType, T.TimestampNTZType)
+    sdf = _normalize_nanos(raw)
+    assert isinstance(sdf.schema["ts"].dataType, T.TimestampType)
+    # NTZ-unsafe expression now works and values are unshifted
+    got = sorted(r.us for r in sdf.select(F.unix_micros("ts").alias("us")).collect())
+    # duckdb epoch_us treats the naive timestamp as UTC — same contract
+    want = sorted(
+        r[0] for r in duckdb.sql(f"SELECT epoch_us(ts) FROM '{path}'").fetchall()
+    )
+    assert got == want
