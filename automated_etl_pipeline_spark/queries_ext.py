@@ -1333,3 +1333,75 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "streaming_interval_join",
+    """
+    SELECT p.user_id,
+           p.event_id AS p_event_id,
+           v.event_id AS v_event_id
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+    ORDER BY p_event_id, v_event_id
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join under the value gate: each purchase
+    attributed to the view events by the same user in the preceding
+    hour (streaming/joins.py interval_join) — both sides drained from
+    a staged file stream, joined incrementally with per-side state,
+    appended to a memory sink; the result must equal the batch/DuckDB
+    interval join exactly.  Single availableNow batch: the initial
+    watermark is the epoch during it, so no state is evicted before
+    the only micro-batch completes — exactness by construction."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.joins import interval_join
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_joinstream_")
+    name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    try:
+        events.select("event_id", "ts", "user_id", "event_type").coalesce(
+            8
+        ).write.mode("overwrite").parquet(drop)
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        ).parquet(drop)
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        views = stream.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", "event_id"
+        )
+        pairs = interval_join(
+            purchases,
+            views,
+            key="user_id",
+            interval="1 hour",
+            watermark_delay="2 hours",
+            left_prefix="p",
+            right_prefix="v",
+        ).select("user_id", "p_event_id", "v_event_id")
+        q = run_to_memory_sink(pairs, name, output_mode="append")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name).orderBy("p_event_id", "v_event_id")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("p_event_id", "v_event_id")

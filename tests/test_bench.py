@@ -1,38 +1,59 @@
 """bench.py harness contract (VERDICT r3 ask #2): one broken query must
 never zero out the round's perf signal — the JSON line always comes out,
-failures land under "errors", and the survivors are timed."""
+failures land under "errors", and the survivors are timed.
+
+Runs in a SUBPROCESS: bench.main() builds and .stop()s SparkSessions
+(its recycling design), and getOrCreate() shares the JVM-wide session —
+running it in-process would kill the suite's session fixture.
+"""
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+
+_DRIVER = """
+import json, sys
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entry_mod
+
+def fake_queries():
+    def ok(spark, sf_dir):
+        return spark.range(5)
+    def boom(spark, sf_dir):
+        raise RuntimeError("synthetic query failure")
+    def ok2(spark, sf_dir):
+        return spark.range(3)
+    return {{"q_ok": ok, "q_boom": boom, "q_ok2": ok2}}
+
+entry_mod.queries = fake_queries
+import bench
+bench.main()
+"""
 
 
-def test_bench_survives_failing_query(monkeypatch, capsys):
-    import bench
-    import __spark_entry__ as entry_mod
-
-    def fake_queries():
-        def ok(spark, sf_dir):
-            return spark.range(5)
-
-        def boom(spark, sf_dir):
-            raise RuntimeError("synthetic query failure")
-
-        def ok2(spark, sf_dir):
-            return spark.range(3)
-
-        return {"q_ok": ok, "q_boom": boom, "q_ok2": ok2}
-
-    monkeypatch.setattr(entry_mod, "queries", fake_queries)
-    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    monkeypatch.setenv("SPARK_GRAFT_BENCH_COLD", "1")  # skip warm pass
-
-    bench.main()
-    line = capsys.readouterr().out.strip().splitlines()[-1]
+def test_bench_survives_failing_query():
+    proc = subprocess.run(
+        [sys.executable, "-c", _DRIVER.format(repo=str(REPO))],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_COLD": "1",  # skip warm pass
+            "SPARK_GRAFT_CPUS": "4",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
     out = json.loads(line)
 
     assert set(out["queries"]) == {"q_ok", "q_ok2"}

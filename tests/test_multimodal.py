@@ -52,6 +52,26 @@ def test_real_decode_path_raises_cleanly(media):
         extract_image_features(media, deterministic_fake=False).collect()
 
 
+def test_unsupported_format_fails_batch_safely(spark, media):
+    """VERDICT r3 stretch: the documented tiered-codec boundary
+    (binary_ops.py module docstring, tier 3) must fail as a clean
+    Python-side NotImplementedError INSIDE the mapInPandas batch — a
+    task/job error the driver sees — and must NOT wedge the executor:
+    the same session runs both the deterministic-fake path over the
+    same frame and an unrelated JVM query immediately afterwards."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    with pytest.raises(PySparkException) as ei:
+        extract_image_features(media, deterministic_fake=False).collect()
+    # the original codec-boundary error text crosses the Arrow batch
+    # boundary intact (not an opaque executor death / JVM crash)
+    assert "NotImplementedError" in str(ei.value)
+
+    # session + executors still healthy: Python path and JVM path
+    assert len(extract_image_features(media, deterministic_fake=True).collect()) == 2
+    assert spark.range(10).count() == 10
+
+
 def test_audio_features_and_resize(spark):
     import hashlib
 
