@@ -1335,6 +1335,177 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("hll_distinct_rollup")  # no oracle: DataSketches-HLL estimates are
+# engine-specific (DuckDB's approx_count_distinct is a different HLL);
+# the value contract is pinned by tests/test_sketches.py instead —
+# lossless partial merge (merge(parts) == whole, exact equality) and a
+# 5% error bound vs the exact distinct count.
+def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-distinct rollup (functions/sketches.py):
+    per-(priority, month) HLL partials → per-priority merge → estimate.
+    The 100 TB pattern: raw data scanned once at fine grain; coarser
+    rollups answered from ~KB sketches, never a rescan."""
+    from automated_etl_pipeline_spark.functions.sketches import (
+        approx_distinct_rollup,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    return approx_distinct_rollup(
+        orders.withColumn("m", F.date_format("o_orderdate", "yyyy-MM")),
+        ["o_orderpriority", "m"],
+        ["o_orderpriority"],
+        "o_custkey",
+    ).orderBy("o_orderpriority")
+
+
+def _rev() -> F.Column:
+    """TPC-H revenue term with the shared decimal-sum discipline."""
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (dates shifted to the testdata's 1995-2001 span):
+    segment-filtered customers joined to date-filtered orders, lineitem
+    on the fact key, revenue agg, top-k. All three filters reach the
+    parquet scans (pushdown); join strategies are left to AQE — the
+    segment-filtered customer side broadcasts when it fits, shuffles
+    when it doesn't (it grows with SF, unlike nation/region)."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cut = F.lit("1997-06-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cut), F.col("c_custkey") == F.col("o_custkey"))
+        .join(li.filter(F.col("l_shipdate") > cut), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the canonical 6-table snowflake with the
+    local-supplier condition (customer and supplier share a nation).
+    Join order keeps the fact table unshuffled as long as possible:
+    lineitem joins broadcast supplier/customer-side dims; the
+    c_nationkey = s_nationkey residual rides the customer join."""
+    customer, orders, li, supplier, nation, region = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    # orders is a FACT table: no forced broadcast — lineitem⋈orders
+    # shuffles on the order key at 100 TB (or co-locates if both are
+    # bucketed on it); AQE demotes to broadcast when the date filter
+    # leaves a small runtime side, which is the right call per-scale.
+    return (
+        li.join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(customer),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue ranking): quarter-filtered
+    orders + returnflag-filtered lineitem, customer/nation broadcast,
+    top-20 by lost revenue via TakeOrderedAndProject."""
+    customer, orders, li, nation = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-07-01").cast("timestamp")
+    # orders: fact-sized — shuffle join (AQE may demote to broadcast
+    # at runtime when the quarter filter leaves a small side)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 @query(
     "streaming_interval_join",
     """
