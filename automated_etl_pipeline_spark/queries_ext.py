@@ -716,6 +716,30 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _stream_parts:
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a
+    streaming drain, restoring the session value afterwards.
+
+    Every stateful streaming operator instantiates one state store per
+    shuffle partition (a stream-stream join: FOUR — left/right ×
+    keyToNumValues/keyWithIndexToValue), and each store pays
+    per-micro-batch maintenance (snapshot, file IO) regardless of how
+    little state it holds.  The gates' stateful volume is small, so 8
+    partitions cuts that fixed cost 4× vs the session's scan-sized 32;
+    a real cluster job sizes this to STATE volume, not scan width —
+    the knob exists precisely because the two differ."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 @query(
     "streaming_tumbling_1h",
     """
@@ -749,13 +773,16 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_{uuid.uuid4().hex[:8]}"
     try:
         events.write.mode("overwrite").parquet(drop)
-        q = run_to_memory_sink(
-            windowed_counts(read_events_stream(spark, drop, max_files_per_trigger=4)),
-            name,
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("availableNow drain did not finish in 300s")
+        with _stream_parts(spark):
+            q = run_to_memory_sink(
+                windowed_counts(
+                    read_events_stream(spark, drop, max_files_per_trigger=4)
+                ),
+                name,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
         # detach the result from the memory sink so the sink table and
         # the drop dir can be released (the window result is tiny)
         snapshot = spark.table(name).orderBy("window_start")
@@ -1024,17 +1051,20 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 64 part files / 16 micro-batches
         events.coalesce(4).write.mode("append").parquet(drop)
         events.coalesce(4).write.mode("append").parquet(drop)  # duplicate delivery
-        stream = (
-            read_events_stream(spark, drop, max_files_per_trigger=4)
-            .withWatermark("ts", "3650 days")
-            .dropDuplicates(["event_id"])
-        )
-        # watermark_delay=None: the stream above already carries its
-        # watermark; Spark disallows redefining it across stateful ops
-        q = run_to_memory_sink(windowed_counts(stream, watermark_delay=None), name)
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("availableNow drain did not finish in 300s")
+        with _stream_parts(spark):
+            stream = (
+                read_events_stream(spark, drop, max_files_per_trigger=4)
+                .withWatermark("ts", "3650 days")
+                .dropDuplicates(["event_id"])
+            )
+            # watermark_delay=None: the stream above already carries its
+            # watermark; Spark disallows redefining it across stateful ops
+            q = run_to_memory_sink(
+                windowed_counts(stream, watermark_delay=None), name
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
         snapshot = spark.table(name).orderBy("window_start")
         out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
     finally:
@@ -1273,12 +1303,13 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"state_sessions_{uuid.uuid4().hex[:8]}"
     try:
         events.coalesce(8).write.mode("overwrite").parquet(drop)
-        stream = read_events_stream(spark, drop).select("user_id", "ts")
-        sessions = sessionize_stateful(stream, gap_minutes=30)
-        q = run_to_memory_sink(sessions, name, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("availableNow drain did not finish in 300s")
+        with _stream_parts(spark):
+            stream = read_events_stream(spark, drop).select("user_id", "ts")
+            sessions = sessionize_stateful(stream, gap_minutes=30)
+            q = run_to_memory_sink(sessions, name, output_mode="append")
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
         snapshot = spark.table(name).orderBy("user_id", "session_start_us")
         out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
     finally:
@@ -1542,32 +1573,36 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_testdata(spark, sf_dir, ["events"])["events"]
     drop = tempfile.mkdtemp(prefix="spark_graft_joinstream_")
     name = f"interval_join_{uuid.uuid4().hex[:8]}"
+    # Stage only the two event types the join consumes — the stream
+    # never reads the other 60% of rows (filter-before-stage is the
+    # file-stream analog of predicate pushdown).
     try:
-        events.select("event_id", "ts", "user_id", "event_type").coalesce(
-            8
-        ).write.mode("overwrite").parquet(drop)
-        stream = spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string"
-        ).parquet(drop)
-        purchases = stream.filter(F.col("event_type") == "purchase").select(
-            "user_id", "ts", "event_id"
-        )
-        views = stream.filter(F.col("event_type") == "view").select(
-            "user_id", "ts", "event_id"
-        )
-        pairs = interval_join(
-            purchases,
-            views,
-            key="user_id",
-            interval="1 hour",
-            watermark_delay="2 hours",
-            left_prefix="p",
-            right_prefix="v",
-        ).select("user_id", "p_event_id", "v_event_id")
-        q = run_to_memory_sink(pairs, name, output_mode="append")
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("availableNow drain did not finish in 300s")
+        events.filter(F.col("event_type").isin("purchase", "view")).select(
+            "event_id", "ts", "user_id", "event_type"
+        ).coalesce(8).write.mode("overwrite").parquet(drop)
+        with _stream_parts(spark):
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            ).parquet(drop)
+            purchases = stream.filter(F.col("event_type") == "purchase").select(
+                "user_id", "ts", "event_id"
+            )
+            views = stream.filter(F.col("event_type") == "view").select(
+                "user_id", "ts", "event_id"
+            )
+            pairs = interval_join(
+                purchases,
+                views,
+                key="user_id",
+                interval="1 hour",
+                watermark_delay="2 hours",
+                left_prefix="p",
+                right_prefix="v",
+            ).select("user_id", "p_event_id", "v_event_id")
+            q = run_to_memory_sink(pairs, name, output_mode="append")
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
         snapshot = spark.table(name).orderBy("p_event_id", "v_event_id")
         out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
     finally:
