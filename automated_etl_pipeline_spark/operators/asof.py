@@ -40,13 +40,24 @@ def asof_join(
     ts_col: str,
     payload_cols: Sequence[str],
     dedup_right: str = "last",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left rows + the latest right ``payload_cols`` at-or-before each
-    left row's ``ts_col``, matched per ``key_cols`` (NULL payload when
-    no right row precedes). ``dedup_right``: 'last'|'max'|'min' picks
-    the survivor among right rows sharing (key, ts) — 'max'/'min'
+    """Left rows + the right ``payload_cols`` as-of each left row's
+    ``ts_col``, matched per ``key_cols`` (NULL payload when no right
+    row qualifies). ``dedup_right``: 'last'|'max'|'min' picks the
+    survivor among right rows sharing (key, ts) — 'max'/'min'
     aggregate each payload column; 'last' requires uniqueness and
-    asserts nothing (cheapest)."""
+    asserts nothing (cheapest).
+
+    ``direction``: 'backward' (default) carries the LATEST right row
+    at-or-before each left row — DuckDB ``ASOF JOIN ON l.ts >= r.ts``;
+    'forward' carries the EARLIEST right row at-or-after — DuckDB
+    ``ASOF JOIN ON l.ts <= r.ts``.  Forward is the same single-shuffle
+    union+window plan with the within-partition sort reversed: walking
+    ts descending, the most recently seen right row is the smallest
+    ts >= the current left row."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = list(key_cols)
     pays = list(payload_cols)
     if dedup_right in ("max", "min"):
@@ -79,9 +90,16 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
     )
     unioned = tagged_r.unionByName(tagged_l)
+    # ties: right(0) sorts before left(1) in BOTH directions, so a
+    # right row at exactly the left ts is visible to it (>= / <=)
+    order = (
+        [F.col("__ts").asc(), F.col("__tag").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__tag").asc()]
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

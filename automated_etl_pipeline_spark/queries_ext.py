@@ -487,6 +487,47 @@ def asof_last_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@query(
+    "asof_next_purchase_value",
+    """
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT l.user_id, l.event_id, l.ts, r.value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def asof_next_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'):
+    each view gets the value of the user's next purchase at-or-after
+    it — the conversion-attribution mirror of asof_last_view_value.
+    Same single-shuffle union+window plan with the within-partition
+    sort reversed; oracle is DuckDB's native forward ASOF
+    (``l.ts <= r.ts``)."""
+    from automated_etl_pipeline_spark.operators.asof import asof_join
+
+    (events,) = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        views,
+        purchases,
+        ["user_id"],
+        "ts",
+        ["value"],
+        dedup_right="max",
+        direction="forward",
+    ).orderBy("event_id")
+
+
 _RANGE_BUCKETS = [(i, i * 40.0, i * 40.0 + 60.0) for i in range(12)]  # overlapping
 
 

@@ -33,6 +33,29 @@ def test_asof_semantics(spark):
     assert got[(3, "d")] is None   # key absent from right
 
 
+def test_asof_forward_semantics(spark):
+    """direction='forward': earliest right row at-or-after each left
+    row; ts == left ts is visible (<= semantics); no successor → NULL."""
+    left = spark.createDataFrame(
+        [(1, ts(5), "a"), (1, ts(10), "b"), (2, ts(9), "c"), (3, ts(1), "d")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(7), 70.0), (1, ts(10), 100.0), (2, ts(4), 40.0)],
+        "k long, t timestamp, v double",
+    )
+    got = {
+        (r.k, r.tag): r.v
+        for r in asof_join(
+            left, right, ["k"], "t", ["v"], direction="forward"
+        ).collect()
+    }
+    assert got[(1, "a")] == 70.0   # earliest at-or-after, not the latest
+    assert got[(1, "b")] == 100.0  # ts == left ts is visible (<= semantics)
+    assert got[(2, "c")] is None   # right row is earlier -> no successor
+    assert got[(3, "d")] is None   # key absent from right
+
+
 def test_asof_right_dup_dedup_max(spark):
     left = spark.createDataFrame([(1, ts(9), "x")], "k long, t timestamp, tag string")
     right = spark.createDataFrame(
