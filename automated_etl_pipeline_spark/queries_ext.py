@@ -1579,6 +1579,72 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_enrich",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, c_mktsegment
+    ORDER BY window_start, c_mktsegment
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment under the value gate
+    (streaming/joins.py static_enrich): the events stream hash-joins
+    the static customer dim per micro-batch — STATELESS, no state
+    store — then flows into a watermarked hourly window per market
+    segment.  The drained complete-mode table must equal the batch/
+    DuckDB join+window exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.joins import static_enrich
+    from automated_etl_pipeline_spark.streaming.windows import run_to_memory_sink
+
+    dfs = load_testdata(spark, sf_dir, ["events", "customer"])
+    events, customer = dfs["events"], dfs["customer"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_enrich_stream_")
+    name = f"static_enrich_{uuid.uuid4().hex[:8]}"
+    try:
+        events.select("ts", "user_id", "value").coalesce(8).write.mode(
+            "overwrite"
+        ).parquet(drop)
+        with _stream_parts(spark):
+            stream = spark.readStream.schema(
+                "ts timestamp, user_id long, value double"
+            ).parquet(drop)
+            enriched = static_enrich(
+                stream.withWatermark("ts", "2 hours"),
+                customer.select("c_custkey", "c_mktsegment"),
+                "user_id",
+                "c_custkey",
+            )
+            agg = enriched.groupBy(
+                F.window("ts", "1 hour").getField("start").alias("window_start"),
+                "c_mktsegment",
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dsum("value", scale=6, alias="sum_value"),
+            )
+            q = run_to_memory_sink(agg, name)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name).orderBy("window_start", "c_mktsegment")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("window_start", "c_mktsegment")
+
+
+@query(
     "streaming_interval_join",
     """
     SELECT p.user_id,

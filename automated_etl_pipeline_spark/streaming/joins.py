@@ -30,6 +30,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension enrichment — the STATELESS streaming
+    join: each micro-batch hash-joins against the static frame with no
+    state store at all (contrast interval_join's per-side buffers).
+
+    At scale the static side is a warehouse dim: broadcast when it
+    fits (hinted here — enrichment dims are the classic broadcast
+    case), storage-partition-joined when it doesn't. The static plan
+    is re-resolved per micro-batch, so a dim refreshed underneath a
+    long-running stream is picked up on the next trigger — the cheap
+    path to slowly-changing enrichment without restarting the query.
+    """
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
