@@ -1430,6 +1430,80 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+@query(
+    "orc_scan_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-format breadth beyond parquet: documents round-trip
+    through ORC (Spark-native, predicate pushdown + column pruning like
+    parquet) with an explicit schema on the re-read; any type or
+    encoding loss shifts the aggregate and fails the hash."""
+    import tempfile
+
+    from automated_etl_pipeline_spark import schemas
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="orc_gate_") + "/docs"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(schemas.DOCUMENTS).orc(path)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pysource_pushdown_agg",
+    """
+    WITH src AS (SELECT range AS id FROM range(0, 50000))
+    SELECT (id * 37) % 8 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST((id * 7919) % 10000 AS DOUBLE) / 100
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM src WHERE id >= 2000 AND id < 42000
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pysource_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authored Python Data Source under the value gate
+    (io/pysource.py): the connector plans 8 parallel range partitions,
+    Catalyst pushes the id-range predicates into ``pushFilters`` (the
+    generator never materializes the filtered-out rows), and the
+    deterministic arithmetic rows aggregate to exactly what DuckDB
+    recomputes from ``range()`` — connector correctness checked like
+    any operator.  ``sf_dir`` is unused: the source IS the data."""
+    from automated_etl_pipeline_spark.io.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 50000)
+        .option("n_parts", 8)
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= 2000) & (F.col("id") < 42000))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", alias="sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _rev() -> F.Column:
     """TPC-H revenue term with the shared decimal-sum discipline."""
     return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(

@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Python Data Source API (io/pysource.py): let authored
+        # connectors receive Catalyst predicates via pushFilters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config(
             "spark.sql.warehouse.dir",
