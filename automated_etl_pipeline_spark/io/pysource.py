@@ -28,11 +28,16 @@ Scale notes:
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -40,6 +45,8 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 SCHEMA = "id bigint, user_id bigint, bucket bigint, value double"
@@ -99,8 +106,93 @@ class _Reader(DataSourceReader):
             yield _row(i)
 
 
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Bounded synthetic stream: the same deterministic rows delivered
+    ``batch_size`` per micro-batch up to ``n_rows`` — offset is just the
+    next row id (a monotonic long, the simplest replayable offset).
+
+    ``read(start)`` returns (rows, nextOffset); an empty batch with an
+    unchanged offset signals "no new data", which terminates
+    ``processAllAvailable``/availableNow drains.  ``readBetweenOffsets``
+    is the REPLAY path: after a failure Spark re-requests a committed
+    offset range, and determinism (rows are a pure function of id)
+    makes the replay exactly-once."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_size, self.n_rows)
+        # Spark's prefetch cache calls next() on the result AND pickles
+        # it for partition planning — list_iterator satisfies both
+        # (a bare list fails the first, a generator the second)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(start["next"], end["next"])])
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _ManifestWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task writes a uniquely-named
+    part file and returns a commit message; only the driver-side
+    ``commit`` publishes a _MANIFEST.json listing the committed parts.
+    Readers that trust ONLY manifest-listed files get exactly-once
+    visibility on object storage, where "file exists" is not "task
+    succeeded" (speculative/zombie tasks leave orphans — ``abort``
+    removes the reported ones, and unlisted leftovers are ignorable)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl requires .option('path', ...)")
+
+    def write(self, rows: Iterator) -> _PartFile:
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(part, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r.asDict()) + "\n")
+                n += 1
+        return _PartFile(part, n)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(
+                ({"path": m.path, "n_rows": m.n_rows} for m in messages if m),
+                key=lambda d: d["path"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages if m),
+        }
+        tmp = os.path.join(self.path, f"._manifest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST.json"))  # atomic
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
 class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("synthetic_events").option("n_rows", N)``"""
+    """``spark.read.format("synthetic_events").option("n_rows", N)``
+    (batch or readStream) — and ``df.write.format("manifest_jsonl")``
+    for the manifest-committed sink (registered separately)."""
 
     @classmethod
     def name(cls) -> str:
@@ -112,9 +204,22 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> _Reader:
         return _Reader(self.options)
 
+    def simpleStreamReader(self, schema) -> _StreamReader:
+        return _StreamReader(self.options)
+
+
+class ManifestJsonlDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> _ManifestWriter:
+        return _ManifestWriter(self.options)
+
 
 def register(spark) -> None:
     # runtime conf so driver-created vanilla sessions work too; without
     # it Spark refuses a reader that implements pushFilters
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(ManifestJsonlDataSource)

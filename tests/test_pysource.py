@@ -42,6 +42,76 @@ def test_pushdown_equality_collapses_to_single_row():
     assert rows == [_row(42)]
 
 
+def test_stream_reader_drains_bounded_source(spark, tmp_path):
+    """readStream over the authored source: micro-batches of batch_size
+    until n_rows, then an empty batch with an unchanged offset ends the
+    drain; the union of batches is exactly the deterministic row set."""
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 350)
+        .option("batch_size", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pysrc_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql("SELECT * FROM pysrc_stream").collect())
+    assert got == [_row(i) for i in range(350)]
+
+
+def test_manifest_writer_two_phase_commit(spark, tmp_path):
+    """Authored sink: every task's part file is listed in the
+    driver-committed _MANIFEST.json, totals match, and manifest-trusting
+    readers see exactly the written rows."""
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .option("n_parts", 4)
+        .load()
+    )
+    df.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 1000
+    assert sum(f["n_rows"] for f in manifest["files"]) == 1000
+    n = 0
+    ids = set()
+    for f in manifest["files"]:
+        assert os.path.exists(f["path"])
+        with open(f["path"]) as fh:
+            for line in fh:
+                ids.add(json.loads(line)["id"])
+                n += 1
+    assert n == 1000 and ids == set(range(1000))
+
+
+def test_manifest_writer_abort_removes_reported_parts(tmp_path):
+    from automated_etl_pipeline_spark.io.pysource import _ManifestWriter, _PartFile
+
+    w = _ManifestWriter({"path": str(tmp_path / "s")})
+    import os
+
+    os.makedirs(str(tmp_path / "s"), exist_ok=True)
+    p = str(tmp_path / "s" / "part-x.jsonl")
+    open(p, "w").write("{}\n")
+    w.abort([_PartFile(p, 1), None])  # None = failed task with no message
+    assert not os.path.exists(p)
+
+
 def test_source_rows_match_formula_through_spark(spark):
     register(spark)
     df = (
