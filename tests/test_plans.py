@@ -44,6 +44,25 @@ def test_topk_uses_take_ordered_not_global_sort(spark):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_tpch_join_shapes_no_nested_loop_and_topk(spark):
+    """Q3/Q5/Q10: every join is hash-based (broadcast or shuffle —
+    never a nested loop), the date/segment/returnflag filters reach the
+    parquet scans, and the top-k queries use TakeOrderedAndProject."""
+    for name in (
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+    ):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "PushedFilters: [" in plan, name
+    assert "TakeOrderedAndProject" in plan_of(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan_of(spark, "q10_returned_items")
+    # Q3's segment filter is pushed into the customer scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan_of(spark, "q3_shipping_priority")
+
+
 def test_agg_is_partial_then_final(spark):
     plan = plan_of(spark, "flagship_priority_agg")
     # two HashAggregate nodes (map-side partial + final) around one exchange
