@@ -1465,6 +1465,66 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pysource_stream_agg",
+    """
+    WITH src AS (SELECT range AS id FROM range(0, 20000))
+    SELECT (id * 37) % 8 AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST((id * 7919) % 10000 AS DOUBLE) / 100
+                         AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM src GROUP BY bucket ORDER BY bucket
+    """,
+)
+def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authored Python STREAMING source under the value gate
+    (io/pysource.py _StreamReader): the synthetic stream drains in
+    5000-row micro-batches through a grouped aggregation into a memory
+    sink, and the complete-mode table must equal DuckDB's range()
+    recompute — offset bookkeeping, batch slicing, and incremental
+    state merges included.  ``sf_dir`` is unused: the source IS the
+    data."""
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.pysource import register
+    from automated_etl_pipeline_spark.streaming.windows import run_to_memory_sink
+
+    register(spark)
+    name = f"pysrc_gate_{uuid.uuid4().hex[:8]}"
+    with _stream_parts(spark):
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", 20000)
+            .option("batch_size", 5000)
+            .load()
+        )
+        agg = stream.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", alias="sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="spark_graft_pysrc_ckpt_"),
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    snapshot = spark.table(name).orderBy("bucket")
+    out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    spark.catalog.dropTempView(name) if name in [
+        t.name for t in spark.catalog.listTables()
+    ] else None
+    return out.orderBy("bucket")
+
+
+@query(
     "pysource_pushdown_agg",
     """
     WITH src AS (SELECT range AS id FROM range(0, 50000))
