@@ -1478,7 +1478,7 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authored Python STREAMING source under the value gate
     (io/pysource.py _StreamReader): the synthetic stream drains in
-    5000-row micro-batches through a grouped aggregation into a memory
+    10000-row micro-batches through a grouped aggregation into a memory
     sink, and the complete-mode table must equal DuckDB's range()
     recompute — offset bookkeeping, batch slicing, and incremental
     state merges included.  ``sf_dir`` is unused: the source IS the
@@ -1495,7 +1495,7 @@ def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = (
             spark.readStream.format("synthetic_events")
             .option("n_rows", 20000)
-            .option("batch_size", 5000)
+            .option("batch_size", 10000)
             .load()
         )
         agg = stream.groupBy("bucket").agg(
