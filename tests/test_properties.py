@@ -110,3 +110,50 @@ def test_jaccard_bounds_and_identity(spark, ta, tb):
     }
     assert pairs[(1, 2)] == 1.0
     assert all(0.0 <= j <= 1.0 for j in pairs.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000)),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+)
+@settings(max_examples=8, deadline=None)
+def test_asof_forward_is_backward_under_time_reversal(spark, lefts, rights):
+    """Metamorphic pin for the two as-of directions: FORWARD on (k, t)
+    must equal BACKWARD on (k, -t) for every input — the directions are
+    exact mirrors, so any asymmetry (tie handling, boundary
+    inclusivity, NULL-when-no-match) is a bug in one of them."""
+    from datetime import datetime, timedelta
+
+    from automated_etl_pipeline_spark.operators.asof import asof_join
+
+    def ts(sec: int):
+        return datetime(2024, 1, 1) + timedelta(seconds=sec)
+
+    def run(direction: str, neg: bool):
+        sgn = -1 if neg else 1
+        left = spark.createDataFrame(
+            [(k, ts(sgn * t), i) for i, (k, t) in enumerate(lefts)],
+            "k long, t timestamp, lid long",
+        )
+        right = spark.createDataFrame(
+            [(k, ts(sgn * t), float(v)) for k, t, v in rights],
+            "k long, t timestamp, v double",
+        )
+        return {
+            r.lid: r.v
+            for r in asof_join(
+                left, right, ["k"], "t", ["v"], direction=direction
+            ).collect()
+        }
+
+    assert run("forward", neg=False) == run("backward", neg=True)
