@@ -1713,6 +1713,91 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ntile_quartile_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT s, ntile(4) OVER (ORDER BY s, o_custkey) AS quartile FROM spend
+    )
+    SELECT quartile, COUNT(*) AS n_cust,
+           CAST(MIN(s) AS DOUBLE) AS min_spend,
+           CAST(MAX(s) AS DOUBLE) AS max_spend
+    FROM q GROUP BY quartile ORDER BY quartile
+    """,
+)
+def ntile_quartile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-surface breadth: ntile bucketing over a pre-aggregated series
+    (customer lifetime spend → quartiles → per-quartile bounds). The
+    window is unpartitioned but runs AFTER the per-customer aggregate
+    shrank the data 10×, with a total (s, custkey) order so tile
+    boundaries are deterministic; at 100 TB the same shape holds
+    because ntile input is per-entity rollups, never raw facts."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(dsum("o_totalprice", alias="s"))
+    w = Window.orderBy("s", "o_custkey")
+    q = spend.select("s", F.ntile(4).over(w).alias("quartile"))
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("s").alias("min_spend"),
+            F.max("s").alias("max_spend"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
+     AND levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: near-identical product names by
+    edit distance (levenshtein is implemented identically in Spark and
+    DuckDB — exact cross-engine parity). Scale discipline: fuzzy
+    matching runs on the DISTINCT name dictionary, never the fact
+    rows, and the length-difference prefilter (a correct block:
+    lev >= |len diff|) prunes the theta-join before the quadratic
+    distance evaluates; a 100 TB pipeline adds coarser blocking
+    (first-token, length bands) in front of the same shape."""
+    (part,) = _t(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_name") < F.col("b.p_name"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 3
+            )
+            & (lev <= 3),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
     "q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
