@@ -168,6 +168,9 @@ class _ManifestWriter(DataSourceWriter):
         return _PartFile(part, n)
 
     def commit(self, messages) -> None:
+        # a zero-partition input never calls write(), so the directory
+        # may not exist yet — an empty manifest must still publish
+        os.makedirs(self.path, exist_ok=True)
         manifest = {
             "files": sorted(
                 ({"path": m.path, "n_rows": m.n_rows} for m in messages if m),

@@ -89,13 +89,22 @@ def asof_join(
         null_struct.alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in l_cols],
     )
+    # NULL-ts semantics, pinned identically in BOTH directions: a right
+    # row with NULL ts is at no point in time, so it can never be
+    # "at-or-before/after" anything — drop it; a left row with NULL ts
+    # has no match and gets a NULL payload (enforced by sorting NULLs
+    # FIRST under either direction, before any right row can be
+    # carried). Without this pin the default sort-null placement (asc =
+    # nulls first, desc = nulls last) silently breaks the documented
+    # forward/backward mirror property on NULL-ts rows.
+    tagged_r = tagged_r.filter(F.col("__ts").isNotNull())
     unioned = tagged_r.unionByName(tagged_l)
     # ties: right(0) sorts before left(1) in BOTH directions, so a
     # right row at exactly the left ts is visible to it (>= / <=)
     order = (
-        [F.col("__ts").asc(), F.col("__tag").asc()]
+        [F.col("__ts").asc_nulls_first(), F.col("__tag").asc()]
         if direction == "backward"
-        else [F.col("__ts").desc(), F.col("__tag").asc()]
+        else [F.col("__ts").desc_nulls_first(), F.col("__tag").asc()]
     )
     w = (
         Window.partitionBy(*keys)

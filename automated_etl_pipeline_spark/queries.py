@@ -190,8 +190,11 @@ def w3_topk_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dims broadcast explicitly: the 100 TB fact never shuffles — three
-    map-side hash joins, then one agg shuffle on the 5-value key."""
+    """Dims broadcast explicitly (the §2 J2 hint demonstration): the
+    fact never shuffles — three map-side hash joins, then one agg
+    shuffle on the 5-value key.  Scale note: the customer hint is
+    appropriate for a bounded dim snapshot; for an SF-scaling customer
+    at 100 TB drop the hint and let AQE decide (see q5/q7/q10)."""
     orders, customer, nation, region = _t(
         spark, sf_dir, "orders", "customer", "nation", "region"
     )

@@ -52,8 +52,9 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list — at scale always enumerate
     pivot values (implicit pivot runs a distinct-collect job first)."""
     orders, customer = _t(spark, sf_dir, "orders", "customer")
+    # customer scales with SF — no forced broadcast, AQE decides
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.count(F.lit(1)))
@@ -924,7 +925,9 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     division matches the oracle bit-for-bit)."""
     orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
     per_nation = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — no forced broadcast (AQE decides);
+        # nation is fixed-cardinality, hint stays
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(dsum("o_totalprice", alias="revenue"))
@@ -1445,23 +1448,31 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     through ORC (Spark-native, predicate pushdown + column pruning like
     parquet) with an explicit schema on the re-read; any type or
     encoding loss shifts the aggregate and fails the hash."""
+    import shutil
     import tempfile
 
     from automated_etl_pipeline_spark import schemas
 
     (docs,) = _t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="orc_gate_") + "/docs"
-    docs.write.mode("overwrite").orc(path)
-    back = spark.read.schema(schemas.DOCUMENTS).orc(path)
-    return (
-        back.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.max("doc_id").alias("last_doc"),
+    tmp = tempfile.mkdtemp(prefix="orc_gate_")
+    try:
+        path = tmp + "/docs"
+        docs.write.mode("overwrite").orc(path)
+        back = spark.read.schema(schemas.DOCUMENTS).orc(path)
+        agg = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.max("doc_id").alias("last_doc"),
+            )
+            .orderBy("source")
         )
-        .orderBy("source")
-    )
+        # materialize (tiny: one row per source) before the ORC files
+        # vanish — the returned frame must not depend on the temp dir
+        return spark.createDataFrame(agg.collect(), agg.schema).orderBy("source")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @query(
@@ -1483,14 +1494,15 @@ def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute — offset bookkeeping, batch slicing, and incremental
     state merges included.  ``sf_dir`` is unused: the source IS the
     data."""
+    import shutil
     import tempfile
     import uuid
 
     from automated_etl_pipeline_spark.io.pysource import register
-    from automated_etl_pipeline_spark.streaming.windows import run_to_memory_sink
 
     register(spark)
     name = f"pysrc_gate_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_pysrc_ckpt_")
     with _stream_parts(spark):
         stream = (
             spark.readStream.format("synthetic_events")
@@ -1506,16 +1518,14 @@ def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
-            .option(
-                "checkpointLocation",
-                tempfile.mkdtemp(prefix="spark_graft_pysrc_ckpt_"),
-            )
+            .option("checkpointLocation", ckpt)
             .start()
         )
         try:
             q.processAllAvailable()
         finally:
             q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     snapshot = spark.table(name).orderBy("bucket")
     out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
     spark.catalog.dropTempView(name) if name in [
@@ -1640,18 +1650,19 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region.filter(F.col("r_name") == "ASIA")),
         F.col("n_regionkey") == F.col("r_regionkey"),
     ).select("n_nationkey", "n_name")
-    # orders is a FACT table: no forced broadcast — lineitem⋈orders
-    # shuffles on the order key at 100 TB (or co-locates if both are
-    # bucketed on it); AQE demotes to broadcast when the date filter
-    # leaves a small runtime side, which is the right call per-scale.
+    # orders/customer/supplier all scale with SF: no forced broadcast —
+    # a forced hint overrides AQE's size check and would OOM executors
+    # at 100 TB. AQE demotes any of them to broadcast at runtime when a
+    # filter leaves a small side; only the fixed-cardinality
+    # nation⋈region dim keeps an explicit hint.
     return (
         li.join(
             orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(customer),
+            customer,
             (F.col("o_custkey") == F.col("c_custkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -1688,15 +1699,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.lit("1997-01-01").cast("timestamp")
     hi = F.lit("1997-07-01").cast("timestamp")
-    # orders: fact-sized — shuffle join (AQE may demote to broadcast
-    # at runtime when the quarter filter leaves a small side)
+    # orders/customer: fact/SF-scaling — shuffle join, AQE may demote
+    # to broadcast at runtime when the filters leave a small side; a
+    # forced hint on customer would override AQE's size check and OOM
+    # at 100 TB. Only fixed-cardinality nation keeps the hint.
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(
             orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
@@ -1851,10 +1864,10 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape generalized (cross-nation shipping volume within
     one region, all nation pairs rather than a fixed two): lineitem ⋈
-    orders is the only fact-fact edge (AQE decides); customer/
-    supplier/nation are broadcast dims; the n1<>n2 residual rides the
-    dim joins. Groups are (nation pair, year) — tiny key space, one
-    agg shuffle."""
+    orders is the only fact-fact edge; customer/supplier are SF-scaling
+    (shuffle join, AQE decides); the 25-row nation slices broadcast;
+    the n1<>n2 residual rides the dim joins. Groups are (nation pair,
+    year) — tiny key space, one agg shuffle."""
     li, orders, customer, supplier, nation = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
     )
@@ -1865,10 +1878,12 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = asia.select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
+    # customer/supplier scale with SF: no forced broadcast (AQE decides
+    # at runtime); only the 25-row nation slices keep explicit hints.
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(
             F.broadcast(n2),

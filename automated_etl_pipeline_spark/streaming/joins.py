@@ -71,8 +71,14 @@ def interval_join(
     batch path simply ignores watermarks).
 
     All columns come back prefixed (``l_ts``, ``r_ts``, ...) except the
-    shared ``key``, which is emitted once.
+    shared ``key``, which is emitted once — as ``coalesce(lf.key,
+    rf.key)`` so that right-only rows of a right/full outer join keep
+    their key instead of a NULL (lf.key is NULL on null-extended rows).
     """
+    allowed = ("inner", "left_outer", "left", "right_outer", "right",
+               "full_outer", "full", "outer")
+    if how not in allowed:
+        raise ValueError(f"how must be one of {allowed}, got {how!r}")
 
     def prep(df: DataFrame, prefix: str) -> DataFrame:
         if df.isStreaming and watermark_delay:
@@ -96,7 +102,7 @@ def interval_join(
     )
     joined = lf.join(rf, cond, how)
     return joined.select(
-        F.col(f"lf.{key}").alias(key),
+        F.coalesce(F.col(f"lf.{key}"), F.col(f"rf.{key}")).alias(key),
         *[F.col(f"lf.{c}") for c in lf.columns if c != key],
         *[F.col(f"rf.{c}") for c in rf.columns if c != key],
     )

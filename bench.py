@@ -114,7 +114,30 @@ def main() -> None:
         out["errors"] = errors
     if COLD:
         out["mode"] = "cold"
+    # Per-query detail goes to a file: with 117 queries the full line is
+    # >4 KB and the driver only keeps a 2000-char tail of stdout, so the
+    # r4 driver bench recorded parsed=null (VERDICT r4 ask #2).  The full
+    # record is still printed (spec: one JSON line with "queries"), but a
+    # COMPACT summary line is printed LAST so a tail-parser always gets a
+    # complete, parseable JSON object.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_path.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass  # detail file is best-effort; the stdout lines are canonical
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n": len(timings),
+        "errors": len(errors),
+        "detail": "BENCH_DETAIL.json",
+    }
+    if COLD:
+        compact["mode"] = "cold"
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -56,6 +56,29 @@ def test_asof_forward_semantics(spark):
     assert got[(3, "d")] is None   # key absent from right
 
 
+def test_asof_null_ts_pinned_both_directions(spark):
+    """NULL-ts semantics are direction-independent (ADVICE r4): a
+    NULL-ts left row gets a NULL payload in BOTH directions, and a
+    NULL-ts right row matches nothing in BOTH directions — the
+    forward/backward mirror property holds on NULL-ts rows."""
+    left = spark.createDataFrame(
+        [(1, None, "nl"), (1, ts(5), "a")], "k long, t timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, ts(5), 50.0)], "k long, t timestamp, v double"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.tag: r.v
+            for r in asof_join(
+                left, right, ["k"], "t", ["v"], direction=direction
+            ).collect()
+        }
+        assert got["nl"] is None, direction  # NULL-ts left row: no match
+        assert got["a"] == 50.0, direction   # NULL-ts right row invisible
+        assert len(got) == 2, direction      # left rows all preserved
+
+
 def test_asof_right_dup_dedup_max(spark):
     left = spark.createDataFrame([(1, ts(9), "x")], "k long, t timestamp, tag string")
     right = spark.createDataFrame(

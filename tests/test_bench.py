@@ -53,11 +53,22 @@ def test_bench_survives_failing_query():
         },
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = proc.stdout.strip().splitlines()[-1]
-    out = json.loads(line)
+    lines = proc.stdout.strip().splitlines()
+    # contract (VERDICT r4 ask #2): LAST line is a compact summary that
+    # always fits a 2000-char tail; the full per-query record precedes
+    # it and is also written to BENCH_DETAIL.json
+    compact = json.loads(lines[-1])
+    assert compact["n"] == 2 and compact["errors"] == 1
+    assert compact["mode"] == "cold" and compact["value"] > 0
+    assert len(lines[-1]) < 500
+    assert compact["detail"] == "BENCH_DETAIL.json"
 
+    out = json.loads(lines[-2])
     assert set(out["queries"]) == {"q_ok", "q_ok2"}
     assert all(isinstance(v, float) for v in out["queries"].values())
     assert "synthetic query failure" in out["errors"]["q_boom"]
     assert out["mode"] == "cold"
     assert out["value"] > 0
+
+    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
+    assert detail["queries"] == out["queries"]

@@ -99,6 +99,21 @@ def test_manifest_writer_two_phase_commit(spark, tmp_path):
     assert n == 1000 and ids == set(range(1000))
 
 
+def test_manifest_writer_empty_commit_publishes_manifest(tmp_path):
+    """ADVICE r4: a zero-partition input never calls write(), so commit
+    must create the directory itself and publish an empty manifest."""
+    import json
+    import os
+
+    from automated_etl_pipeline_spark.io.pysource import _ManifestWriter
+
+    out = str(tmp_path / "never_created")
+    w = _ManifestWriter({"path": out})
+    w.commit([])  # no write() ever ran
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest == {"files": [], "total_rows": 0}
+
+
 def test_manifest_writer_abort_removes_reported_parts(tmp_path):
     from automated_etl_pipeline_spark.io.pysource import _ManifestWriter, _PartFile
 

@@ -87,6 +87,41 @@ def test_interval_join_stream_matches_batch_multibatch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_interval_join_outer_key_never_null(spark):
+    """ADVICE r4: with how='right_outer'/'full_outer', right-only rows
+    must keep their key (coalesce(lf.key, rf.key)), not emit NULL."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "p1")],
+        "user_id long, ts string, name string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", "v1"),   # matches
+            (7, "2024-01-01 09:30:00", "v7"),   # right-only key
+        ],
+        "user_id long, ts string, name string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.user_id, r.l_name, r.r_name)
+        for r in interval_join(
+            left, right, interval="1 hour", how="full_outer"
+        ).collect()
+    }
+    assert (7, None, "v7") in got      # key preserved on right-only row
+    assert (1, "p1", "v1") in got
+    assert not any(k is None for k, _, _ in got)
+
+
+def test_interval_join_rejects_bad_how(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1,)], "user_id long").withColumn(
+        "ts", F.current_timestamp()
+    )
+    with pytest.raises(ValueError, match="how must be one of"):
+        interval_join(left, left, how="cross")
+
+
 def test_interval_join_batch_bounds(spark):
     """Batch-path semantic pins: every matched view is within [p.ts-1h,
     p.ts] for its purchase, and boundary equality (v.ts == p.ts) joins."""
