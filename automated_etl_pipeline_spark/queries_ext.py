@@ -97,6 +97,60 @@ def percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_percentile_price",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           TRUE AS median_in_bounds,
+           TRUE AS p90_in_bounds
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100-TB swap for percentile_price, itself gated
+    (VERDICT r4 ask #7): approx_percentile (Greenwald-Khanna, single
+    pass, mergeable — no per-group value shuffle) with the rank-error
+    guarantee CHECKED IN-QUERY.  GK with accuracy A returns an element
+    whose rank is within eps=1/A of the target quantile; the query
+    recounts each approx value's true rank interval [cnt_lt+1, cnt_le]
+    against [(q-eps)n, (q+eps)n] (2x slack for interval rounding) and
+    emits booleans the oracle checks exactly — a FALSE anywhere is a
+    broken sketch, not a flaky tolerance."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    acc = 1000  # eps = 0.1% rank error
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(acc)
+        ).alias("ap")
+    )
+    # approx is one row per flag (3): broadcast back onto the fact —
+    # the recount is one more scan, gate-only cost (production keeps
+    # just the approx agg: ONE pass, no recount)
+    j = li.join(F.broadcast(approx), "l_returnflag")
+
+    def rank_ok(q: float, v):
+        eps = 2.0 / acc
+        n = F.count(F.lit(1))
+        cnt_le = F.sum((F.col("l_extendedprice") <= v).cast("long"))
+        cnt_lt = F.sum((F.col("l_extendedprice") < v).cast("long"))
+        return (cnt_le >= F.ceil((q - eps) * n)) & (
+            (cnt_lt + F.lit(1)) <= F.ceil((q + eps) * n)
+        )
+
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # ap is constant within a group (joined per flag), so the
+            # comparisons are per-row expressions under the aggregates
+            rank_ok(0.5, F.col("ap")[0]).alias("median_in_bounds"),
+            rank_ok(0.9, F.col("ap")[1]).alias("p90_in_bounds"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "sessionize_events",
     """
     WITH ordered AS (
@@ -1412,9 +1466,10 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("hll_distinct_rollup")  # no oracle: DataSketches-HLL estimates are
 # engine-specific (DuckDB's approx_count_distinct is a different HLL);
-# the value contract is pinned by tests/test_sketches.py instead —
-# lossless partial merge (merge(parts) == whole, exact equality) and a
-# 5% error bound vs the exact distinct count.
+# the value contract is pinned by tests/test_sketches.py and the
+# hll_merge_error_bound gate instead — the 5% error envelope holds for
+# both merged and single-pass estimates (exact merged==direct equality
+# deliberately NOT claimed; see sketches.py docstring).
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate-distinct rollup (functions/sketches.py):
     per-(priority, month) HLL partials → per-priority merge → estimate.
@@ -1431,6 +1486,72 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         "o_custkey",
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "hll_merge_error_bound",
+    """
+    SELECT o_orderpriority,
+           TRUE AS merged_within_5pct,
+           TRUE AS direct_within_5pct,
+           TRUE AS estimators_agree
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def hll_merge_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge contract under the value gate (VERDICT r4
+    stretch, amended): the raw estimates stay engine-specific
+    (hll_distinct_rollup is no_oracle for that reason) and are NOT
+    merge-shape-invariant — DataSketches answers a single-pass sketch
+    via the HIP accumulator but a union via the composite estimator,
+    so exact merged==direct equality does not hold (measured 1302 vs
+    1292 at sf0.01; see sketches.py docstring).  What IS guaranteed,
+    and gated here as oracle-checkable booleans:
+    1. the merged-from-months estimate is within 5% of the exact
+       distinct count (the error bound survives merging),
+    2. the single-pass estimate is within the same bound,
+    3. the two estimators agree within the envelope.
+    A FALSE anywhere is a broken sketch pipeline, not an
+    approximation artifact."""
+    from automated_etl_pipeline_spark.functions.sketches import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    fine = orders.withColumn("m", F.date_format("o_orderdate", "yyyy-MM"))
+    merged = hll_estimate(
+        hll_merge(
+            hll_build(fine, ["o_orderpriority", "m"], "o_custkey"),
+            ["o_orderpriority"],
+        ),
+        out_col="est_merged",
+    )
+    direct = hll_estimate(
+        hll_build(orders, ["o_orderpriority"], "o_custkey"), out_col="est_direct"
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    tol = 0.05 * F.col("n_exact")
+    return (
+        merged.join(direct, "o_orderpriority")
+        .join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            (F.abs(F.col("est_merged") - F.col("n_exact")) <= tol).alias(
+                "merged_within_5pct"
+            ),
+            (F.abs(F.col("est_direct") - F.col("n_exact")) <= tol).alias(
+                "direct_within_5pct"
+            ),
+            (F.abs(F.col("est_merged") - F.col("est_direct")) <= tol).alias(
+                "estimators_agree"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @query(

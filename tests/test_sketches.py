@@ -15,11 +15,15 @@ from automated_etl_pipeline_spark.io.sources import load_testdata
 SF = "/root/testdata/sf0.001"
 
 
-def test_merge_of_partials_equals_single_sketch_exactly(spark):
-    """HLL union is register-wise max — merging per-month partial
-    sketches must give the IDENTICAL estimate as sketching the whole
-    column in one pass (lossless union, not an approximation)."""
-    orders = load_testdata(spark, SF, ["orders"])["orders"]
+def test_merged_estimate_stays_in_error_envelope(spark):
+    """The merge contract (see sketches.py docstring): estimates are
+    NOT merge-shape-invariant (HIP vs composite estimator — measured:
+    merged-from-months 1302 vs single-pass 1292 at sf0.01), but the
+    error bound IS: merging per-month partials must land within the
+    same ~5% (3-sigma at lg_k=12) envelope of the exact count as the
+    single-pass sketch.  Run at sf0.01 — at sf0.001 everything stays
+    in exact coupon mode and the test would prove nothing."""
+    orders = load_testdata(spark, "/root/testdata/sf0.01", ["orders"])["orders"]
     fine = hll_build(
         orders.withColumn("m", F.date_format("o_orderdate", "yyyy-MM")),
         ["o_orderpriority", "m"],
@@ -35,7 +39,19 @@ def test_merge_of_partials_equals_single_sketch_exactly(spark):
             hll_build(orders, ["o_orderpriority"], "o_custkey")
         ).collect()
     }
-    assert merged == single and len(merged) == 5
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert len(merged) == 5
+    for k, n in exact.items():
+        assert abs(merged[k] - n) / n < 0.05, ("merged", k, merged[k], n)
+        assert abs(single[k] - n) / n < 0.05, ("single", k, single[k], n)
+        # and the two estimators agree with each other well inside 2x
+        # the envelope — they answer the same question
+        assert abs(merged[k] - single[k]) / n < 0.05, (k, merged[k], single[k])
 
 
 def test_estimate_within_error_bound(spark):
