@@ -1,32 +1,48 @@
-"""Exact n-gram (shingle) Jaccard near-duplicate pairs.
+"""Exact n-gram (shingle) Jaccard near-duplicate pairs via PPJoin-style
+prefix filtering.
 
 The third point on the dedup accuracy/cost curve (alongside
 ``dedup/minhash.py``'s probabilistic LSH and ``dedup/simhash.py``'s
-bit-fingerprints): candidates come from an inverted shingle index
-(any pair sharing at least one *discriminative* shingle), and every
-candidate is verified with the exact set Jaccard — no approximation in
-the similarity value itself.
+bit-fingerprints): candidates come from a PREFIX inverted index (Chaudhuri
+et al. SSJoin / Xiao et al. PPJoin), and every candidate is verified with
+the exact set Jaccard — no approximation in the similarity value itself.
+
+Prefix filter (the completeness theorem): sort every shingle set in one
+global canonical order (ascending document frequency, ties by shingle
+value) and index only each doc's first ``p = |S| - ceil(t*|S|) + 1``
+shingles. If J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), and the
+canonically-smallest common shingle provably lands inside BOTH prefixes
+— so indexing prefixes alone finds EVERY qualifying pair. Unlike v1's
+hot-shingle df-cap + min-common heuristics (which silently missed pairs
+whose overlap was hot or thin), the prefix index is exact-complete.
 
 Scale design:
-- The inverted index is one explode + one self-equi-join on the shingle
-  string. Worst case is sum(df^2) over shingles, so ultra-common
-  ("hot") shingles are dropped from the index with a relative
-  document-frequency cap (``max_df_frac``) — the classic stop-shingle
-  trick. Pairs that share *only* hot shingles are missed, but such
-  pairs are overwhelmingly low-Jaccard at any realistic threshold;
-  verification always uses the full shingle sets, so reported values
-  are exact.
-- The candidate join shuffles on the shingle key (well-distributed by
-  construction once hot keys are capped). Verification joins shingle
-  arrays back by doc id — two broadcast-or-shuffle hash joins.
-- The next refinement at 100 TB is positional prefix filtering
-  (PPJoin): index only the first ceil((1-t)*|S|)+1 shingles of each
-  doc in a global frequency order. Kept out of v1 for oracle parity.
+- Index size drops from sum(|S|) to ~(1-t)*sum(|S|) entries, and the
+  candidate join cost sum(df_prefix^2) collapses because frequency-
+  ascending order puts HOT shingles at the END of every set — a hot
+  shingle enters a prefix only when a doc consists almost entirely of
+  hot shingles. Skew resistance falls out of the order itself instead
+  of an arbitrary cap.
+- The length filter rides the candidate join: J >= t forces
+  min(|A|,|B|) >= t*max(|A|,|B|), pruning cross-size pairs before the
+  pair-dedup shuffle.
+- Shuffles: one explode + df-agg (shingle-keyed), one doc-keyed window
+  for the per-doc frequency rank, the prefix self-join (shingle-keyed),
+  and two verification joins by doc id. All key-partitioned; no
+  all-pairs stage anywhere.
+- Remaining quadratic risk is GENUINE duplicate blowup (N mutual
+  duplicates => N^2/2 output pairs); run exact dedup first (the cascade
+  does) — no candidate scheme can report fewer pairs than exist.
+- The optional ``max_df_frac`` cap (v1's stop-shingle trick) is kept as
+  an explicit opt-in: it pre-drops ultra-hot shingles from the index
+  AND the prefix-length base, trading completeness (pairs whose overlap
+  is predominantly hot can be missed) for a hard bound on index df.
+  With prefix filtering it is usually unnecessary — leave it None.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # THE shingle definition is shared with MinHash — near-dedup stages of
@@ -54,28 +70,22 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
-    max_df_frac: float = 0.1,
-    min_common: int = 2,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for all pairs with exact shingle-set
-    Jaccard >= threshold that share >= min_common shingles of relative
-    document frequency <= max_df_frac.
-
-    ``min_common`` is a count filter on the candidate join (PPJoin's
-    counting step): pairs sharing a single discriminative shingle are
-    overwhelmingly chance collisions far below any useful threshold,
-    and dropping them shrinks the verification input by ~an order of
-    magnitude. The shingle table is localCheckpoint-ed — the index
-    self-join plus the two verification joins would otherwise
-    re-execute the shingle pass three times (persist(MEMORY_AND_DISK)
-    at cluster scale).
+    """(doc_a, doc_b, jaccard) for ALL pairs with exact shingle-set
+    Jaccard >= threshold — complete by the prefix-filter theorem (see
+    module docstring) when ``max_df_frac`` is None (the default).
 
     Shingles are 60-bit-hashed ONCE up front (``shingle_hash60``): the
     index join keys and the verification arrays are then 8-byte longs
     instead of raw n-gram strings — a several-fold smaller shuffle
     payload for the exact-verify join, with identical Jaccard values
     (the oracle hashes its sets the same way; collisions at 60 bits
-    are ~n²/2⁶¹)."""
+    are ~n²/2⁶¹).  The shingle table is localCheckpoint-ed — the prefix
+    build plus the two verification joins would otherwise re-execute
+    the shingle pass three times (persist(MEMORY_AND_DISK) at cluster
+    scale), and so is the prefix index (both sides of the candidate
+    self-join consume it)."""
     sh = (
         docs.select(
             F.col(id_col),
@@ -84,36 +94,79 @@ def jaccard_pairs(
             ).alias("s"),
         )
         .filter(F.size("s") > 0)
+        .withColumn("sz", F.size("s"))
         .localCheckpoint()
     )
 
-    inv = sh.select(id_col, F.explode("s").alias("g"))
-    n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = (
-        inv.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
-        .select("g")
-    )
-    # checkpoint the capped index: both sides of the candidate
-    # self-join consume it, and each would otherwise re-run the
-    # explode + df-agg + semi-join pipeline
-    inv = inv.join(keep, "g", "left_semi").localCheckpoint()
+    inv = sh.select(id_col, "sz", F.explode("s").alias("g"))
+    dft = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_frac is not None:
+        # opt-in stop-shingle cap: hot shingles leave the index AND the
+        # prefix-length base (kept-set semantics; documented miss mode)
+        n_docs = sh.agg(F.count(F.lit(1)).alias("n_docs"))
+        dft = (
+            dft.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
+            .select("g", "df")
+        )
 
-    a, b = inv.alias("a"), inv.alias("b")
+    # canonical order: ascending df, ties by shingle value — identical
+    # in the DuckDB oracle, so prefixes never drift between engines
+    w_rank = Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("g"))
+    ranked = inv.join(dft, "g").withColumn("rn", F.row_number().over(w_rank))
+    if max_df_frac is None:
+        # uncapped: the kept set IS the full set, so |kept| == sz and
+        # the count-over-partition window is a free column reference
+        ranked = ranked.withColumn("ksz", F.col("sz"))
+    else:
+        ranked = ranked.withColumn(
+            "ksz", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    # PPJoin prefix length p = |S| - ceil(t*|S|) + 1 over the (kept)
+    # set.  The 1e-9 nudge keeps binary64 rounding from pushing
+    # ceil(t*|S|) one above the real-arithmetic value, which would
+    # shorten the prefix and break the completeness theorem; it can
+    # only ever LENGTHEN the prefix (safe side), and the oracle uses
+    # the identical expression so prefixes never drift cross-engine.
+    # No checkpoint: the candidate self-join's two sides are the same
+    # subplan, so Spark's ReuseExchange materializes the window shuffle
+    # once and replays it (cheaper than an eager checkpoint pass).
+    pref = ranked.filter(
+        F.col("rn")
+        <= F.col("ksz") - F.ceil(threshold * F.col("ksz") - 1e-9) + 1
+    ).select(id_col, "g", "sz", "rn")
+
+    # overlap requirement: J >= t  <=>  |A∩B| >= t/(1+t) * (|A|+|B|)
+    min_overlap = (threshold / (1.0 + threshold)) * (
+        F.col("a.sz") + F.col("b.sz")
+    ) - 1e-9
+    # positional filter (the "PP" in PPJoin): a row joining a's
+    # position-i shingle to b's position-j shingle bounds the total
+    # overlap by 1 + min(remaining suffix lengths); instances below
+    # min_overlap can't witness a qualifying pair.  Completeness holds
+    # because the canonically-SMALLEST common shingle instance always
+    # satisfies the bound for a truly-qualifying pair.
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: J >= t forces min >= t*max — prune before
+            # the pair-dedup shuffle
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            & (pos_bound >= min_overlap),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-        .select("doc_a", "doc_b")
+        .distinct()
     )
 
     sa, sb = sh.alias("sa"), sh.alias("sb")

@@ -344,16 +344,31 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS s
       FROM tok WHERE len(t) >= 3
     ), inv AS (
-      SELECT doc_id, UNNEST(s) AS g FROM sh
-    ), keep AS (
-      SELECT g FROM inv GROUP BY g
-      HAVING COUNT(*) <= 0.02 * (SELECT COUNT(*) FROM sh)
-    ), kept_inv AS (
-      SELECT doc_id, g FROM inv JOIN keep USING (g)
+      SELECT doc_id, len(s) AS sz, UNNEST(s) AS g FROM sh
+    ), dft AS (
+      SELECT g, COUNT(*) AS df FROM inv GROUP BY g
+    ), ranked AS (
+      -- canonical order: ascending df, ties by shingle value —
+      -- mirrors Spark's prefix window exactly
+      SELECT i.doc_id, i.g, i.sz,
+             row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g) AS rn,
+             COUNT(*) OVER (PARTITION BY i.doc_id) AS ksz
+      FROM inv i JOIN dft d USING (g)
+    ), pref AS (
+      -- PPJoin prefix: first |S| - ceil(t*|S|) + 1 shingles (1e-9
+      -- nudge mirrors Spark's FP-safe ceil)
+      SELECT doc_id, g, sz, rn FROM ranked
+      WHERE rn <= ksz - CEIL(0.6 * ksz - 1e-9) + 1
     ), cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM kept_inv a JOIN kept_inv b ON a.g = b.g AND a.doc_id < b.doc_id
-      GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2
+      -- length filter + positional filter, mirroring Spark; candidate
+      -- drift between engines is harmless (both sets are complete and
+      -- the exact-Jaccard filter below decides the output)
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+       AND least(a.sz, b.sz) >= 0.6 * greatest(a.sz, b.sz)
+       AND 1 + least(a.sz - a.rn, b.sz - b.rn)
+           >= (0.6 / 1.6) * (a.sz + b.sz) - 1e-9
     )
     SELECT doc_a, doc_b,
            ROUND(len(list_filter(sa.s, v -> list_contains(sb.s, v)))::DOUBLE
@@ -368,12 +383,15 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard pairs >= 0.6 via a hot-capped
-    inverted index (dedup/ngram_jaccard.py for the scale analysis)."""
+    """Exact 3-gram-shingle Jaccard pairs >= 0.6 via PPJoin prefix
+    filtering (VERDICT r4 ask #5; dedup/ngram_jaccard.py for the
+    completeness theorem and scale analysis).  Unlike the v1 hot-cap
+    index this is COMPLETE: every pair with true Jaccard >= 0.6 is
+    reported."""
     from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
 
     (docs,) = _t(spark, sf_dir, "documents")
-    return jaccard_pairs(spread(docs), n=3, threshold=0.6, max_df_frac=0.02).orderBy(
+    return jaccard_pairs(spread(docs), n=3, threshold=0.6).orderBy(
         "doc_a", "doc_b"
     )
 

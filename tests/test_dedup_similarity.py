@@ -123,7 +123,7 @@ def test_ngram_jaccard_exact_values(spark):
     )
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in jaccard_pairs(df, threshold=0.5, max_df_frac=1.0).collect()
+        for r in jaccard_pairs(df, threshold=0.5).collect()
     }
     assert pairs[(1, 2)] == 1.0
     # |A∩B| = 7, |A∪B| = 9  (8 shingles each, 7 shared)
@@ -135,11 +135,64 @@ def test_ngram_jaccard_hot_cap_drops_universal_shingle(spark):
     from automated_etl_pipeline_spark.dedup.ngram_jaccard import jaccard_pairs
 
     # every doc shares the same 3 tokens -> that shingle is "hot";
-    # with the cap at 50% it cannot create candidates on its own
+    # with the opt-in cap at 50% it cannot create candidates on its own
     rows = [(i, f"common shingle here u{i} v{i} w{i}") for i in range(10)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = jaccard_pairs(df, threshold=0.1, max_df_frac=0.5, min_common=1).collect()
+    got = jaccard_pairs(df, threshold=0.1, max_df_frac=0.5).collect()
     assert got == []
+    # without the cap (the default), the prefix index is COMPLETE:
+    # all 45 pairs share the hot shingle and have J = 1/7 >= 0.1
+    full = jaccard_pairs(df, threshold=0.1).collect()
+    assert len(full) == 45 and all(abs(r.jaccard - 1 / 7) < 1e-6 for r in full)
+
+
+def test_ngram_jaccard_prefix_filter_is_complete(spark):
+    """The PPJoin completeness theorem, pinned empirically: the prefix
+    index must report EXACTLY the pairs a brute-force all-pairs Jaccard
+    finds — no false negatives at any set-size mix (the v1 hot-cap +
+    min-common index failed this)."""
+    import itertools
+
+    rng_rows = []
+    # deterministic mixed corpus: clusters of near-dupes + singletons,
+    # varied lengths so prefix lengths differ per doc
+    for i in range(12):
+        base = [f"t{i}_{j}" for j in range(4 + (i % 5))]
+        rng_rows.append((2 * i, " ".join(base)))
+        mutated = list(base)
+        mutated[-1] = f"mut{i}"
+        rng_rows.append((2 * i + 1, " ".join(mutated)))
+    df = spark.createDataFrame(rng_rows, "doc_id long, text string")
+
+    from automated_etl_pipeline_spark.dedup.minhash import shingle_set
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import (
+        jaccard_pairs,
+        shingle_hash60,
+    )
+    from pyspark.sql import functions as F
+
+    t = 0.3
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(df, threshold=t).collect()
+    }
+    sets = {
+        r.doc_id: set(r.s)
+        for r in df.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(shingle_set(F.col("text"), 3), shingle_hash60)
+            ).alias("s"),
+        ).collect()
+        if r.s
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if j >= t:
+            want[(a, b)] = j
+    assert got == want and len(want) > 0
 
 
 # ---------------- ivf ----------------

@@ -106,7 +106,7 @@ def test_jaccard_bounds_and_identity(spark, ta, tb):
     )
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in jaccard_pairs(df, threshold=0.0, max_df_frac=1.0, min_common=1).collect()
+        for r in jaccard_pairs(df, threshold=0.0).collect()
     }
     assert pairs[(1, 2)] == 1.0
     assert all(0.0 <= j <= 1.0 for j in pairs.values())
