@@ -6,6 +6,12 @@ column names, and order-insensitive values. Use while iterating so
 mismatches surface before the round gate does.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --json OUT.json
+
+``--json`` additionally writes per-query records in the driver's
+CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/
+spark_rows/oracle_rows/err) so a full local run can be committed as
+the round's registry-wide correctness record (VERDICT r4 ask #3).
 """
 
 from __future__ import annotations
@@ -46,8 +52,14 @@ def normalize(rows: list[tuple], ndigits: int = 9) -> list[tuple]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
     from automated_etl_pipeline_spark.session import get_spark
@@ -61,6 +73,7 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    records: dict[str, dict] = {}
     import gc
 
     for name, fn in qs.items():
@@ -68,15 +81,22 @@ def main() -> int:
             continue
         gc.collect()  # release prior queries' checkpoint blocks (see bench.py)
         t0 = time.time()
+        rec = records[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sorted(sdf.columns)
             spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+            rec["spark_rows"] = len(spark_rows)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"spark error: {type(e).__name__}: {e}"[:300]
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"weak  {name}: rows={len(spark_rows)} (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
@@ -93,24 +113,37 @@ def main() -> int:
             ]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            rec["err"] = f"oracle error: {type(e).__name__}: {e}"[:300]
             print(f"FAIL  {name}: oracle error: {type(e).__name__}: {e}")
             continue
+        rec["oracle_rows"] = len(oracle_rows)
+        rec["schema_match"] = spark_cols == oracle_cols
+        rec["rows_match"] = len(spark_rows) == len(oracle_rows)
         problems = []
-        if spark_cols != oracle_cols:
+        if not rec["schema_match"]:
             problems.append(f"cols spark={spark_cols} oracle={oracle_cols}")
-        if len(spark_rows) != len(oracle_rows):
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
         if not problems:
             a, b = normalize(spark_rows), normalize(oracle_rows)
+            rec["hash_match"] = a == b
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+        else:
+            rec["hash_match"] = False
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
         else:
             print(f"ok    {name}: rows={len(spark_rows)} [{time.time()-t0:.1f}s]")
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"wrote {json_out} ({len(records)} records)")
     print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
     return 1 if failures else 0
 
