@@ -325,6 +325,26 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
+# Deterministic k-means clustering (similarity/kmeans.py)
+# ----------------------------------------------------------------------
+
+from automated_etl_pipeline_spark.similarity import kmeans as _km  # noqa: E402
+
+
+@query("kmeans_cluster_stats", _km.duckdb_oracle_sql(k=8, iters=3))
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means over the embeddings table
+    (similarity/kmeans.py for the determinism + scale analysis): the
+    per-cluster size / mean-distance report a curation pipeline uses
+    for topic balance and cluster-capped sampling.  Fully iterative ML
+    expressed as a plain Catalyst plan — and oracle-checkable because
+    the inputs are fixed-point quantized, so every centroid mean is a
+    ratio of exact integer sums in BOTH engines."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return _km.kmeans_cluster_stats(emb, k=8, iters=3)
+
+
+# ----------------------------------------------------------------------
 # Exact n-gram Jaccard dedup (dedup/ngram_jaccard.py)
 # ----------------------------------------------------------------------
 

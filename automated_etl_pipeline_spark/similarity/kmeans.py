@@ -1,0 +1,207 @@
+"""Deterministic distributed k-means (Lloyd's, fixed iterations) over an
+embedding column — the clustering primitive a training-data curation
+pipeline uses for cluster-balanced sampling, topic coverage reports,
+and IVF coarse quantizers (similarity/ivf.py uses a one-pass variant;
+this is the iterative refinement).
+
+Everything is DataFrame column expressions — no UDF, no driver-side
+vectors, no collect: centroids live in a k-row DataFrame that is
+broadcast back into each assignment pass, and updates are
+posexplode + two groupBys. The iteration count is FIXED (hyperparameter,
+like graph/pagerank.py's fixed-iteration design): convergence checks
+would add a driver round-trip per iteration for no testable benefit.
+
+Determinism (what makes this oracle-checkable cross-engine):
+- inputs are quantized ONCE to integers (round(x * scale)): centroid
+  updates then sum exact BIGINTs — Spark's parallel partial aggregation
+  and DuckDB's sequential sum agree bit-for-bit — and the mean is a
+  single double division;
+- distances fold left-to-right over the 64 components in both engines
+  (F.aggregate / list_sum), so the doubles are IEEE-identical;
+- argmin ties break on the cluster id (deterministic total order);
+- init is the k lowest-id vectors (seeded-deterministic, like
+  ml/simulate.py), not random sampling.
+
+Scale: each iteration is one k-way broadcast crossJoin (k rows of
+dim doubles — KBs), one per-vector window over k candidate rows, and
+one (cluster, pos)-keyed aggregation: all shuffles are keyed and
+bounded by k*dim or n*k rows; nothing is quadratic in n. At a billion
+vectors the per-iteration cost is ~k full scans' worth of FLOPs —
+exactly MLlib's KMeans cost model, but expressed as a plain Catalyst
+plan (AQE-optimizable, no RDD boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantize_vectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, q: array<bigint>) — fixed-point inputs; the exactness of
+    everything downstream rests on this single rounding."""
+    return emb.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * scale).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _sq_dist(q: Column, c: Column) -> Column:
+    """Sum of squared differences, folded left-to-right (sequential —
+    matches DuckDB's list_sum evaluation order, so doubles agree)."""
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(pts: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    compute k distances per vector, keep the argmin (ties -> lowest
+    cluster id)."""
+    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cluster"))
+    return (
+        pts.crossJoin(F.broadcast(cent))
+        .withColumn("d2", _sq_dist(F.col("q"), F.col("c")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "q", "cluster", "d2")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: component-wise mean per cluster. Integer sums are
+    exact; the array is rebuilt position-sorted (collect_list order is
+    nondeterministic, array_sort on the (pos, m) struct is not)."""
+    means = (
+        assigned.select("cluster", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg((F.sum("v").cast("double") / F.count(F.lit(1))).alias("m"))
+    )
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("c")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """(id, cluster, d2) under the centroids after ``iters`` Lloyd
+    passes (assignment i uses centroids from update i-1; the returned
+    assignment is pass ``iters``, i.e. centroids updated iters-1
+    times)."""
+    pts = quantize_vectors(emb, id_col, vec_col, scale)
+    # init: the k lowest-id vectors, cluster ids 0..k-1 in id order
+    # (the window runs over k rows — driver-scale, not a global sort)
+    w0 = Window.orderBy(id_col)
+    cent = (
+        pts.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w0) - 1).cast("int").alias("cluster"),
+            F.transform("q", lambda x: x.cast("double")).alias("c"),
+        )
+    )
+    assigned = _assign(pts, cent, id_col)
+    for _ in range(iters - 1):
+        cent = _update(assigned)
+        assigned = _assign(pts, cent, id_col)
+    return assigned.select(
+        id_col, F.col("cluster").cast("int").alias("cluster"), "d2"
+    )
+
+
+def duckdb_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000
+) -> str:
+    """Unrolled DuckDB mirror of ``kmeans_cluster_stats`` — generated
+    from the same (k, iters, dim, scale) so the two engines cannot
+    drift structurally.  list_sum folds the same 64 components the
+    Spark F.aggregate folds; SUM over BIGINT is exact in both."""
+    sq = (
+        f"(CAST(p.q[i] AS DOUBLE) - c.c[i]) * (CAST(p.q[i] AS DOUBLE) - c.c[i])"
+    )
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+  FROM embeddings
+), cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+  FROM (SELECT vec_id, q FROM pts ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", d{it} AS (
+  SELECT p.vec_id, p.q, c.cluster,
+         list_sum(list_transform(range(1, {dim + 1}), i -> {sq})) AS d2
+  FROM pts p CROSS JOIN cent{it - 1} c
+), a{it} AS (
+  SELECT vec_id, q, cluster, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM d{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it < iters:
+            parts.append(
+                f""", m{it} AS (
+  SELECT cluster, i.range AS pos,
+         CAST(SUM(q[i.range]) AS DOUBLE) / COUNT(*) AS m
+  FROM a{it} CROSS JOIN range(1, {dim + 1}) i
+  GROUP BY cluster, pos
+), cent{it} AS (
+  SELECT cluster, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cluster
+)"""
+            )
+    parts.append(
+        f"""
+SELECT cluster, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(sqrt(d2) / {scale} AS DECIMAL(18,6))) AS DOUBLE)
+         / COUNT(*) AS avg_dist
+FROM a{iters} GROUP BY cluster ORDER BY cluster"""
+    )
+    return "".join(parts)
+
+
+def kmeans_cluster_stats(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-cluster size + mean member distance (the curation report:
+    which topics dominate, which are thin).  Distances go through a
+    DECIMAL(18,6) cast before summing so the mean is exact-arithmetic
+    cross-engine (the repo-wide double-sum discipline)."""
+    assigned = kmeans_assign(emb, k, iters, id_col, vec_col, scale)
+    dist = (F.sqrt(F.col("d2")) / scale).cast("decimal(18,6)")
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum(dist).cast("double") / F.count(F.lit(1))).alias("avg_dist"),
+        )
+        .orderBy("cluster")
+    )

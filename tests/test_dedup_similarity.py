@@ -340,3 +340,41 @@ def test_incremental_ingest_dedup_conserves_batch(spark):
         assert r.kept >= 0 and r.exact_dups >= 0 and r.near_dups >= 0
     # the hash split puts ~20% of docs in the batch
     assert 0.05 <= sum(r.n_batch for r in rows) / 500 <= 0.40
+
+
+# ---------------- k-means ----------------
+
+
+def test_kmeans_inertia_nonincreasing_and_deterministic(spark, emb):
+    """Lloyd's invariants: total inertia never increases with more
+    iterations, every vector is assigned exactly once, cluster ids
+    stay in [0, k), and two runs are bit-identical (the determinism
+    the oracle gate rests on)."""
+    from automated_etl_pipeline_spark.similarity.kmeans import kmeans_assign
+
+    from pyspark.sql import functions as F
+
+    n = emb.count()
+    inertias = []
+    for iters in (1, 2, 3):
+        a = kmeans_assign(emb, k=4, iters=iters)
+        rows = a.collect()
+        assert len(rows) == n
+        assert all(0 <= r.cluster < 4 for r in rows)
+        inertias.append(sum(r.d2 for r in rows))
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    again = {(r.vec_id, r.cluster) for r in kmeans_assign(emb, k=4, iters=3).collect()}
+    first = {(r.vec_id, r.cluster) for r in kmeans_assign(emb, k=4, iters=3).collect()}
+    assert again == first
+
+
+def test_kmeans_stats_match_assignment(spark, emb):
+    """The stats rollup is a pure aggregate of the assignment — sizes
+    sum to n and every reported cluster is non-empty."""
+    from automated_etl_pipeline_spark.similarity.kmeans import (
+        kmeans_cluster_stats,
+    )
+
+    stats = kmeans_cluster_stats(emb, k=4, iters=2).collect()
+    assert sum(r.n_vecs for r in stats) == emb.count()
+    assert all(r.n_vecs > 0 and r.avg_dist >= 0 for r in stats)
