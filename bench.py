@@ -120,7 +120,15 @@ def main() -> None:
     # record is still printed (spec: one JSON line with "queries"), but a
     # COMPACT summary line is printed LAST so a tail-parser always gets a
     # complete, parseable JSON object.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # SPARK_GRAFT_BENCH_DETAIL overrides the destination so harness
+    # tests (tests/test_bench.py runs main() with fake queries) never
+    # clobber the committed record of the real run.
+    detail_path = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_DETAIL",
+            Path(__file__).resolve().parent / "BENCH_DETAIL.json",
+        )
+    )
     try:
         detail_path.write_text(json.dumps(out, indent=1) + "\n")
     except OSError:

@@ -36,7 +36,8 @@ bench.main()
 """
 
 
-def test_bench_survives_failing_query():
+def test_bench_survives_failing_query(tmp_path):
+    detail = tmp_path / "BENCH_DETAIL.json"
     proc = subprocess.run(
         [sys.executable, "-c", _DRIVER.format(repo=str(REPO))],
         capture_output=True,
@@ -50,6 +51,8 @@ def test_bench_survives_failing_query():
             "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
             "SPARK_GRAFT_BENCH_COLD": "1",  # skip warm pass
             "SPARK_GRAFT_CPUS": "4",
+            # keep the fake-query run away from the committed record
+            "SPARK_GRAFT_BENCH_DETAIL": str(detail),
         },
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -70,5 +73,5 @@ def test_bench_survives_failing_query():
     assert out["mode"] == "cold"
     assert out["value"] > 0
 
-    detail = json.loads((REPO / "BENCH_DETAIL.json").read_text())
-    assert detail["queries"] == out["queries"]
+    got_detail = json.loads(detail.read_text())
+    assert got_detail["queries"] == out["queries"]
