@@ -84,8 +84,9 @@ def jaccard_pairs(
     are ~n²/2⁶¹).  The shingle table is localCheckpoint-ed — the prefix
     build plus the two verification joins would otherwise re-execute
     the shingle pass three times (persist(MEMORY_AND_DISK) at cluster
-    scale), and so is the prefix index (both sides of the candidate
-    self-join consume it)."""
+    scale); the prefix index is deliberately NOT checkpointed — its
+    self-join's two sides are the same subplan, so ReuseExchange
+    materializes the window shuffle once (see inline note below)."""
     sh = (
         docs.select(
             F.col(id_col),
@@ -156,10 +157,15 @@ def jaccard_pairs(
             (F.col("a.g") == F.col("b.g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             # length filter: J >= t forces min >= t*max — prune before
-            # the pair-dedup shuffle
+            # the pair-dedup shuffle.  Same 1e-9 safety nudge as the
+            # prefix-length ceil: if t*max rounds a hair ABOVE the
+            # real-arithmetic value, a boundary pair with min exactly
+            # t*max would be wrongly pruned; the nudge only ever
+            # ADMITS extra candidates (safe side — exact verify
+            # rejects them), and the oracle mirrors it.
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
-                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz"))
+                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")) - 1e-9
             )
             & (pos_bound >= min_overlap),
         )

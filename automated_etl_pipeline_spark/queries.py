@@ -190,16 +190,18 @@ def w3_topk_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dims broadcast explicitly (the §2 J2 hint demonstration): the
-    fact never shuffles — three map-side hash joins, then one agg
-    shuffle on the 5-value key.  Scale note: the customer hint is
-    appropriate for a bounded dim snapshot; for an SF-scaling customer
-    at 100 TB drop the hint and let AQE decide (see q5/q7/q10)."""
+    """Fixed-cardinality dims (nation 25 rows, region 5) broadcast
+    explicitly — the §2 J2 hint demonstration; customer SCALES with SF
+    so it carries NO hint (repo rule, tests/test_plans.py guard): AQE
+    broadcasts it at runtime from its measured size when it fits — at
+    sf0.001 the executed plan still shows three broadcast joins and a
+    fact that never shuffles before the 5-value agg key — and demotes
+    to a shuffled join at 100 TB instead of OOMing executors."""
     orders, customer, nation, region = _t(
         spark, sf_dir, "orders", "customer", "nation", "region"
     )
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")

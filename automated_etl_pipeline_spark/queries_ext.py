@@ -2069,9 +2069,13 @@ def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promo revenue share): date-filtered lineitem ⋈
-    broadcast part, one global conditional-ratio aggregate. DECIMAL
-    partials on both numerator and denominator keep the single-row
-    ratio hash-stable across partition orders."""
+    part, one global conditional-ratio aggregate. DECIMAL partials on
+    both numerator and denominator keep the single-row ratio
+    hash-stable across partition orders.  part scales with SF
+    (200k rows/SF) so there is NO forced broadcast — a hint would
+    override AQE's size check and OOM executors at 100 TB; AQE demotes
+    the join to broadcast at runtime whenever the scan is small
+    enough."""
     li, part = _t(spark, sf_dir, "lineitem", "part")
     lo = F.lit("1997-01-01").cast("timestamp")
     hi = F.lit("1997-07-01").cast("timestamp")
@@ -2081,7 +2085,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 F.lit(100.0)
@@ -2111,11 +2115,21 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape (OR-of-ANDs bracketed predicates): the
     disjunction mixes part-side and lineitem-side conditions, so
-    neither side's filter is complete alone — Catalyst still derives
-    the per-side implied disjunctions (brand/size on the part scan,
-    quantity range on the lineitem scan) and evaluates the full
-    predicate post-join. Global agg, single row."""
+    neither side's filter is complete alone.  The part-side implied
+    disjunction (brand/size brackets) is applied EXPLICITLY before the
+    join — only the ~3/25 of brands that can ever match are scanned,
+    shuffled, or (when AQE decides) broadcast — and the full mixed
+    predicate is evaluated post-join.  part scales with SF so there is
+    NO forced broadcast: a hint on the unfiltered table would ship all
+    200k rows/SF (OOM class at 100 TB); the pre-filtered slice is
+    small enough that AQE demotes the join to broadcast at runtime on
+    its measured size. Global agg, single row."""
     li, part = _t(spark, sf_dir, "lineitem", "part")
+    part_side = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(20, 50))
+    )
     b = (
         (
             (F.col("p_brand") == "Brand#11")
@@ -2134,7 +2148,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.filter(part_side), F.col("l_partkey") == F.col("p_partkey"))
         .filter(b)
         .agg(
             F.sum(_rev()).cast("double").alias("revenue"),
@@ -2301,6 +2315,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate <  TIMESTAMP '1996-04-01'
+        AND l_suppkey IS NOT NULL
       GROUP BY suppkey
     )
     SELECT s_suppkey, s_name,
@@ -2317,12 +2332,26 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (crossJoin of a broadcast aggregate, never a shuffle).  The
     equality compares exact DECIMAL sums, not doubles, so ties are
     bit-stable cross-engine; the double cast happens only in the
-    output projection."""
+    output projection.
+
+    The explicit ``l_suppkey IS NOT NULL`` (mirrored in the oracle;
+    TPC-H declares the column NOT NULL anyway) makes both consumers'
+    agg subtrees canonically IDENTICAL — without it the supplier join
+    pushes isnotnull into only one branch, the subtrees no longer
+    canonicalize equal, and AQE cannot reuse the exchange: lineitem
+    would be scanned and partially aggregated TWICE.  With it the
+    runtime plan carries one ReusedExchange (plan-asserted,
+    tests/test_plans.py) — the 'view computed once' property that
+    matters at 100 TB, with no eager materialization needed."""
     li, supplier = _t(spark, sf_dir, "lineitem", "supplier")
     lo = F.lit("1996-01-01").cast("timestamp")
     hi = F.lit("1996-04-01").cast("timestamp")
     rev = (
-        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_suppkey").isNotNull()
+        )
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(
             F.sum(
@@ -2378,7 +2407,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order aggregate (distinct suppliers, distinct late suppliers)
     joined back — the decorrelation a 100 TB plan wants: two shuffles
     total (order key, then supplier name) instead of two correlated
-    re-scans of lineitem."""
+    re-scans of lineitem.  supplier scales with SF (10k rows/SF) so
+    the final name join carries NO forced broadcast — AQE demotes it
+    at runtime when the scan is small; a hint would OOM at 100 TB."""
     li, orders, supplier = _t(spark, sf_dir, "lineitem", "orders", "supplier")
     lines = (
         li.join(
@@ -2410,7 +2441,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        waits.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        waits.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -386,7 +386,7 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b
         ON a.g = b.g AND a.doc_id < b.doc_id
-       AND least(a.sz, b.sz) >= 0.6 * greatest(a.sz, b.sz)
+       AND least(a.sz, b.sz) >= 0.6 * greatest(a.sz, b.sz) - 1e-9
        AND 1 + least(a.sz - a.rn, b.sz - b.rn)
            >= (0.6 / 1.6) * (a.sz + b.sz) - 1e-9
     )

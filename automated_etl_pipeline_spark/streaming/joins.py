@@ -36,21 +36,27 @@ def static_enrich(
     stream_key: str,
     dim_key: str,
     how: str = "inner",
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Stream-static dimension enrichment — the STATELESS streaming
     join: each micro-batch hash-joins against the static frame with no
     state store at all (contrast interval_join's per-side buffers).
 
-    At scale the static side is a warehouse dim: broadcast when it
-    fits (hinted here — enrichment dims are the classic broadcast
-    case), storage-partition-joined when it doesn't. The static plan
-    is re-resolved per micro-batch, so a dim refreshed underneath a
-    long-running stream is picked up on the next trigger — the cheap
-    path to slowly-changing enrichment without restarting the query.
+    ``broadcast_dim`` defaults to False — the repo rule (tests/
+    test_plans.py forced-broadcast guard): a hint overrides the size
+    check, so it is for FIXED-cardinality dims only; a caller passing
+    True asserts the dim cannot grow with data volume.  Left False,
+    Spark still auto-broadcasts from the static side's size stats when
+    it fits, and falls back to a per-batch shuffled hash join when it
+    doesn't — the safe default for SF-scaling dims like customer.  The
+    static plan is re-resolved per micro-batch, so a dim refreshed
+    underneath a long-running stream is picked up on the next trigger —
+    the cheap path to slowly-changing enrichment without restarting
+    the query.
     """
-    return stream.join(
-        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
-    )
+    if broadcast_dim:
+        dim = F.broadcast(dim)
+    return stream.join(dim, stream[stream_key] == dim[dim_key], how)
 
 
 def interval_join(

@@ -1,8 +1,16 @@
 """Benchmark harness: times every registry query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <scale factor>}
+Prints TWO JSON lines (in this order):
+  1. the FULL record
+     {"metric": "...", "value": <total sec>, "unit": "sec",
+      "queries": {name: sec, ...}, "sf": <scale factor>}
+  2. a COMPACT summary (same metric/value/unit/sf plus {"n": ...,
+     "errors": ..., "detail": "BENCH_DETAIL.json"}, NO "queries" key)
+     — printed LAST so a tail-limited parser always gets a complete
+     JSON object even when the full record exceeds its buffer.
+The full record is also written to BENCH_DETAIL.json (override with
+$SPARK_GRAFT_BENCH_DETAIL).  Consumers that need per-query timings
+must parse the FIRST line or read the detail file, not the last line.
 
 Each query executes via the noop sink (forces full computation of every
 column, no driver collect bottleneck, no disk write skew). One warm-up

@@ -189,6 +189,135 @@ def test_source_cap_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_q15_revenue_view_computed_once(spark):
+    """Q15's revenue 'view' feeds two consumers (per-supplier rows and
+    the global max).  The explicit NOT NULL on the agg key makes both
+    agg subtrees canonically identical, so AQE must REUSE the lineitem
+    scan + partial-agg exchange — one scan, not two.  Reuse only shows
+    in the final adaptive plan, so execute first."""
+    df = entry_mod.queries()["q15_top_supplier"](spark, SF_SMOKE)
+    df.collect()
+    plan = executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+    # quarter filter reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+
+
+def test_q21_decorrelated_single_pass(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into one per-order
+    aggregate joined back: hash joins only, top-20 as
+    TakeOrderedAndProject, the status filter pushed into the orders
+    scan, and lineitem scanned at most twice (the 'lines' view's two
+    consumers) — never once per supplier as a correlated plan would."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert plan.count("lineitem.parquet") <= 2
+
+
+def test_q22_scalar_avg_broadcast_and_anti_join(spark):
+    """Q22's scalar average must plan as a 1-row broadcast (the ONLY
+    acceptable nested-loop: IdentityBroadcastMode over a global
+    aggregate), the NOT EXISTS as a LeftAnti hash join, and the
+    priority filter pushed into the orders scan."""
+    plan = plan_of(spark, "q22_idle_balances")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "IdentityBroadcastMode" in plan
+    assert "LeftAnti" in plan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+# ----------------------------------------------------------------------
+# Registry-wide forced-broadcast guard (VERDICT r5 ask #1)
+# ----------------------------------------------------------------------
+
+# Gates that EXECUTE a stream inside the callable and return a collected
+# memory-sink snapshot: the returned frame is a LocalRelation with no
+# join plan left to inspect, and building one costs a full stream drain.
+# Their static sides are guarded at the unit level instead
+# (streaming/joins.py static_enrich defaults to broadcast_dim=False).
+_STREAM_EXEC_GATES = frozenset(
+    {
+        "pysource_stream_agg",
+        "streaming_dedup_watermark",
+        "streaming_interval_join",
+        "streaming_stateful_sessions",
+        "streaming_static_enrich",
+        "streaming_tumbling_1h",
+    }
+)
+
+
+def test_registry_no_forced_broadcast_of_unreduced_sf_tables(spark):
+    """The repo rule, asserted over EVERY registry query: an explicit
+    broadcast hint may only wrap a fixed-cardinality dim (region/
+    nation) or a reduced slice (filtered / aggregated / limited) of an
+    SF-scaling table.  A hint on an unreduced fact-class scan
+    overrides AQE's size check and OOMs executors at 100 TB — exactly
+    the q14/q19/q21 anti-pattern removed this round."""
+    from automated_etl_pipeline_spark.plans.explain import (
+        forced_broadcast_violations,
+    )
+
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        if name in _STREAM_EXEC_GATES:
+            continue
+        viol = forced_broadcast_violations(fn(spark, SF_SMOKE))
+        if viol:
+            bad[name] = viol
+    assert not bad, f"forced broadcast of unreduced SF-scaling tables: {bad}"
+
+
+def test_forced_broadcast_detector_positive_and_negative(spark):
+    """The guard's detector must actually fire on the anti-pattern
+    (else the registry sweep proves nothing) and stay quiet on the
+    three legitimate hint shapes: fixed dim, filtered slice, 1-row
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.plans.explain import (
+        forced_broadcast_violations,
+    )
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+    nation = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+    on = F.col("l_partkey") == F.col("p_partkey")
+
+    assert forced_broadcast_violations(li.join(F.broadcast(part), on)) == [
+        "part"
+    ]
+    # projection does not reduce rows — still a violation
+    assert forced_broadcast_violations(
+        li.join(F.broadcast(part.select("p_partkey", "p_size")), on)
+    ) == ["part"]
+    assert (
+        forced_broadcast_violations(
+            li.join(F.broadcast(part.filter(F.col("p_size") < 5)), on)
+        )
+        == []
+    )
+    assert (
+        forced_broadcast_violations(
+            li.join(
+                F.broadcast(nation),
+                F.col("l_suppkey") == F.col("n_nationkey"),
+            )
+        )
+        == []
+    )
+    assert (
+        forced_broadcast_violations(
+            li.crossJoin(F.broadcast(part.agg(F.avg("p_retailprice"))))
+        )
+        == []
+    )
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     """Hive-partitioned parquet layout: a filter on the partition column
     must become a PartitionFilter (directory pruning — zero IO for the
