@@ -344,6 +344,22 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km.kmeans_cluster_stats(emb, k=8, iters=3)
 
 
+@query(
+    "kmeans_balanced_sample",
+    _km.duckdb_balanced_sample_sql(k=8, iters=3, cap=10),
+)
+def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced sampling over the k-means output (VERDICT r5
+    ask #8 — the gate consuming the clusters): up to 10 members per
+    cluster in a deterministic md5-of-id order, so the 'random' pick
+    is bit-identical in DuckDB and re-derivable for audits.  The rank
+    filter pre-trims map-side via WindowGroupLimit (plan-asserted) —
+    at a billion vectors the sample exchange carries cap × partitions
+    rows per cluster, never a cluster's full membership."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return _km.kmeans_balanced_sample(emb, k=8, iters=3, cap=10)
+
+
 # ----------------------------------------------------------------------
 # Exact n-gram Jaccard dedup (dedup/ngram_jaccard.py)
 # ----------------------------------------------------------------------

@@ -127,13 +127,12 @@ def kmeans_assign(
     )
 
 
-def duckdb_oracle_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000
-) -> str:
-    """Unrolled DuckDB mirror of ``kmeans_cluster_stats`` — generated
-    from the same (k, iters, dim, scale) so the two engines cannot
-    drift structurally.  list_sum folds the same 64 components the
-    Spark F.aggregate folds; SUM over BIGINT is exact in both."""
+def _oracle_ctes(k: int, iters: int, dim: int, scale: int) -> str:
+    """The shared CTE chain (pts → cent0 → d1/a1 → … → a{iters}) every
+    k-means oracle builds on — generated from the same hyperparameters
+    as the Spark plan so the two engines cannot drift structurally.
+    list_sum folds the same components the Spark F.aggregate folds;
+    SUM over BIGINT is exact in both."""
     sq = (
         f"(CAST(p.q[i] AS DOUBLE) - c.c[i]) * (CAST(p.q[i] AS DOUBLE) - c.c[i])"
     )
@@ -173,14 +172,47 @@ def duckdb_oracle_sql(
   SELECT cluster, list(m ORDER BY pos) AS c FROM m{it} GROUP BY cluster
 )"""
             )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def duckdb_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 1000
+) -> str:
+    """DuckDB mirror of ``kmeans_cluster_stats``."""
+    return (
+        _oracle_ctes(k, iters, dim, scale)
+        + f"""
 SELECT cluster, COUNT(*) AS n_vecs,
        CAST(SUM(CAST(sqrt(d2) / {scale} AS DECIMAL(18,6))) AS DOUBLE)
          / COUNT(*) AS avg_dist
 FROM a{iters} GROUP BY cluster ORDER BY cluster"""
     )
-    return "".join(parts)
+
+
+def duckdb_balanced_sample_sql(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 1000,
+    cap: int = 10,
+) -> str:
+    """DuckDB mirror of ``kmeans_balanced_sample`` — same CTE chain,
+    then the per-cluster deterministic-hash top-``cap``.  The sample
+    order key is ``md5(CAST(id AS VARCHAR))``: both engines produce the
+    identical lowercase hex string, so the 'random' pick is
+    bit-reproducible cross-engine (and across reruns — a curation
+    sample you can re-derive is auditable)."""
+    return (
+        _oracle_ctes(k, iters, dim, scale)
+        + f"""
+SELECT cluster, vec_id, CAST(rn AS BIGINT) AS samp_rank FROM (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM a{iters})
+WHERE rn <= {cap} ORDER BY cluster, samp_rank"""
+    )
 
 
 def kmeans_cluster_stats(
@@ -204,4 +236,39 @@ def kmeans_cluster_stats(
             (F.sum(dist).cast("double") / F.count(F.lit(1))).alias("avg_dist"),
         )
         .orderBy("cluster")
+    )
+
+
+def kmeans_balanced_sample(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    cap: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Cluster-balanced corpus sample — the module's stated purpose,
+    as a consumer of the clusters: up to ``cap`` members per cluster,
+    picked by a DETERMINISTIC pseudo-random order (md5 of the id —
+    identical hex in DuckDB, so the sample is cross-engine
+    reproducible and re-derivable for audits; a seeded rand() would be
+    engine-specific).  A dominant topic contributes ``cap`` rows, a
+    thin one contributes what it has — the standard counter to
+    majority-topic capture in training-data curation.
+
+    Scale: the rank filter hits Spark's WindowGroupLimit rewrite
+    (plan-asserted in tests/test_plans.py) — each map task pre-trims
+    to ``cap`` rows per cluster before the shuffle, so the exchange
+    carries at most cap × #partitions rows per cluster, not the
+    cluster's full membership."""
+    assigned = kmeans_assign(emb, k, iters, id_col, vec_col, scale)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("samp_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("samp_rank") <= cap)
+        .select("cluster", id_col, "samp_rank")
+        .orderBy("cluster", "samp_rank")
     )

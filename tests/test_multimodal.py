@@ -226,6 +226,67 @@ def test_real_wav_decode_through_spark(spark):
     __import__("importlib").util.find_spec("PIL") is None,
     reason="PIL not installed — stdlib PNG tier covers this container",
 )
+def test_pil_tier_jpeg_decode(spark):
+    """Tier-1-ONLY surface (VERDICT r5 ask #7): JPEG has no stdlib
+    fallback, so this runs exactly the PIL branch and would catch it
+    rotting.  Skips explicitly where PIL is absent (this container);
+    the PNG/WAV tests above cover the stdlib tier everywhere."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 2), (255, 0, 0)).save(buf, format="JPEG")
+    jpg = buf.getvalue()
+    df = spark.createDataFrame(
+        [Row(media_id=2, media_type="image", payload=jpg, mime="image/jpeg",
+             n_bytes=len(jpg))],
+        MEDIA_SCHEMA,
+    )
+    rows = extract_image_features(df, deterministic_fake=False).collect()
+    r = rows[0]
+    assert (r.width, r.height, r.channels) == (4, 2, 3)
+    # JPEG is lossy: red's Rec.601 luma 0.299 within codec tolerance
+    assert r.mean_luma == pytest.approx(0.299, abs=0.05)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("soundfile") is None,
+    reason="soundfile not installed — stdlib wave tier covers this container",
+)
+def test_soundfile_tier_flac_decode(spark):
+    """Tier-1-ONLY surface: FLAC has no stdlib fallback, so this runs
+    exactly the soundfile branch.  Skips explicitly where soundfile is
+    absent (this container)."""
+    import io
+
+    import numpy as np
+    import soundfile as sf
+
+    buf = io.BytesIO()
+    rate, n = 8000, 4000
+    sf.write(buf, np.full(n, 0.5, dtype=np.float32), rate, format="FLAC")
+    flac = buf.getvalue()
+
+    from automated_etl_pipeline_spark.multimodal.binary_ops import (
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame(
+        [Row(media_id=8, media_type="audio", payload=flac, mime="audio/flac",
+             n_bytes=len(flac))],
+        MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(df, deterministic_fake=False).collect()[0]
+    assert r.sample_rate == rate
+    assert r.duration_s == pytest.approx(n / rate)
+    assert r.rms == pytest.approx(0.5, abs=1e-3)
+
+
+@pytest.mark.skipif(
+    __import__("importlib").util.find_spec("PIL") is None,
+    reason="PIL not installed — stdlib PNG tier covers this container",
+)
 def test_pil_tier_resize(spark):
     """Exercised only where PIL exists: real resize re-encodes bytes."""
     from automated_etl_pipeline_spark.multimodal.binary_ops import resize_images

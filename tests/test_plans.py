@@ -189,6 +189,15 @@ def test_source_cap_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmeans_balanced_sample_pretrims_map_side(spark):
+    """The cluster-balanced sample's per-cluster top-cap must hit the
+    same WindowGroupLimit rewrite — a billion-vector cluster ships
+    cap x partitions rows into the sample exchange, not its full
+    membership."""
+    plan = plan_of(spark, "kmeans_balanced_sample")
+    assert "WindowGroupLimit" in plan
+
+
 def test_q15_revenue_view_computed_once(spark):
     """Q15's revenue 'view' feeds two consumers (per-supplier rows and
     the global max).  The explicit NOT NULL on the agg key makes both
