@@ -2107,3 +2107,116 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------
+# End-to-end curation pipeline — the whole job as ONE Catalyst plan:
+# quality gate -> exact dedup -> fingerprint near-dedup -> corpus
+# report. Each stage shrinks the next stage's input; nothing
+# materializes between stages, so Catalyst fuses the quality
+# predicates into the scan and the dedup semi-joins pipeline into the
+# final aggregation.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "corpus_curation_e2e",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20
+        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.4
+        AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.12
+    ), d1 AS (
+      SELECT * FROM quality
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1
+    ), d2 AS (
+      SELECT * FROM d1
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+        ORDER BY doc_id) = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_unique) AS DOUBLE) / SUM(n_tokens)
+             AS micro_distinct_ratio
+    FROM d2 GROUP BY lang ORDER BY lang
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation job end-to-end as one plan: quality filters
+    (length / type-token ratio / stopword ratio, thresholds at the
+    testdata's quartiles so ~half the corpus survives) -> exact-hash
+    dedup -> first-8-token fingerprint near-dedup -> per-language
+    corpus report.
+
+    Determinism: the report's distinct-ratio is the MICRO average
+    (exact BIGINT sums, one double division) — a per-doc-double AVG
+    would be partition-order sensitive; the window winners are unique
+    (doc_id is a key) so rank ties cannot occur.
+
+    Scale — why WINDOW dedup here and agg+semi-join in
+    dedup_cascade_stats: the cascade's min-per-key + left-semi-join
+    formulation re-scans the corpus once per stage (measured: 4 scans,
+    3 semi joins for this shape).  The keep-rank-1 window does each
+    stage in the SAME pass: the whole pipeline is ONE scan -> quality
+    predicates in the scan stage -> shuffle by content hash (dedup 1)
+    -> shuffle by fingerprint over the survivors (dedup 2) -> 8-key
+    report aggregation.  Both windows carry the
+    WindowGroupLimit-style early filter (rn = 1 prunes per partition
+    before downstream work), and each stage's shuffle volume is the
+    SURVIVORS of the previous stage, not the corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = spread(docs).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).alias("n_stop"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.4)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") <= 0.12)
+    )
+    w1 = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d1 = (
+        quality.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
+    w2 = Window.partitionBy(fp).orderBy("doc_id")
+    d2 = (
+        d1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        d2.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (
+                F.sum("n_unique").cast("double") / F.sum("n_tokens")
+            ).alias("micro_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -189,6 +189,17 @@ def test_source_cap_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_curation_e2e_single_scan_no_joins(spark):
+    """The end-to-end curation pipeline must plan as ONE corpus scan
+    (no per-stage re-scan), zero joins (window dedup, not
+    rep-semi-joins), and WindowGroupLimit pre-trims on the rank-1
+    filters — the shape that makes the whole job one pass at 100 TB."""
+    plan = plan_of(spark, "corpus_curation_e2e")
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in plan  # no semi joins, no re-scans to join back
+    assert "WindowGroupLimit" in plan
+
+
 def test_kmeans_balanced_sample_pretrims_map_side(spark):
     """The cluster-balanced sample's per-cluster top-cap must hit the
     same WindowGroupLimit rewrite — a billion-vector cluster ships
@@ -260,14 +271,26 @@ _STREAM_EXEC_GATES = frozenset(
 )
 
 
-def test_registry_no_forced_broadcast_of_unreduced_sf_tables(spark):
-    """The repo rule, asserted over EVERY registry query: an explicit
-    broadcast hint may only wrap a fixed-cardinality dim (region/
-    nation) or a reduced slice (filtered / aggregated / limited) of an
-    SF-scaling table.  A hint on an unreduced fact-class scan
-    overrides AQE's size check and OOMs executors at 100 TB — exactly
-    the q14/q19/q21 anti-pattern removed this round."""
+def test_registry_scale_rules_sweep(spark):
+    """The repo's three hard scale rules, asserted over EVERY registry
+    query in one pass:
+
+    1. No explicit broadcast hint on an unreduced SF-scaling table —
+       a hint overrides AQE's size check and OOMs executors at 100 TB
+       (the q14/q19/q21 anti-pattern removed this round). Checked on
+       the analyzed logical plan; fixed dims (region/nation) and
+       reduced slices (filtered/aggregated/limited) are fine.
+    2. No CartesianProduct — a non-broadcast cross product is
+       quadratic shuffle volume. (BroadcastNestedLoopJoin is allowed:
+       the planner only picks it when the build side fits broadcast —
+       in this registry always a 1-row aggregate, k-row centroid
+       table, or top-k query set — and statistics demote it at scale.)
+    3. No BatchEvalPython — row-wise Python evaluation; the only
+       Python boundaries allowed are Arrow-vectorized
+       (ArrowEvalPython / MapInPandas / AggregateInPandas /
+       FlatMapGroupsInPandas*)."""
     from automated_etl_pipeline_spark.plans.explain import (
+        executed_plan,
         forced_broadcast_violations,
     )
 
@@ -275,10 +298,19 @@ def test_registry_no_forced_broadcast_of_unreduced_sf_tables(spark):
     for name, fn in entry_mod.queries().items():
         if name in _STREAM_EXEC_GATES:
             continue
-        viol = forced_broadcast_violations(fn(spark, SF_SMOKE))
+        df = fn(spark, SF_SMOKE)
+        flags = []
+        viol = forced_broadcast_violations(df)
         if viol:
-            bad[name] = viol
-    assert not bad, f"forced broadcast of unreduced SF-scaling tables: {bad}"
+            flags.append(f"forced-broadcast:{viol}")
+        plan = executed_plan(df)
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"scale-rule violations: {bad}"
 
 
 def test_forced_broadcast_detector_positive_and_negative(spark):
