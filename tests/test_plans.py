@@ -359,6 +359,49 @@ def test_forced_broadcast_detector_positive_and_negative(spark):
     )
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's InjectRuntimeFilter: a selective dim filter builds a
+    bloom filter over its join keys and the fact side gains a
+    ``might_contain(...)`` filter BEFORE its shuffle — rows that
+    cannot join never leave the scan stage, the biggest shuffle-volume
+    lever on selective fact⋈dim joins at 100 TB.  The application-side
+    size threshold defaults to 10 GB (sized for real clusters), so the
+    probe scales it to the fixture — same code path, smaller trigger
+    (the skew-smoke rationale, tools/scale_smoke_skew.py)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        j = li.join(
+            part.filter(F.col("p_brand") == "Brand#11"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        ).agg(F.count(F.lit(1)))
+        plan = executed_plan(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # the runtime filter must sit on the FACT (lineitem) side
+        fact_filter = [
+            l for l in plan.splitlines()
+            if "might_contain" in l and "l_partkey" in l
+        ]
+        assert fact_filter, "bloom filter not applied to the fact scan side"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     """Hive-partitioned parquet layout: a filter on the partition column
     must become a PartitionFilter (directory pruning — zero IO for the
