@@ -2506,3 +2506,199 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cgroup")
     )
+
+
+# ----------------------------------------------------------------------
+# TPC-H breadth, round 6: Q8 / Q9 / Q16 adapted to the testdata schema.
+# With these, every TPC-H query shape expressible WITHOUT a partsupp
+# table is covered (Q2/Q11/Q20 are inherently partsupp-bound: min-cost
+# supplier, inventory value, available quantity — out of schema).
+# ----------------------------------------------------------------------
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_2 suppliers'
+    share of ECONOMY-part volume sold to ASIA customers, per order
+    year.  Plan: lineitem joins the two filtered dim chains
+    (customer→nation→region broadcast after its region filter;
+    supplier→nation broadcast); part scales with SF so its join
+    carries NO hint (AQE decides — the type filter usually makes it
+    broadcastable at runtime).  Share = ratio of two exact DECIMAL
+    sums, divided once as doubles (the conditional-ratio discipline
+    of q14)."""
+    li, orders, customer, supplier, part, nation, region = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region",
+    )
+    asia_n = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp_n = nation.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    vol = _rev()
+    share_vol = F.when(F.col("nation") == "NATION_2", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1999-01-01").cast("timestamp")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_n), F.col("c_nationkey") == F.col("cust_nk"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("supp_nk"))
+        # part scales with SF: no hint, AQE decides (repo rule)
+        .join(
+            part.filter(F.col("p_type") == "ECONOMY"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(share_vol).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE)
+           - CAST(SUM(CAST(0.6 * p_retailprice * l_quantity
+                           AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice, l_discount, l_quantity, p_retailprice
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE p_name LIKE 'red %'
+    ) GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by supplier nation × year).
+    The reference's cost term is ps_supplycost·l_quantity; the testdata
+    has no partsupp, so cost is the deterministic stand-in
+    0.6·p_retailprice·l_quantity (same join topology and aggregate
+    structure — the shape, not the constant, is what's under test).
+    Revenue and cost are summed as SEPARATE exact DECIMAL aggregates
+    and differenced once as doubles; summing the per-row difference
+    would be equivalent arithmetic but this keeps each partial within
+    the repo's proven decimal-sum discipline."""
+    li, orders, supplier, part, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation"
+    )
+    cost = (
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        # part scales with SF: no hint (repo rule), AQE decides
+        .join(
+            part.filter(F.col("p_name").like("red %")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (
+                F.sum(_rev()).cast("double") - F.sum(cost).cast("double")
+            ).alias("sum_profit")
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#11'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (how many suppliers can supply qualifying
+    parts): the part-supplier relation is derived from lineitem's
+    DISTINCT (partkey, suppkey) pairs — the testdata's stand-in for
+    partsupp — and the reference's complaints NOT-IN subquery becomes
+    the negative-balance suppliers (same anti-join decorrelation).
+    Plan: the pair-distinct collapses map-side before its shuffle; the
+    attribute filters reach the part scan; the exclusion list is a
+    broadcast anti join; count-distinct expands once.  Total order on
+    (cnt desc, brand, size) keeps the gate hash-stable."""
+    li, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(pf, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )

@@ -238,6 +238,24 @@ def test_q21_decorrelated_single_pass(spark):
     assert plan.count("lineitem.parquet") <= 2
 
 
+def test_q8_q9_q16_hash_joins_and_pushed_filters(spark):
+    """The r6 TPC-H additions: every join hash-based, the selective
+    attribute filters pushed into the part scan, Q16's exclusion as a
+    broadcast anti join over the distinct pair relation."""
+    for name in ("q8_market_share", "q9_product_profit"):
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "PushedFilters: [" in plan, name
+    assert "EqualTo(p_type,ECONOMY)" in plan_of(spark, "q8_market_share")
+    assert "StringStartsWith(p_name,red )" in plan_of(spark, "q9_product_profit")
+    q16 = plan_of(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in q16 and "BroadcastHashJoin" in q16
+    # the brand/type filters are pushed to the part scan (the size IN
+    # list is pushed too, but the plan printer truncates that far)
+    assert "Not(EqualTo(p_brand,Brand#11))" in q16
+
+
 def test_q22_scalar_avg_broadcast_and_anti_join(spark):
     """Q22's scalar average must plan as a 1-row broadcast (the ONLY
     acceptable nested-loop: IdentityBroadcastMode over a global
