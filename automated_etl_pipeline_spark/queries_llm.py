@@ -1039,6 +1039,102 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+_SPAN_W = 20
+
+
+@query(
+    "dedup_exact_spans",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), win AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+               i -> ('0x' || substr(md5(
+                      array_to_string(t[i:i+{_SPAN_W}-1], ' ')), 1, 15))::BIGINT
+             )) AS h
+      FROM tok WHERE len(t) >= {_SPAN_W}
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT w.doc_id, COUNT(*) AS n_dup_windows
+      FROM win w JOIN dup USING (h) GROUP BY w.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(t) - {_SPAN_W} + 1 AS BIGINT) AS n_windows,
+           n_dup_windows,
+           ROUND(CAST(n_dup_windows AS DOUBLE)
+                 / (len(t) - {_SPAN_W} + 1), 6) AS dup_frac
+    FROM per_doc p JOIN tok USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection (the exact-substring dedup
+    signal of Lee et al., 'Deduplicating Training Data Makes Language
+    Models Better'): every W=20-token sliding window is content-hashed;
+    a window whose hash appears in >= 2 DISTINCT documents marks a
+    cross-document duplicated span.  Per-document output (window
+    count, duplicated-window count, duplicated fraction) is the
+    span-removal signal — near-dup pair finders (minhash/simhash/
+    PPJoin) rate whole documents; this localizes WHICH text is copied
+    (boilerplate, license blocks, templated passages) even between
+    documents that are globally dissimilar.
+
+    Determinism: windows are hashed with the shared 60-bit md5 scheme
+    (dedup/ngram_jaccard.shingle_hash60 — 8-byte shuffle keys instead
+    of 32-byte hex, identical parse in DuckDB; corpus-wide collisions
+    ~n²/2⁶¹).
+
+    Scale: explode is n_tokens rows per doc (same order as the
+    shingle index); the dup-hash aggregate collapses map-side (shuffle
+    O(distinct windows)); the count-back join is hash-keyed.  Nothing
+    is quadratic — the suffix-array construction of the paper is
+    replaced by the fixed-W rolling-window hash join, the standard
+    Spark-native formulation."""
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= _SPAN_W)
+    )
+    win = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _SPAN_W + 1),
+                lambda i: shingle_hash60(
+                    F.concat_ws(" ", F.slice("t", i, _SPAN_W))
+                ),
+            )
+        ).alias("h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    per_doc = win.join(dup, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    n_windows = (F.size("t") - _SPAN_W + 1).cast("long")
+    return (
+        per_doc.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            n_windows.alias("n_windows"),
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows").cast("double") / n_windows, 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "oov_rate_quality",
     """
