@@ -1043,6 +1043,139 @@ _SPAN_W = 20
 
 
 @query(
+    "dedup_span_removal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), win AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t) - {_SPAN_W} + 2)) AS pos,
+             UNNEST(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+               i -> ('0x' || substr(md5(
+                      array_to_string(t[i:i+{_SPAN_W}-1], ' ')), 1, 15))::BIGINT
+             )) AS h
+      FROM tok WHERE len(t) >= {_SPAN_W}
+    ), owner AS (
+      SELECT h, MIN(doc_id) AS owner_doc FROM win
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), removable AS (
+      SELECT w.doc_id, w.pos FROM win w JOIN owner o USING (h)
+      WHERE w.doc_id > o.owner_doc
+    ), flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER w + {_SPAN_W} OR
+                       lag(pos) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM (SELECT DISTINCT doc_id, pos FROM removable)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ), spans AS (
+      SELECT doc_id, island,
+             MIN(pos) AS s, MAX(pos) + {_SPAN_W} - 1 AS e
+      FROM islands GROUP BY doc_id, island
+    )
+    SELECT sp.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS tokens_removed,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - SUM(e - s + 1) AS BIGINT) AS tokens_kept
+    FROM spans sp JOIN tok USING (doc_id)
+    GROUP BY sp.doc_id, len(t) ORDER BY sp.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL plan (completes dedup_exact_spans'
+    detection with Lee-et-al keep-first semantics): each duplicated
+    window hash has an OWNER (lowest doc_id); occurrences in any other
+    document are removal candidates, whose overlapping/adjacent
+    [pos, pos+W-1] intervals merge into maximal spans via
+    gaps-and-islands (new island when the gap to the previous window
+    start exceeds W).  Per-doc output: merged span count, tokens
+    removed, tokens kept — the exact edit list a span-scrubbing writer
+    would apply, computed without ever materializing the edited text.
+
+    Scale: the owner aggregate collapses map-side; the islands pass is
+    one per-doc window over REMOVABLE positions only (a small subset
+    of windows); everything is keyed on doc_id or the 60-bit window
+    hash.  Same shuffle structure as dedup_exact_spans plus one
+    narrow per-doc window."""
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= _SPAN_W)
+    )
+    win = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - _SPAN_W + 1),
+                lambda i: shingle_hash60(
+                    F.concat_ws(" ", F.slice("t", i, _SPAN_W))
+                ),
+            )
+        ).alias("p0", "h"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    owner = (
+        win.groupBy("h")
+        .agg(
+            F.min("doc_id").alias("owner_doc"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner_doc")
+    )
+    removable = (
+        win.join(owner, "h")
+        .filter(F.col("doc_id") > F.col("owner_doc"))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = removable.withColumn(
+        "new_island",
+        F.when(
+            F.lag("pos").over(w_doc).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_doc) + _SPAN_W),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _SPAN_W - 1).alias("e"),
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(span_len).alias("tokens_removed"),
+        )
+        .join(toks.select("doc_id", F.size("t").cast("long").alias("n_tokens")), "doc_id")
+        .select(
+            "doc_id",
+            "n_spans",
+            "tokens_removed",
+            "n_tokens",
+            (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "dedup_exact_spans",
     f"""
     WITH tok AS (
