@@ -1102,77 +1102,12 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-doc window over REMOVABLE positions only (a small subset
     of windows); everything is keyed on doc_id or the 60-bit window
     hash.  Same shuffle structure as dedup_exact_spans plus one
-    narrow per-doc window."""
-    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+    narrow per-doc window.  Implementation (W-parameterized, property-
+    tested against a pure-Python reference at W=3): dedup/spans.py."""
+    from automated_etl_pipeline_spark.dedup.spans import removal_spans
 
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= _SPAN_W)
-    )
-    win = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - _SPAN_W + 1),
-                lambda i: shingle_hash60(
-                    F.concat_ws(" ", F.slice("t", i, _SPAN_W))
-                ),
-            )
-        ).alias("p0", "h"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
-    owner = (
-        win.groupBy("h")
-        .agg(
-            F.min("doc_id").alias("owner_doc"),
-            F.countDistinct("doc_id").alias("nd"),
-        )
-        .filter(F.col("nd") >= 2)
-        .select("h", "owner_doc")
-    )
-    removable = (
-        win.join(owner, "h")
-        .filter(F.col("doc_id") > F.col("owner_doc"))
-        .select("doc_id", "pos")
-        .distinct()
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = removable.withColumn(
-        "new_island",
-        F.when(
-            F.lag("pos").over(w_doc).isNull()
-            | (F.col("pos") > F.lag("pos").over(w_doc) + _SPAN_W),
-            1,
-        ).otherwise(0),
-    )
-    islands = flagged.withColumn(
-        "island",
-        F.sum("new_island").over(
-            w_doc.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    spans = islands.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + _SPAN_W - 1).alias("e"),
-    )
-    span_len = F.col("e") - F.col("s") + 1
-    return (
-        spans.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(span_len).alias("tokens_removed"),
-        )
-        .join(toks.select("doc_id", F.size("t").cast("long").alias("n_tokens")), "doc_id")
-        .select(
-            "doc_id",
-            "n_spans",
-            "tokens_removed",
-            "n_tokens",
-            (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
-        )
-        .orderBy("doc_id")
-    )
+    return removal_spans(spread(docs), w=_SPAN_W)
 
 
 @query(
@@ -1224,48 +1159,12 @@ def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct windows)); the count-back join is hash-keyed.  Nothing
     is quadratic — the suffix-array construction of the paper is
     replaced by the fixed-W rolling-window hash join, the standard
-    Spark-native formulation."""
-    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+    Spark-native formulation.  Implementation (W-parameterized):
+    dedup/spans.py."""
+    from automated_etl_pipeline_spark.dedup.spans import span_report
 
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = (
-        spread(docs)
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= _SPAN_W)
-    )
-    win = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - _SPAN_W + 1),
-                lambda i: shingle_hash60(
-                    F.concat_ws(" ", F.slice("t", i, _SPAN_W))
-                ),
-            )
-        ).alias("h"),
-    )
-    dup = (
-        win.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    per_doc = win.join(dup, "h").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_windows")
-    )
-    n_windows = (F.size("t") - _SPAN_W + 1).cast("long")
-    return (
-        per_doc.join(toks, "doc_id")
-        .select(
-            "doc_id",
-            n_windows.alias("n_windows"),
-            "n_dup_windows",
-            F.round(
-                F.col("n_dup_windows").cast("double") / n_windows, 6
-            ).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return span_report(spread(docs), w=_SPAN_W)
 
 
 @query(

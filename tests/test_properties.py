@@ -157,3 +157,61 @@ def test_asof_forward_is_backward_under_time_reversal(spark, lefts, rights):
         }
 
     assert run("forward", neg=False) == run("backward", neg=True)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("aa bb cc dd".split()), min_size=0, max_size=24),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_span_removal_matches_python_reference(spark, corpora):
+    """dedup/spans.removal_spans vs a direct pure-Python model (W=3,
+    4-token alphabet so duplicated windows are dense): owner =
+    lowest doc_id per duplicated window hash; removal intervals
+    [pos, pos+W-1] for non-owner occurrences; merge when the gap
+    between window starts is <= W.  Catches off-by-ones at exact
+    overlap/adjacency boundaries the testdata never hits."""
+    from collections import defaultdict
+
+    from automated_etl_pipeline_spark.dedup.spans import removal_spans
+
+    W = 3
+    docs = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+
+    # --- reference model -------------------------------------------
+    owners: dict[tuple, int] = {}
+    holders: dict[tuple, set] = defaultdict(set)
+    for doc_id, toks in enumerate(corpora):
+        for p in range(len(toks) - W + 1):
+            w = tuple(toks[p : p + W])
+            holders[w].add(doc_id)
+            owners.setdefault(w, doc_id)
+    expected = {}
+    for doc_id, toks in enumerate(corpora):
+        pos = sorted(
+            p + 1
+            for p in range(len(toks) - W + 1)
+            if len(holders[tuple(toks[p : p + W])]) >= 2
+            and owners[tuple(toks[p : p + W])] < doc_id
+        )
+        if not pos:
+            continue
+        spans = []
+        for p in pos:
+            if spans and p <= spans[-1][1] - W + 1 + W:  # gap <= W
+                spans[-1][1] = max(spans[-1][1], p + W - 1)
+            else:
+                spans.append([p, p + W - 1])
+        removed = sum(e - s + 1 for s, e in spans)
+        expected[doc_id] = (len(spans), removed, len(toks), len(toks) - removed)
+
+    # --- engine ----------------------------------------------------
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.tokens_removed, r.n_tokens, r.tokens_kept)
+        for r in removal_spans(df, w=W).collect()
+    }
+    assert got == expected
