@@ -172,6 +172,56 @@ def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bpe_pair_merge_counts",
+    """
+    WITH tok AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT UNNEST(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM tok WHERE len(t) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE-style merge statistics — the kernel of
+    tokenizer training as a corpus-scale job: count every ADJACENT
+    token pair and rank the merge candidates (full BPE iterates this,
+    re-tokenizing after each merge; the per-round counting is the part
+    that touches all the data and must distribute).
+
+    Scale: the pair explode is n_tokens rows per doc; the count
+    collapses map-side (shuffle O(distinct pairs)); top-20 is
+    TakeOrderedAndProject (per-partition heaps, never a global sort —
+    plan-asserted).  Total order (count desc, pair asc) keeps the gate
+    hash-stable."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 # ----------------------------------------------------------------------
 # Similarity search over embeddings (array<float>, 64-dim)
 # ----------------------------------------------------------------------
