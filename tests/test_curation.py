@@ -157,3 +157,59 @@ def test_weighted_sample_aes_keys_and_determinism(spark):
         assert 0.0 <= r.sample_key <= 1.0
     keys = [r.sample_key for r in a]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_span_ops_empty_when_no_duplicates(spark):
+    """A corpus with zero repeated windows must yield EMPTY reports
+    from both span gates (not errors, not all-zero rows)."""
+    from automated_etl_pipeline_spark.dedup.spans import (
+        removal_spans,
+        span_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    assert span_report(docs, w=3).count() == 0
+    assert removal_spans(docs, w=3).count() == 0
+
+
+def test_span_removal_identical_docs_keep_owner_whole(spark):
+    """Two identical docs: the lower doc_id is the owner (untouched);
+    the higher one's ENTIRE text becomes one removal span."""
+    from automated_etl_pipeline_spark.dedup.spans import removal_spans
+
+    text = " ".join(f"t{j}" for j in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    rows = removal_spans(docs, w=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.doc_id == 2
+    assert (r.n_spans, r.tokens_removed, r.n_tokens, r.tokens_kept) == (
+        1,
+        10,
+        10,
+        0,
+    )
+
+
+def test_curation_e2e_all_filtered_is_empty_not_error(spark):
+    """corpus_curation_e2e-style pipeline over docs that all fail the
+    quality gate (too short) returns an empty report cleanly."""
+    import __spark_entry__ as entry_mod
+
+    # drive the registered callable against a temp dir with a tiny
+    # documents table of all-too-short docs
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs = spark.createDataFrame(
+            [(i, "a b", "en", "src0", 3) for i in range(5)],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        out = entry_mod.queries()["corpus_curation_e2e"](spark, d)
+        assert out.count() == 0
