@@ -172,6 +172,63 @@ def text_token_regex_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 16
+
+
+@query(
+    "shard_assignment_balance",
+    f"""
+    WITH sized AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rk
+      FROM sized
+    ), assigned AS (
+      SELECT doc_id, n_tok,
+             CAST((rk - 1) % {_N_SHARDS} AS INT) AS shard
+      FROM ranked
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard planning for the training-data write: docs
+    rank by token count (desc, doc_id tiebreak) and deal round-robin
+    across 16 shards — the classic longest-first dealing that keeps
+    per-shard token sums within one max-doc of each other, computed as
+    a plan rather than a driver loop.  The report (per-shard doc count
+    + token sum) is what a writer consumes as partitionBy values and
+    what an SLA check reads for imbalance.
+
+    Scale note: the global rank is a single-partition window over
+    (n_tok, doc_id) pairs — two longs per doc, the same driver-scale
+    bottleneck class as pack_sequences' offsets, which documents the
+    two-phase prefix-sum alternative when even that is too wide; at
+    that point swap the rank for hash-mod sharding (still deterministic,
+    slightly worse balance)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sized = spread(docs).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    return (
+        sized.withColumn(
+            "shard", ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
 @query(
     "bpe_pair_merge_counts",
     """
