@@ -39,7 +39,12 @@ def test_dim_joins_are_broadcast_not_shuffle(spark):
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
-    for name in ("w2_topk_count", "w3_topk_measure", "ann_cosine_topk"):
+    for name in (
+        "w2_topk_count",
+        "w3_topk_measure",
+        "ann_cosine_topk",
+        "bpe_pair_merge_counts",
+    ):
         plan = plan_of(spark, name)
         assert "TakeOrderedAndProject" in plan, name
 
