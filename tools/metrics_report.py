@@ -71,7 +71,13 @@ def walk_metrics(node, depth=0, out=None):
 
 
 def report(df) -> list[tuple[int, str, dict]]:
-    """Execute ``df`` (collect) and return its metric tree."""
+    """Execute ``df`` (collect) and return its metric tree.
+
+    collect() is deliberate: metrics live on THIS QueryExecution, and
+    a noop write clones the execution (its metrics would read zero).
+    Registry gates return small results; for a frame too wide to
+    collect, wrap it in an aggregate first and read the child
+    metrics."""
     df.collect()
     return walk_metrics(df._jdf.queryExecution().executedPlan())
 
