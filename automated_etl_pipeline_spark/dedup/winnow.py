@@ -87,10 +87,20 @@ def fingerprint_pairs(
     k: int = DEFAULT_K,
     w: int = DEFAULT_W,
     min_shared: int = 2,
-    max_df_frac: float = 0.02,
+    max_df_frac: float | None = 0.02,
 ) -> DataFrame:
     """(doc_a, doc_b, n_shared): pairs sharing >= min_shared winnowed
-    fingerprints of relative document frequency <= max_df_frac."""
+    fingerprints of relative document frequency <= max_df_frac.
+
+    ``max_df_frac=None`` disables the hot-fingerprint cap entirely —
+    with min_shared=1 that is the configuration under which the
+    winnowing GUARANTEE holds exactly (any shared run of k+w-1 tokens
+    yields a pair; brute-force-verified in
+    tests/test_dedup_similarity.py).  The capped default trades that
+    corner of recall for a hard bound on index df, same contract as
+    ngram_jaccard's opt-in cap.  (A None cap used to flow into the
+    filter as ``df <= n_docs * NULL`` — three-valued logic silently
+    emptied the whole index; regression-pinned now.)"""
     toks = F.split(F.col(text_col), " ")
     fp = (
         docs.select(F.col(id_col), toks.alias("t"))
@@ -103,15 +113,16 @@ def fingerprint_pairs(
         .localCheckpoint()  # consumed by df-agg AND both join sides
     )
     inv = fp.select(id_col, F.explode("fp").alias("f"))
-    n_docs = fp.agg(F.count(F.lit(1)).alias("n_docs"))
-    keep = (
-        inv.groupBy("f")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
-        .select("f")
-    )
-    inv = inv.join(keep, "f", "left_semi")
+    if max_df_frac is not None:
+        n_docs = fp.agg(F.count(F.lit(1)).alias("n_docs"))
+        keep = (
+            inv.groupBy("f")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(n_docs))
+            .filter(F.col("df") <= F.col("n_docs") * max_df_frac)
+            .select("f")
+        )
+        inv = inv.join(keep, "f", "left_semi")
     a, b = inv.alias("a"), inv.alias("b")
     return (
         a.join(

@@ -457,3 +457,58 @@ def test_simhash_pairs_complete_vs_bruteforce(spark):
         for r in simhash_pairs(docs, max_hamming=3).collect()
     }
     assert got == expected
+
+
+def test_winnowing_guarantee_vs_bruteforce(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared token run
+    of length >= k + w - 1 between two documents MUST yield at least
+    one shared fingerprint.  Brute-force the longest shared run for
+    every pair on the real sf0.001 corpus and require every pair at or
+    above the guarantee length to appear in fingerprint_pairs with
+    min_shared=1 and no hot-cap (the uncapped library contract; the
+    gate's min_shared=2 + df-cap are documented recall trade-offs)."""
+    from itertools import combinations
+
+    from automated_etl_pipeline_spark.dedup.winnow import fingerprint_pairs
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+
+    from tests.conftest import SF_SMOKE
+
+    K, W = 4, 5
+    docs = load_testdata(spark, SF_SMOKE, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    toks = {r.doc_id: r.text.split(" ") for r in docs.collect()}
+
+    def longest_shared_run(a, b):
+        # k-gram set intersection gives candidate starts; extend runs
+        grams_b = {}
+        for i in range(len(b) - K + 1):
+            grams_b.setdefault(tuple(b[i : i + K]), []).append(i)
+        best = 0
+        for i in range(len(a) - K + 1):
+            for j in grams_b.get(tuple(a[i : i + K]), ()):
+                run = K
+                while (
+                    i + run < len(a)
+                    and j + run < len(b)
+                    and a[i + run] == b[j + run]
+                ):
+                    run += 1
+                best = max(best, run)
+        return best
+
+    must_pair = set()
+    ids = sorted(toks)
+    for a, b in combinations(ids, 2):
+        if longest_shared_run(toks[a], toks[b]) >= K + W - 1:
+            must_pair.add((a, b))
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in fingerprint_pairs(
+            docs, k=K, w=W, min_shared=1, max_df_frac=None
+        ).collect()
+    }
+    missing = must_pair - got
+    assert not missing, f"winnowing guarantee violated for: {sorted(missing)[:5]}"
