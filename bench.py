@@ -23,6 +23,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -30,6 +31,68 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from automated_etl_pipeline_spark.session import get_spark
+
+
+def _quiet_stop(spark) -> None:
+    """stop() preceded by StateStore.stop(): the state-store maintenance
+    thread pool outlives SparkEnv teardown and logs a harmless-but-noisy
+    ``IllegalStateException: SparkEnv not active`` WARN on every shutdown
+    after a streaming query ran (VERDICT r6 blemish #2). Unloading the
+    providers first makes the tail clean. Best-effort: the Scala object's
+    static forwarder name differs across builds, so try both spellings."""
+    try:
+        jvm_pkg = spark._jvm.org.apache.spark.sql.execution.streaming.state
+        try:
+            jvm_pkg.StateStore.stop()
+        except Exception:
+            getattr(getattr(jvm_pkg, "StateStore$"), "MODULE$").stop()
+    except Exception:
+        pass
+    spark.stop()
+
+
+def newest_anchors(path: Path) -> dict[str, float]:
+    """Per-query newest comparable anchor from BASELINE_BENCH.json:
+    rounds are stored oldest→newest, later rounds override, and rounds
+    whose name ends in ``_cold`` are skipped (cold-codegen numbers are
+    not comparable to the warm sweep)."""
+    try:
+        rounds = json.loads(path.read_text())["rounds"]
+    except (OSError, KeyError, ValueError):
+        return {}
+    anchors: dict[str, float] = {}
+    for rname, vals in rounds.items():
+        if rname.endswith("_cold") or not isinstance(vals, dict):
+            continue
+        for q, v in vals.items():
+            if isinstance(v, (int, float)) and v > 0:
+                anchors[q] = float(v)
+    return anchors
+
+
+def standalone_median(
+    fn, sf_dir: str, warm_dir: str, reps: int = 3, warm: bool = True
+) -> list[float]:
+    """Fresh-session timings of one query: per rep, new session → warm-up
+    scan → untimed warm pass at warm_dir → timed run at sf_dir → stop.
+    This is the adjudication protocol used manually in rounds 4-6 (bm25
+    r4, dq/range r5, salted/ngram r6) — automated per VERDICT r6 ask #2
+    so in-sweep contention readings self-refute inside the bench run."""
+    out: list[float] = []
+    for _ in range(reps):
+        s = get_spark("bench-adjudicate")
+        try:
+            s.read.parquet(f"{sf_dir}/region.parquet").count()
+            if warm:
+                fn(s, warm_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(s, sf_dir).write.format("noop").mode("overwrite").save()
+            out.append(round(time.perf_counter() - t0, 3))
+        except Exception:
+            pass  # adjudication is advisory; never kill the harness
+        finally:
+            _quiet_stop(s)
+    return out
 
 
 def main() -> None:
@@ -53,7 +116,7 @@ def main() -> None:
 
     def fresh_session(prev=None):
         if prev is not None:
-            prev.stop()
+            _quiet_stop(prev)
         s = get_spark("bench")
         try:
             # Warm-up: JVM, parquet footer reads, codegen caches.
@@ -122,6 +185,48 @@ def main() -> None:
         out["errors"] = errors
     if COLD:
         out["mode"] = "cold"
+
+    # Self-adjudication (VERDICT r6 ask #2): any query whose in-sweep
+    # wall reads ≥2× its newest BASELINE_BENCH anchor is re-run
+    # standalone (fresh session, n=3) and BOTH numbers recorded, so a
+    # host-contention reading refutes itself inside the bench record
+    # instead of consuming a judge cycle. Advisory only — the sweep
+    # timings above stay untouched. Capped at 8 re-runs (ratio-desc) so
+    # a globally-contended sweep can't double the bench wall time.
+    # SPARK_GRAFT_BENCH_NO_ADJ=1 disables (harness tests, quick loops).
+    _quiet_stop(spark)
+    spark = None
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_ADJ", "") in ("", "0") and sf >= 0.1:
+        anchors = newest_anchors(
+            Path(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_ANCHORS",
+                    Path(__file__).resolve().parent / "BASELINE_BENCH.json",
+                )
+            )
+        )
+        flagged = sorted(
+            (
+                (t / anchors[q], q)
+                for q, t in timings.items()
+                if q in anchors and t >= 2.0 * anchors[q] and t >= 0.2
+            ),
+            reverse=True,
+        )[:8]
+        if flagged:
+            adj: dict[str, dict] = {}
+            for ratio, q in flagged:
+                reps = standalone_median(qs[q], sf_dir, WARM_DIR, warm=not COLD)
+                adj[q] = {
+                    "wall": timings[q],
+                    "anchor": anchors[q],
+                    "ratio": round(ratio, 2),
+                    "standalone_reps": reps,
+                    "standalone_median": (
+                        round(statistics.median(reps), 3) if reps else None
+                    ),
+                }
+            out["standalone"] = adj
     # Per-query detail goes to a file: with 117 queries the full line is
     # >4 KB and the driver only keeps a 2000-char tail of stdout, so the
     # r4 driver bench recorded parsed=null (VERDICT r4 ask #2).  The full
@@ -154,7 +259,6 @@ def main() -> None:
     if COLD:
         compact["mode"] = "cold"
     print(json.dumps(compact))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -75,3 +75,80 @@ def test_bench_survives_failing_query(tmp_path):
 
     got_detail = json.loads(detail.read_text())
     assert got_detail["queries"] == out["queries"]
+
+
+def test_newest_anchors_skips_cold_and_prefers_latest(tmp_path):
+    """newest_anchors: later rounds override earlier ones, ``*_cold``
+    rounds are ignored (not comparable to the warm sweep), and junk
+    values are dropped."""
+    import bench
+
+    p = tmp_path / "anchors.json"
+    p.write_text(
+        json.dumps(
+            {
+                "rounds": {
+                    "r1": {"a": 1.0, "b": 2.0, "junk": None},
+                    "r2_cold": {"a": 99.0, "c": 5.0},
+                    "r3": {"a": 0.5, "z": 0},
+                }
+            }
+        )
+    )
+    a = bench.newest_anchors(p)
+    assert a == {"a": 0.5, "b": 2.0}
+    assert bench.newest_anchors(tmp_path / "missing.json") == {}
+
+
+_ADJ_DRIVER = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import __spark_entry__ as entry_mod
+
+def fake_queries():
+    def slow(spark, sf_dir):
+        time.sleep(0.25)  # guarantees wall >= 0.2 and >= 2x the 0.001 anchor
+        return spark.range(2)
+    return {{"q_slow": slow}}
+
+entry_mod.queries = fake_queries
+import bench
+bench.main()
+"""
+
+
+def test_bench_self_adjudicates_2x_readings(tmp_path):
+    """VERDICT r6 ask #2: a query reading >=2x its newest anchor is
+    automatically re-run standalone (fresh session, n=3) and both the
+    in-sweep wall and the standalone median land in the bench record."""
+    detail = tmp_path / "BENCH_DETAIL.json"
+    anchors = tmp_path / "anchors.json"
+    anchors.write_text(json.dumps({"rounds": {"r1": {"q_slow": 0.001}}}))
+    # adjudication is gated on sf >= 0.1 (parsed from the dir name);
+    # symlink a tiny dataset under an sf0.1-named path
+    sf_dir = tmp_path / "sf0.1"
+    sf_dir.symlink_to("/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, "-c", _ADJ_DRIVER.format(repo=str(REPO))],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+            "SPARK_GRAFT_SF_DIR": str(sf_dir),
+            "SPARK_GRAFT_BENCH_COLD": "1",
+            "SPARK_GRAFT_CPUS": "4",
+            "SPARK_GRAFT_BENCH_DETAIL": str(detail),
+            "SPARK_GRAFT_BENCH_ANCHORS": str(anchors),
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-2])
+    adj = out["standalone"]["q_slow"]
+    assert adj["anchor"] == 0.001 and adj["wall"] >= 0.2
+    assert adj["ratio"] >= 2.0
+    assert len(adj["standalone_reps"]) == 3
+    assert adj["standalone_median"] >= 0.25
