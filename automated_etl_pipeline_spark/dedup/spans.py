@@ -90,9 +90,12 @@ def span_report(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def removal_spans(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_spans, tokens_removed, n_tokens, tokens_kept):
-    keep-first-owner merged removal spans per doc, ordered by doc_id."""
+def removal_token_counts(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_spans, tokens_removed): per-doc keep-first-owner span
+    accounting WITHOUT the token-total join — the reusable core of
+    ``removal_spans``, consumed directly by pipelines that already
+    carry the doc's token count (corpus_curation_e2e's edit-list
+    stage)."""
     toks = tokenized(docs, w, id_col)
     win = windows(toks, w, id_col)
     owner = (
@@ -130,12 +133,18 @@ def removal_spans(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
         (F.max("pos") + w - 1).alias("e"),
     )
     span_len = F.col("e") - F.col("s") + 1
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).alias("tokens_removed"),
+    )
+
+
+def removal_spans(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_spans, tokens_removed, n_tokens, tokens_kept):
+    keep-first-owner merged removal spans per doc, ordered by doc_id."""
+    toks = tokenized(docs, w, id_col)
     return (
-        spans.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(span_len).alias("tokens_removed"),
-        )
+        removal_token_counts(docs, w, id_col)
         .join(
             toks.select(id_col, F.size("t").cast("long").alias("n_tokens")),
             id_col,

@@ -699,7 +699,16 @@ def _cascade_oracle() -> str:
 @query("dedup_cascade_stats", _cascade_oracle())
 def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor counts after each cascade stage (raw → exact →
-    fingerprint → MinHash near-dedup), stages applied sequentially."""
+    fingerprint → MinHash near-dedup), stages applied sequentially.
+
+    NOTE — comparison shape, not the production one: the min-per-key +
+    left-semi-join formulation here re-scans the corpus once per cheap
+    stage (4 scans, 3 semi joins).  The preferred production pipeline
+    is ``corpus_curation_e2e``, which runs the same cascade (plus the
+    quality gate and span accounting) with the cheap stages fused into
+    ONE scan of keep-rank-1 windows and the survivors materialized
+    before near-dedup.  This gate stays as the per-stage accounting
+    view and the cross-check on the window formulation."""
     from automated_etl_pipeline_spark.dedup.minhash import deduplicate
 
     (docs,) = _t(spark, sf_dir, "documents")
@@ -2345,76 +2354,22 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# End-to-end curation pipeline — the whole job as ONE Catalyst plan:
-# quality gate -> exact dedup -> fingerprint near-dedup -> corpus
-# report. Each stage shrinks the next stage's input; nothing
-# materializes between stages, so Catalyst fuses the quality
-# predicates into the scan and the dedup semi-joins pipeline into the
-# final aggregation.
+# End-to-end curation pipeline — the full production cascade as one
+# gated job: quality gate -> exact dedup -> fingerprint dedup (one
+# fused scan, zero joins) -> survivors materialized -> MinHash-LSH
+# near-dedup -> exact-span edit-list accounting -> corpus report.
 # ----------------------------------------------------------------------
 
 
-@query(
-    "corpus_curation_e2e",
-    """
-    WITH scored AS (
-      SELECT doc_id, lang, source, n_chars, text,
-             len(string_split(text, ' ')) AS n_tokens,
-             len(list_distinct(string_split(text, ' '))) AS n_unique,
-             len(list_filter(string_split(text, ' '),
-                 t -> t IN ('the', 'a'))) AS n_stop
-      FROM documents
-    ), quality AS (
-      SELECT * FROM scored
-      WHERE n_tokens >= 20
-        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.4
-        AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.12
-    ), d1 AS (
-      SELECT * FROM quality
-      QUALIFY row_number() OVER (PARTITION BY md5(text)
-                                 ORDER BY doc_id) = 1
-    ), d2 AS (
-      SELECT * FROM d1
-      QUALIFY row_number() OVER (
-        PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
-        ORDER BY doc_id) = 1
-    )
-    SELECT lang,
-           COUNT(*) AS n_docs,
-           COUNT(DISTINCT source) AS n_sources,
-           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(n_unique) AS DOUBLE) / SUM(n_tokens)
-             AS micro_distinct_ratio
-    FROM d2 GROUP BY lang ORDER BY lang
-    """,
-)
-def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The curation job end-to-end as one plan: quality filters
-    (length / type-token ratio / stopword ratio, thresholds at the
-    testdata's quartiles so ~half the corpus survives) -> exact-hash
-    dedup -> first-8-token fingerprint near-dedup -> per-language
-    corpus report.
-
-    Determinism: the report's distinct-ratio is the MICRO average
-    (exact BIGINT sums, one double division) — a per-doc-double AVG
-    would be partition-order sensitive; the window winners are unique
-    (doc_id is a key) so rank ties cannot occur.
-
-    Scale — why WINDOW dedup here and agg+semi-join in
-    dedup_cascade_stats: the cascade's min-per-key + left-semi-join
-    formulation re-scans the corpus once per stage (measured: 4 scans,
-    3 semi joins for this shape).  The keep-rank-1 window does each
-    stage in the SAME pass: the whole pipeline is ONE scan -> quality
-    predicates in the scan stage -> shuffle by content hash (dedup 1)
-    -> shuffle by fingerprint over the survivors (dedup 2) -> 8-key
-    report aggregation.  Both windows carry the
-    WindowGroupLimit-style early filter (rn = 1 prunes per partition
-    before downstream work), and each stage's shuffle volume is the
-    SURVIVORS of the previous stage, not the corpus."""
-    (docs,) = _t(spark, sf_dir, "documents")
+def curation_survivors(docs: DataFrame) -> DataFrame:
+    """Quality gate + exact dedup + fingerprint dedup as ONE lazy plan:
+    one corpus scan, zero joins (keep-rank-1 windows, each carrying the
+    WindowGroupLimit pre-trim), quality predicates fused into the scan
+    stage.  Each window's shuffle volume is the SURVIVORS of the
+    previous stage, not the corpus.  Plan shape asserted by
+    tests/test_plans.py::test_curation_survivors_single_scan_no_joins."""
     toks = F.split("text", " ")
-    scored = spread(docs).select(
+    scored = docs.select(
         "doc_id",
         "lang",
         "source",
@@ -2437,13 +2392,141 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8)))
     w2 = Window.partitionBy(fp).orderBy("doc_id")
-    d2 = (
+    return (
         d1.withColumn("__rn", F.row_number().over(w2))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _curation_oracle() -> str:
+    from automated_etl_pipeline_spark.dedup.minhash import pairs_cte_sql
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_unique,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the', 'a'))) AS n_stop
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20
+        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.4
+        AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.12
+    ), d1 AS (
+      SELECT * FROM quality
+      QUALIFY row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) = 1
+    ), d2 AS (
+      SELECT * FROM d1
+      QUALIFY row_number() OVER (
+        PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+        ORDER BY doc_id) = 1
+    ), {pairs_cte_sql(threshold=0.8, source="d2")},
+    losers AS (SELECT DISTINCT doc_b AS doc_id FROM mh_pairs),
+    d3 AS (
+      SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    ), stok AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM d3
+      WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+    ), swin AS (
+      SELECT doc_id,
+             UNNEST(range(1, len(t) - {_SPAN_W} + 2)) AS pos,
+             UNNEST(list_transform(range(1, len(t) - {_SPAN_W} + 2),
+               i -> ('0x' || substr(md5(
+                      array_to_string(t[i:i+{_SPAN_W}-1], ' ')), 1, 15))::BIGINT
+             )) AS h
+      FROM stok
+    ), sowner AS (
+      SELECT h, MIN(doc_id) AS owner_doc FROM swin
+      GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), sflag AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER w + {_SPAN_W} OR
+                       lag(pos) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS ni
+      FROM (SELECT DISTINCT w.doc_id, w.pos
+            FROM swin w JOIN sowner o USING (h)
+            WHERE w.doc_id > o.owner_doc)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), sisl AS (
+      SELECT doc_id, pos,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM sflag
+    ), sspan AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + {_SPAN_W} - 1 AS e
+      FROM sisl GROUP BY doc_id, island
+    ), rem AS (
+      SELECT doc_id, SUM(e - s + 1) AS tokens_removed
+      FROM sspan GROUP BY doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_unique) AS DOUBLE) / SUM(n_tokens)
+             AS micro_distinct_ratio,
+           CAST(SUM(COALESCE(tokens_removed, 0)) AS BIGINT)
+             AS span_tokens_removed,
+           CAST(SUM(n_tokens) - SUM(COALESCE(tokens_removed, 0)) AS BIGINT)
+             AS clean_tokens
+    FROM d3 LEFT JOIN rem USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query("corpus_curation_e2e", _curation_oracle())
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL production curation pipeline in one gated job:
+    quality filters (length / type-token ratio / stopword ratio,
+    thresholds at the testdata's quartiles so ~half the corpus
+    survives) -> exact-hash dedup -> first-8-token fingerprint dedup
+    -> MinHash-LSH near-dedup (J >= 0.8, greedy keep-min — the same
+    semantics as dedup/minhash.deduplicate) -> exact-span edit-list
+    accounting (keep-first-owner W=20 spans, dedup/spans.py) ->
+    per-language corpus report with the post-near-dedup token totals
+    AND the span-scrub accounting (span_tokens_removed / clean_tokens
+    = what a span-scrubbing writer would actually emit).
+
+    Determinism: the report's distinct-ratio is the MICRO average
+    (exact BIGINT sums, one double division) — a per-doc-double AVG
+    would be partition-order sensitive; the window winners are unique
+    (doc_id is a key) so rank ties cannot occur.  The oracle's NOT IN
+    loser filter and the Spark left-anti are equivalent because doc_id
+    is a non-null key (NOT IN returns UNKNOWN on NULLs; anti-join
+    keeps null-key probe rows — divergent only on null keys).
+
+    Scale (the stage layout a 100-TB run wants): the cheap stages
+    (quality + exact + fingerprint) run as ONE scan with zero joins —
+    see curation_survivors — and the survivors are MATERIALIZED
+    (localCheckpoint here; persist/write at cluster scale) before the
+    expensive near-dedup, so the LSH banding, the Jaccard
+    verification joins, the span-window explode, and the final report
+    all read the reduced corpus, never the raw one.  Near-dedup is
+    banded LSH + verified pairs (no all-pairs); the span stage's
+    owner aggregate collapses map-side and its islands window runs
+    over removable positions only.  The loser set and the per-doc
+    removal counts are tiny relative to the corpus, so both report
+    joins broadcast under AQE."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+    from automated_etl_pipeline_spark.dedup.spans import removal_token_counts
+
+    d2 = curation_survivors(spread(docs)).localCheckpoint()
+    losers = (
+        near_duplicate_pairs(d2, threshold=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    d3 = d2.join(losers, "doc_id", "left_anti")
+    rem = removal_token_counts(d3, w=_SPAN_W).select("doc_id", "tokens_removed")
     return (
-        d2.groupBy("lang")
+        d3.join(rem, "doc_id", "left")
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
@@ -2452,6 +2535,14 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.sum("n_unique").cast("double") / F.sum("n_tokens")
             ).alias("micro_distinct_ratio"),
+            F.sum(F.coalesce("tokens_removed", F.lit(0)))
+            .cast("long")
+            .alias("span_tokens_removed"),
+            (
+                F.sum("n_tokens") - F.sum(F.coalesce("tokens_removed", F.lit(0)))
+            )
+            .cast("long")
+            .alias("clean_tokens"),
         )
         .orderBy("lang")
     )

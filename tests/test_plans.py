@@ -194,15 +194,32 @@ def test_source_cap_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_curation_e2e_single_scan_no_joins(spark):
-    """The end-to-end curation pipeline must plan as ONE corpus scan
-    (no per-stage re-scan), zero joins (window dedup, not
-    rep-semi-joins), and WindowGroupLimit pre-trims on the rank-1
-    filters — the shape that makes the whole job one pass at 100 TB."""
-    plan = plan_of(spark, "corpus_curation_e2e")
+def test_curation_survivors_single_scan_no_joins(spark):
+    """The curation pipeline's cheap stages (quality -> exact ->
+    fingerprint) must plan as ONE corpus scan (no per-stage re-scan),
+    zero joins (window dedup, not rep-semi-joins), and WindowGroupLimit
+    pre-trims on the rank-1 filters — the shape that makes the
+    pre-near-dedup pass a single scan at 100 TB."""
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.queries_llm import curation_survivors
+
+    docs = load_testdata(spark, SF_SMOKE, ["documents"])["documents"]
+    plan = executed_plan(curation_survivors(docs))
     assert plan.count("documents.parquet") == 1
     assert "Join" not in plan  # no semi joins, no re-scans to join back
     assert "WindowGroupLimit" in plan
+
+
+def test_curation_e2e_reads_survivor_checkpoint_not_corpus(spark):
+    """The FULL pipeline (near-dedup + span accounting + report)
+    materializes the survivors once and must never re-read the raw
+    corpus: every downstream stage (LSH banding, Jaccard verify, span
+    windows, report) consumes the checkpoint, so the expensive stages
+    see the reduced corpus only.  No cartesian shapes anywhere."""
+    plan = plan_of(spark, "corpus_curation_e2e")
+    assert "documents.parquet" not in plan  # raw corpus only feeds the checkpoint
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_kmeans_balanced_sample_pretrims_map_side(spark):
