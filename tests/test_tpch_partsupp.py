@@ -1,0 +1,79 @@
+"""TPC-H Q2/Q11/Q20 pytest oracle gates (VERDICT r6 ask #4).
+
+The driver testdata carries no partsupp table, so these partsupp-bound
+shapes can't be registry queries.  Here a deterministic seeded
+generator (tpch_partsupp.write_partsupp_parquet) builds partsupp over
+the REAL sf0.01 part/supplier keys into a tmp parquet; Spark and the
+DuckDB oracle read the same file; results compare on row count +
+sorted column names + normalized values — the driver's t2 semantics
+(tools/check_correctness.normalize).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from automated_etl_pipeline_spark.tpch_partsupp import (
+    QUERIES,
+    SUPP_PER_PART,
+    generate_partsupp,
+    write_partsupp_parquet,
+)
+from tools.check_correctness import TABLES, normalize
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def partsupp_path(tmp_path_factory) -> str:
+    p = tmp_path_factory.mktemp("tpch") / "partsupp.parquet"
+    return write_partsupp_parquet(SF_DIR, str(p))
+
+
+@pytest.fixture(scope="module")
+def oracle(partsupp_path):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    con.execute(
+        f"CREATE VIEW partsupp AS SELECT * FROM '{partsupp_path}'"
+    )
+    yield con
+    con.close()
+
+
+def test_generator_is_deterministic_and_tpch_shaped():
+    rows = generate_partsupp(list(range(200)), 100, seed=42)
+    assert rows == generate_partsupp(list(range(200)), 100, seed=42)
+    assert len(rows) == 200 * SUPP_PER_PART
+    by_part = {}
+    for p, s, aq, sc in rows:
+        by_part.setdefault(p, set()).add(s)
+        assert 1 <= aq <= 9999
+        # quarter-dollar grid: binary-exact doubles (see module doc)
+        assert 1.0 <= sc <= 1000.0 and sc * 4 == int(sc * 4)
+    # dbgen guarantee: every part has SUPP_PER_PART DISTINCT suppliers
+    assert all(len(s) == SUPP_PER_PART for s in by_part.values())
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_matches_duckdb_oracle(name, spark, partsupp_path, oracle):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, SF_DIR, partsupp_path)
+    spark_cols = sorted(sdf.columns)
+    srows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+
+    rel = oracle.sql(sql)
+    duck_cols_orig = list(rel.columns)
+    order = sorted(range(len(duck_cols_orig)), key=lambda i: duck_cols_orig[i])
+    drows = [tuple(r[i] for i in order) for r in rel.fetchall()]
+
+    assert spark_cols == sorted(duck_cols_orig)
+    assert len(srows) == len(drows) and len(srows) > 0, (
+        f"{name}: spark={len(srows)} oracle={len(drows)} (empty gates "
+        "pass trivially — predicates must select rows at sf0.01)"
+    )
+    assert normalize(srows) == normalize(drows)
