@@ -26,7 +26,15 @@ Scale analysis (100 TB corpus):
   AQE skew-join handles the joins.
 
 With P=12 permutations in B=4 bands × r=3 rows, the S-curve threshold
-is (1/B)^(1/r) ≈ 0.63 — pairs with J ≥ 0.8 are caught w.p. ≥ 97%.
+is (1/B)^(1/r) ≈ 0.63 and the catch probability is 1-(1-J³)⁴ — 94% at
+J = 0.8, ≥ 98% at J ≥ 0.85 (an earlier revision overstated this as
+"≥ 97% at J ≥ 0.8").  MEASURED, not just derived: a 120-pairs-per-
+level planted-pair sweep pins the empirical catch rate to the analytic
+curve within 3σ at both P=12/B=4 and P=64/B=16, upper AND lower bounds
+(tests/test_dedup_similarity.py::test_minhash_s_curve_recall; e.g.
+measured 0.933 at J=0.80, 0.983 at J=0.85, 1.000 at J≥0.90 for the
+default parameters).  Recall-critical runs should use P=64/B=16/r=4,
+measured at 1.000 for every level J ≥ 0.70.
 """
 
 from __future__ import annotations
