@@ -2682,7 +2682,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the pair-distinct collapses map-side before its shuffle; the
     attribute filters reach the part scan; the exclusion list is a
     broadcast anti join; count-distinct expands once.  Total order on
-    (cnt desc, brand, size) keeps the gate hash-stable."""
+    (cnt desc, brand, size) keeps the gate hash-stable.
+
+    NOT IN vs left-anti equivalence (ADVICE r6): the oracle's NOT IN
+    returns UNKNOWN (drops ALL rows) if any s_suppkey is NULL and
+    keeps no null-key probe rows, while left-anti keeps null-key probe
+    rows.  Equivalent here because s_suppkey and l_suppkey are
+    non-null keys — TPC-H declares both NOT NULL, and the driver
+    testdata honors it (q15 canonicalizes the same way)."""
     li, part, supplier = _t(spark, sf_dir, "lineitem", "part", "supplier")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     bad_supp = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")

@@ -53,9 +53,27 @@ def _children(node):
     return out
 
 
-def walk_metrics(node, depth=0, out=None):
-    """[(depth, nodeName, {metric: value})] for the executed plan."""
+def walk_metrics(node, depth=0, out=None, seen=None):
+    """[(depth, nodeName, {metric: value})] for the executed plan.
+
+    Each plan node is counted ONCE by its SparkPlan id: a
+    ReusedExchange's child() is the SAME JVM node as the original
+    exchange subtree elsewhere in the plan, so descending into it
+    unguarded would double-count that subtree's spill/shuffle/row
+    totals in summarize() (e.g. q15's deliberate ReusedExchange plan).
+    The skipped occurrence still appears in the tree, marked, with no
+    metrics."""
     out = out if out is not None else []
+    seen = seen if seen is not None else set()
+    try:
+        nid = node.id()
+    except Exception:
+        nid = None
+    if nid is not None:
+        if nid in seen:
+            out.append((depth, node.nodeName() + " [reused: counted above]", {}))
+            return out
+        seen.add(nid)
     vals = {}
     it = node.metrics().iterator()
     while it.hasNext():
@@ -66,7 +84,7 @@ def walk_metrics(node, depth=0, out=None):
             pass
     out.append((depth, node.nodeName(), vals))
     for c in _children(node):
-        walk_metrics(c, depth + 1, out)
+        walk_metrics(c, depth + 1, out, seen)
     return out
 
 

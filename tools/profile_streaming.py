@@ -64,6 +64,11 @@ def profile_tumbling_phases(spark, sf_dir: str) -> dict:
     events = load_testdata(spark, sf_dir, ["events"])["events"]
     drop = tempfile.mkdtemp(prefix="spark_graft_stream_prof_")
     name = f"stream_prof_{uuid.uuid4().hex[:8]}"
+    # recentProgress retains only the last N updates (default 100); a
+    # drain with more micro-batches would silently undercount compute
+    # and inflate the startup/scheduling share (ADVICE r6).  Raise the
+    # buffer far past any plausible batch count for the profiled run.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     try:
         t0 = time.perf_counter()
         events.write.mode("overwrite").parquet(drop)
