@@ -156,10 +156,21 @@ def scd2_history_chunked(
         ),
     ).localCheckpoint()  # consumed by the summary AND the main agg
 
-    # -- boundary stitch: only first/last key per partition matters --
+    # -- boundary stitch: only first/last key per partition matters.
+    # ONE pass over the checkpoint builds the per-(partition, key)
+    # summary; the edge-key reduction and the semi-join filter then
+    # operate on that (O(distinct keys)) aggregate, never re-reading
+    # the update stream.  Collected rows: at most 2 per partition.
     key_struct = F.struct(*[F.col(k) for k in key_cols])
+    attrs_struct = F.struct(*[F.col(a) for a in attr_cols])
+    order_struct = F.struct(*order)
+    summary_all = local.groupBy("__pid", *key_cols).agg(
+        F.max("__run").alias("r"),
+        F.min_by(attrs_struct, order_struct).alias("fa"),
+        F.max_by(attrs_struct, order_struct).alias("la"),
+    )
     edge_keys = (
-        local.groupBy("__pid")
+        summary_all.groupBy("__pid")
         .agg(
             F.min(key_struct).alias("k1"),
             F.max(key_struct).alias("k2"),
@@ -168,16 +179,8 @@ def scd2_history_chunked(
         .select("k.*")
         .distinct()
     )
-    attrs_struct = F.struct(*[F.col(a) for a in attr_cols])
-    order_struct = F.struct(*order)
     summary = sorted(
-        local.join(F.broadcast(edge_keys), list(key_cols), "left_semi")
-        .groupBy("__pid", *key_cols)
-        .agg(
-            F.max("__run").alias("r"),
-            F.min_by(attrs_struct, order_struct).alias("fa"),
-            F.max_by(attrs_struct, order_struct).alias("la"),
-        )
+        summary_all.join(F.broadcast(edge_keys), list(key_cols), "left_semi")
         .collect(),
         key=lambda row: (tuple(row[k] for k in key_cols), row["__pid"]),
     )

@@ -1245,9 +1245,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scd2_priority_history",
-    """
+_SCD2_PRIORITY_ORACLE = """
     WITH ch AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
              CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
@@ -1271,8 +1269,10 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(run_len) AS BIGINT) AS longest_run,
            arg_max(priority, run_id) AS current_priority
     FROM agg GROUP BY o_custkey ORDER BY o_custkey
-    """,
-)
+    """
+
+
+@query("scd2_priority_history", _SCD2_PRIORITY_ORACLE)
 def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 collapse (operators/scd.py) of each customer's order-
     priority change stream, rolled up per customer: how many versions,
@@ -1282,6 +1282,37 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = _t(spark, sf_dir, "orders")
     hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    return (
+        hist.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.max("n_updates").alias("longest_run"),
+            F.max_by("o_orderpriority", "version").alias("current_priority"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query("scd2_priority_history_chunked", _SCD2_PRIORITY_ORACLE)
+def scd2_priority_history_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2_priority_history via the hot-key-safe chunked operator
+    (operators/scd.scd2_history_chunked): the change stream is
+    range-chunked across partitions and runs are stitched at chunk
+    edges, so no task ever windows one key's full history — the
+    SCALE_SMOKE_r06 residual-risk mitigation, here proven equivalent
+    under the SAME DuckDB oracle as the plain gate (and exact-equal to
+    scd2_history in tests/test_scd.py, including a 100k-update hot
+    key)."""
+    from automated_etl_pipeline_spark.operators.scd import scd2_history_chunked
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    hist = scd2_history_chunked(
         orders,
         key_cols=["o_custkey"],
         attr_cols=["o_orderpriority"],
