@@ -128,23 +128,31 @@ def test_bench_self_adjudicates_2x_readings(tmp_path):
     # symlink a tiny dataset under an sf0.1-named path
     sf_dir = tmp_path / "sf0.1"
     sf_dir.symlink_to("/root/testdata/sf0.001")
-    proc = subprocess.run(
-        [sys.executable, "-c", _ADJ_DRIVER.format(repo=str(REPO))],
-        capture_output=True,
-        text=True,
-        timeout=300,
-        cwd=str(REPO),
-        env={
-            "PATH": "/usr/bin:/bin",
-            "HOME": "/root",
-            "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
-            "SPARK_GRAFT_SF_DIR": str(sf_dir),
-            "SPARK_GRAFT_BENCH_COLD": "1",
-            "SPARK_GRAFT_CPUS": "4",
-            "SPARK_GRAFT_BENCH_DETAIL": str(detail),
-            "SPARK_GRAFT_BENCH_ANCHORS": str(anchors),
-        },
-    )
+    env = {
+        "PATH": "/usr/bin:/bin",
+        "HOME": "/root",
+        "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", ""),
+        "SPARK_GRAFT_SF_DIR": str(sf_dir),
+        "SPARK_GRAFT_BENCH_COLD": "1",
+        "SPARK_GRAFT_CPUS": "4",
+        "SPARK_GRAFT_BENCH_DETAIL": str(detail),
+        "SPARK_GRAFT_BENCH_ANCHORS": str(anchors),
+    }
+    # This test launches 4 sequential Spark JVMs in a subprocess; under
+    # full-suite load a launch can transiently fail (observed once in
+    # ~10 full-suite runs). One retry keeps the suite honest without
+    # masking a deterministic break.
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, "-c", _ADJ_DRIVER.format(repo=str(REPO))],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=str(REPO),
+            env=env,
+        )
+        if proc.returncode == 0:
+            break
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-2])
     adj = out["standalone"]["q_slow"]
