@@ -214,8 +214,22 @@ def main() -> None:
             reverse=True,
         )[:8]
         if flagged:
+            # hard wall budget: the driver's bench slot is finite — an
+            # adjudication pass that can't finish in time records what
+            # it got and marks the rest skipped rather than risking the
+            # whole record
+            ADJ_BUDGET_S = 180.0
+            t_adj = time.perf_counter()
             adj: dict[str, dict] = {}
             for ratio, q in flagged:
+                if time.perf_counter() - t_adj > ADJ_BUDGET_S:
+                    adj[q] = {
+                        "wall": timings[q],
+                        "anchor": anchors[q],
+                        "ratio": round(ratio, 2),
+                        "skipped": "adjudication budget exhausted",
+                    }
+                    continue
                 reps = standalone_median(qs[q], sf_dir, WARM_DIR, warm=not COLD)
                 adj[q] = {
                     "wall": timings[q],
