@@ -567,6 +567,23 @@ def emb_cosine_sim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from automated_etl_pipeline_spark.similarity import ivf as _ivf  # noqa: E402
 
 
+from automated_etl_pipeline_spark.similarity import semdedup as _sd  # noqa: E402
+
+
+@query("semdedup_cluster_prune", _sd.build_oracle_sql(threshold=0.42))
+def semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) per-cluster accounting: k-means the
+    embeddings (the deterministic fixed-iteration Lloyd's of
+    similarity/kmeans.py), pair ONLY within clusters, greedily prune
+    the higher id of every pair at cosine >= 0.42 (demo epsilon —
+    this corpus has no pair above 0.52; production runs >= 0.95 on the
+    identical plan).  Clustering bounds candidates at O(sum c_i^2)
+    with k as the lever; a max_cluster cap skips degenerate clusters
+    (the LSH max_bucket analogue).  See similarity/semdedup.py."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return _sd.semdedup_report(spread(emb), threshold=0.42)
+
+
 @query("ann_ivf_topk", _ivf.build_oracle_sql(query_vec_id=0, k=20, nprobe=3))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: probe the 3 nearest label-cells, exact rerank
