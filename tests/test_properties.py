@@ -215,3 +215,40 @@ def test_span_removal_matches_python_reference(spark, corpora):
         for r in removal_spans(df, w=W).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),     # key
+            st.integers(min_value=0, max_value=50),    # ts
+            st.sampled_from(["A", "B", None]),         # attr (nullable)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=6),             # num_chunks
+)
+@settings(max_examples=8, deadline=None)
+def test_scd2_chunked_equals_plain_property(spark, updates, num_chunks):
+    """scd2_history_chunked ≡ scd2_history on arbitrary change streams:
+    any key mix, duplicate timestamps (tiebreak = synthetic seq),
+    NULL attrs, any chunk count — the boundary stitch must reproduce
+    the plain operator's runs exactly."""
+    from automated_etl_pipeline_spark.operators.scd import (
+        scd2_history,
+        scd2_history_chunked,
+    )
+
+    rows = [(k, ts, i, a) for i, (k, ts, a) in enumerate(updates)]
+    df = spark.createDataFrame(rows, "k int, ts int, seq int, attr string")
+    plain = scd2_history(df, ["k"], ["attr"], ts_col="ts", tiebreak="seq")
+    chunked = scd2_history_chunked(
+        df, ["k"], ["attr"], ts_col="ts", tiebreak="seq", num_chunks=num_chunks
+    )
+    cols = sorted(plain.columns)
+    assert sorted(chunked.columns) == cols
+    norm = lambda d: sorted(  # noqa: E731
+        tuple(str(r[c]) for c in cols) for r in d.collect()
+    )
+    assert norm(plain) == norm(chunked)
