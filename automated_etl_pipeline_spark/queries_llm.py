@@ -1697,6 +1697,93 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "target_overlap_selection",
+    """
+    WITH tgt AS (
+      SELECT DISTINCT UNNEST(list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> ('0x' || substr(md5(string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1]), 1, 15))::BIGINT))) AS g
+      FROM documents WHERE lang = 'en' AND len(string_split(text, ' ')) >= 2
+    ), pool AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' '))),
+               i -> ('0x' || substr(md5(string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1]), 1, 15))::BIGINT)) AS gs
+      FROM documents WHERE lang != 'en' AND len(string_split(text, ' ')) >= 2
+    ), pb AS (
+      SELECT doc_id, UNNEST(gs) AS g FROM pool
+    ), matched AS (
+      SELECT pb.doc_id, COUNT(*) AS n_matched
+      FROM pb JOIN tgt USING (g) GROUP BY pb.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(p.gs) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(m.n_matched, 0) AS BIGINT) AS n_matched,
+           ROUND(CAST(COALESCE(m.n_matched, 0) AS DOUBLE) / len(p.gs), 6)
+             AS target_score
+    FROM pool p LEFT JOIN matched m ON p.doc_id = m.doc_id
+    ORDER BY target_score DESC, p.doc_id LIMIT 100
+    """,
+)
+def target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted data selection à la DSIR (Xie et al. 2023, 'Data
+    Selection for Language Models via Importance Resampling'), with the
+    log-likelihood ratio replaced by the hashed-feature OVERLAP
+    fraction so the score is exact integer arithmetic and
+    cross-engine hashable (logs round differently per engine; set
+    overlap ranks candidate docs toward the target domain nearly as
+    well and is the auditable variant).  Target = the English
+    subcorpus; candidates = everything else; feature space = distinct
+    60-bit-hashed token bigrams (DSIR's hashed n-gram features); score
+    = |doc ∩ target| / |doc| over distinct bigrams; output = top-100
+    candidates by score.
+
+    Scale: the target feature set is a DISTINCT aggregate (collapses
+    map-side, shuffles O(unique bigrams)); the candidate side explodes
+    to (doc, gram) pairs joined on the 8-byte hash key; the final
+    top-100 is TakeOrderedAndProject.  At 100 TB the target set is the
+    persisted artifact — build once, reuse for every selection run."""
+    (docs,) = _t(spark, sf_dir, "documents")
+
+    def bigrams(df):
+        t = F.split("text", " ")
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: _ng.shingle_hash60(F.concat_ws(" ", F.slice(t, i, 2))),
+            )
+        )
+        return df.filter(F.size(t) >= 2).select("doc_id", g.alias("gs"))
+
+    tgt = (
+        bigrams(docs.filter(F.col("lang") == "en"))
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    pool = bigrams(spread(docs.filter(F.col("lang") != "en")))
+    pb = pool.select("doc_id", F.explode("gs").alias("g"))
+    matched = pb.join(tgt, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    return (
+        pool.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("gs").cast("long").alias("n_bigrams"),
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)).cast("double") / F.size("gs"),
+                6,
+            ).alias("target_score"),
+        )
+        .orderBy(F.desc("target_score"), "doc_id")
+        .limit(100)
+    )
+
+
 # ----------------------------------------------------------------------
 # Repetition-based quality filtering (Gopher rules), source mixture
 # weighting, and train/val/test splitting — the remaining curation
