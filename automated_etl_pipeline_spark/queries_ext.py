@@ -442,6 +442,70 @@ def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j5_full_outer_yoy",
+    """
+    WITH y95 AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_1995
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey
+    ), y96 AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_1996
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.total_1995, 0.0) AS total_1995,
+           COALESCE(b.total_1996, 0.0) AS total_1996,
+           CASE WHEN a.o_custkey IS NULL THEN 'new'
+                WHEN b.o_custkey IS NULL THEN 'churned'
+                ELSE 'retained' END AS status
+    FROM y95 a FULL OUTER JOIN y96 b ON a.o_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+)
+def j5_full_outer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer activity via FULL OUTER join — the one
+    outer-join flavor the registry lacked (J4 covers semi/anti, Q13
+    left-outer): 1995 vs 1996 per-customer order totals, customers
+    active in only one year surviving from either side with a
+    new/churned/retained status.  Totals go through the repo's
+    DECIMAL(18,2) exact-sum discipline.
+
+    Scale: both inputs partial-aggregate map-side before the join;
+    the FULL OUTER is a hash join on the aggregate outputs
+    (O(customers), not O(orders)) — at 100 TB the year filters prune
+    partitions before anything shuffles."""
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def year_totals(y: int, out: str):
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias(out)
+            )
+        )
+
+    a = year_totals(1995, "total_1995").withColumnRenamed("o_custkey", "ck_a")
+    b = year_totals(1996, "total_1996").withColumnRenamed("o_custkey", "ck_b")
+    return (
+        a.join(b, F.col("ck_a") == F.col("ck_b"), "full_outer")
+        .select(
+            F.coalesce("ck_a", "ck_b").alias("custkey"),
+            F.coalesce("total_1995", F.lit(0.0)).alias("total_1995"),
+            F.coalesce("total_1996", F.lit(0.0)).alias("total_1996"),
+            F.when(F.col("ck_a").isNull(), "new")
+            .when(F.col("ck_b").isNull(), "churned")
+            .otherwise("retained")
+            .alias("status"),
+        )
+        .orderBy("custkey")
+    )
+
+
 _GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
