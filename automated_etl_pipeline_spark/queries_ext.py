@@ -506,6 +506,54 @@ def j5_full_outer_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j6_nullsafe_join",
+    """
+    WITH clicks AS (
+      SELECT NULLIF(user_id % 10, 0) AS bucket, COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ), views AS (
+      SELECT NULLIF(user_id % 10, 0) AS bucket, COUNT(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT c.bucket,
+           CAST(n_clicks AS BIGINT) AS n_clicks,
+           CAST(n_views AS BIGINT) AS n_views
+    FROM clicks c JOIN views v ON c.bucket IS NOT DISTINCT FROM v.bucket
+    ORDER BY c.bucket NULLS FIRST
+    """,
+)
+def j6_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM) — the join
+    flavor where NULL keys MATCH each other instead of vanishing: user
+    bucket 0 is NULLIF'd to NULL on both sides, and the null-safe
+    condition pairs the two NULL buckets (a plain ``=`` would silently
+    drop them — the classic nullable-dimension-key bug).
+
+    Scale: both sides are map-side-collapsed aggregates before the
+    join; Spark plans ``<=>`` as an ordinary hash join key (nulls hash
+    to one bucket), not a nested loop — same O(buckets) join as any
+    equi key."""
+    (events,) = _t(spark, sf_dir, "events")
+    bucket = F.nullif(F.col("user_id") % 10, F.lit(0)).alias("bucket")
+
+    def side(etype: str, out: str):
+        return (
+            events.filter(F.col("event_type") == etype)
+            .select(bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c = side("click", "n_clicks").withColumnRenamed("bucket", "b_c")
+    v = side("view", "n_views").withColumnRenamed("bucket", "b_v")
+    return (
+        c.join(v, F.col("b_c").eqNullSafe(F.col("b_v")))
+        .select(F.col("b_c").alias("bucket"), "n_clicks", "n_views")
+        .orderBy(F.asc_nulls_first("bucket"))
+    )
+
+
 _GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
