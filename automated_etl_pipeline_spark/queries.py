@@ -611,6 +611,64 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'a_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT 'b_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'c_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    ORDER BY stage
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): per user,
+    the first view, the first click STRICTLY AFTER that view, the
+    first purchase strictly after that click; output = users surviving
+    each stage.  The event-sequence analytics staple: unlike
+    per-type counts, the ordering constraint means a purchase before
+    any view does NOT convert.
+
+    Scale: each stage is a map-side-collapsing conditional aggregate
+    joined on user_id (hash keys); no window over a user's full event
+    history, so a bot user with millions of events costs one MIN per
+    stage, not a sort."""
+    (events,) = _t(spark, sf_dir, "events")
+
+    def first_after(etype: str, prev: DataFrame, prev_t: str, out: str):
+        e = events.filter(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("a_view", v)
+        .unionByName(stage("b_click", c))
+        .unionByName(stage("c_purchase", p))
+        .orderBy("stage")
+    )
+
+
+@query(
     "events_json_props",
     """
     SELECT event_type,
