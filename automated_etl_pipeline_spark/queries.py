@@ -611,6 +611,45 @@ def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_retention_cohorts",
+    """
+    WITH act AS (
+      SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2
+    ), cohort AS (
+      SELECT user_id, MIN(d) AS cohort_day FROM act GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.d - c.cohort_day AS INT) AS days_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_day, days_since
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-activity DAY
+    (cohort — the testdata's events all land in one month, so daily
+    granularity is what yields a real matrix), counted per
+    days-since-cohort offset — the product-analytics staple next to
+    the funnel.  Day offsets are exact integer date arithmetic.
+
+    Scale: the (user, day) distinct aggregate collapses map-side
+    before anything else; the cohort MIN is O(users); the join is
+    user-keyed; the final matrix is O(cohorts × days) — tiny."""
+    (events,) = _t(spark, sf_dir, "events")
+    act = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("d", "cohort_day").cast("int").alias("days_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .orderBy("cohort_day", "days_since")
+    )
+
+
+@query(
     "events_funnel_conversion",
     """
     WITH v AS (
