@@ -1488,6 +1488,81 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "snapshot_diff_orders",
+    """
+    WITH new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 != 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders
+      WHERE o_orderkey % 13 = 0
+    ), old_snap AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN n.o_totalprice != o.o_totalprice THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    GROUP BY change ORDER BY change
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the table-versioning audit between two states of
+    a dataset (what a lakehouse change-data-feed reports): a synthetic
+    'next day' snapshot (every 7th order deleted, every 10th re-priced,
+    every 13th re-inserted under a shifted key) full-outer-joined to
+    the original on the key, rows classified
+    added/removed/changed/unchanged and counted.
+
+    Scale: one full-outer hash join on the table key + an O(4)
+    aggregate; no row-compare UDF — the change classification is a
+    CASE over the join's null pattern, which Catalyst evaluates inside
+    codegen.  For wide tables, compare a column-pruned content hash
+    instead of each column (same plan shape)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    old_snap = orders.select("o_orderkey", "o_totalprice")
+    new_snap = (
+        orders.filter(F.col("o_orderkey") % 7 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.col("o_totalprice") * 2
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    o = old_snap.withColumnRenamed("o_orderkey", "k_o").withColumnRenamed(
+        "o_totalprice", "p_o"
+    )
+    n = new_snap.withColumnRenamed("o_orderkey", "k_n").withColumnRenamed(
+        "o_totalprice", "p_n"
+    )
+    change = (
+        F.when(F.col("k_o").isNull(), "added")
+        .when(F.col("k_n").isNull(), "removed")
+        .when(F.col("p_n") != F.col("p_o"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("k_o") == F.col("k_n"), "full_outer")
+        .groupBy(change.alias("change"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change")
+    )
+
+
+@query(
     "streaming_stateful_sessions",
     """
     WITH ordered AS (
