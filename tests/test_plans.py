@@ -465,3 +465,26 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     assert "1-URGENT" in line
     expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert back.count() == expected
+
+
+def test_semdedup_pair_stage_is_grouped_not_joined(spark):
+    """SemDeDup's pair stage must be the per-cluster grouped matmul
+    (FlatMapGroupsInPandas), NOT a pair self-join — each vector ships
+    once per cluster (O(n·d)), never once per pair (O(pairs·d)); and
+    no cartesian shapes anywhere."""
+    plan = plan_of(spark, "semdedup_cluster_prune")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # row-at-a-time Python must not appear (the Arrow group path is
+    # ArrowEvalPython/FlatMapGroupsInPandas, not BatchEvalPython)
+    assert "BatchEvalPython" not in plan
+
+
+def test_target_overlap_topk_and_hashed_join(spark):
+    """Targeted selection's top-100 must be TakeOrderedAndProject (no
+    global sort of the candidate pool) and the target-feature probe an
+    equi hash join, never a nested loop."""
+    plan = plan_of(spark, "target_overlap_selection")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
