@@ -953,6 +953,90 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _keep_best_oracle() -> str:
+    from automated_etl_pipeline_spark.dedup.minhash import pairs_cte_sql
+
+    return f"""
+    WITH RECURSIVE {pairs_cte_sql(threshold=0.8)},
+    sym AS (
+      SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+    ),
+    reach AS (
+      SELECT doc_id, doc_id AS r FROM documents
+      UNION
+      SELECT s.a AS doc_id, reach.r FROM sym s JOIN reach ON s.b = reach.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(r) AS component FROM reach GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.component, c.doc_id,
+             len(string_split(d.text, ' ')) AS n_tokens
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT component, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_tokens DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY component) AS n_members
+      FROM scored
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS survivor_doc,
+           CAST(n_tokens AS BIGINT) AS survivor_tokens
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    ORDER BY component
+    """
+
+
+@query("dedup_keep_best_quality", _keep_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: production dedup keeps the
+    BEST member of each near-dup cluster, not the lowest id (Lee et
+    al. and most curation stacks keep the longest/cleanest copy; the
+    keep-min convention elsewhere in this registry is the
+    tie-independent baseline).  Clusters = transitive MinHash
+    components (dedup/cluster.py); quality = token count with doc_id
+    as the deterministic tiebreak; output = one survivor per
+    multi-member cluster with its size.
+
+    Scale: same component machinery as dedup_minhash_clusters (banded
+    pairs, iterative min-label with the singleton fast path); the
+    survivor pick is a per-component WindowGroupLimit-style rank-1
+    filter over CLUSTER MEMBERS only (the tiny minority of a deduped
+    corpus), never the full corpus."""
+    from automated_etl_pipeline_spark.dedup.cluster import connected_components
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = spread(docs)
+    edges = near_duplicate_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    comp = connected_components(
+        docs.select("doc_id"), edges, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    scored = comp.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")),
+        "doc_id",
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("doc_id").alias("survivor_doc"),
+            F.col("n_tokens").cast("long").alias("survivor_tokens"),
+        )
+        .orderBy("component")
+    )
+
+
 # ----------------------------------------------------------------------
 # BM25 retrieval (functions/ranking.py)
 # ----------------------------------------------------------------------
