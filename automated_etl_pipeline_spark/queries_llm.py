@@ -1847,19 +1847,26 @@ def target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("gs").alias("g"))
         .distinct()
     )
-    pool = bigrams(spread(docs.filter(F.col("lang") != "en")))
-    pb = pool.select("doc_id", F.explode("gs").alias("g"))
-    matched = pb.join(tgt, "g").groupBy("doc_id").agg(
+    # stats derive from the EXPLODED side (gs is already distinct, so
+    # count(*) per doc == |gs|): the pool is tokenized once, not once
+    # for the probe and again for the denominators
+    pb = (
+        bigrams(spread(docs.filter(F.col("lang") != "en")))
+        .select("doc_id", F.explode("gs").alias("g"))
+    )
+    per_doc = pb.join(tgt, "g", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_matched")
     )
+    counts = pb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
     return (
-        pool.join(matched, "doc_id", "left")
+        counts.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("gs").cast("long").alias("n_bigrams"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
             F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
             F.round(
-                F.coalesce("n_matched", F.lit(0)).cast("double") / F.size("gs"),
+                F.coalesce("n_matched", F.lit(0)).cast("double")
+                / F.col("n_bigrams"),
                 6,
             ).alias("target_score"),
         )
