@@ -1637,6 +1637,75 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_funnel_completions",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT p.user_id,
+           CAST(epoch_us(v.t1) AS BIGINT) AS view_us,
+           CAST(epoch_us(c.t2) AS BIGINT) AS click_us,
+           CAST(epoch_us(p.t3) AS BIGINT) AS purchase_us
+    FROM p JOIN c ON p.user_id = c.user_id
+           JOIN v ON p.user_id = v.user_id
+    ORDER BY p.user_id
+    """,
+)
+def streaming_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming funnel under the value gate: the
+    applyInPandasWithState staged walk (streaming/stateful.py
+    funnel_stateful) over a staged event stream must equal the batch
+    events_funnel_conversion semantics restricted to COMPLETED users —
+    per user, the first view, first click strictly after it, first
+    purchase strictly after that, emitted exactly once at completion.
+    Single availableNow drain; the handler's per-batch sort owns
+    event-time ordering, state-store round-trips included."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.stateful import funnel_stateful
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_funnel_stream_")
+    name = f"funnel_{uuid.uuid4().hex[:8]}"
+    try:
+        events.coalesce(8).write.mode("overwrite").parquet(drop)
+        with _stream_parts(spark):
+            stream = read_events_stream(spark, drop).select(
+                "user_id", "ts", "event_type", "event_id"
+            )
+            q = run_to_memory_sink(
+                funnel_stateful(stream), name, output_mode="append"
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name).orderBy("user_id")
+        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+@query(
     "rolling_90d_peak_spend",
     """
     WITH r AS (

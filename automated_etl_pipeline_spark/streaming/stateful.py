@@ -101,3 +101,85 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("view_us", T.LongType(), False),
+        T.StructField("click_us", T.LongType(), False),
+        T.StructField("purchase_us", T.LongType(), False),
+    ]
+)
+
+# (funnel stage reached 0-3, ts of stage-1 event, ts of stage-2 event)
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("stage", T.IntegerType(), False),
+        T.StructField("t1_us", T.LongType(), False),
+        T.StructField("t2_us", T.LongType(), False),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming conversion funnel: per-user state walks the staged
+    sequence (first ``stages[0]``, first ``stages[1]`` STRICTLY after
+    it, first ``stages[2]`` strictly after that); one row is emitted
+    the moment a user completes the last stage, then the user is done
+    (stage 3 is terminal — a completed user costs no further state
+    transitions, only the groupBy routing).
+
+    The greedy in-order walk computes exactly the batch semantics of
+    queries.events_funnel_conversion (first qualifying event in
+    event-time order == the MIN of qualifying events), so a full
+    availableNow drain must equal the batch funnel restricted to
+    completed users — the oracle for the streaming gate.  Same
+    ordering contract as sessionize_stateful: per-key event-time order
+    across microbatches (the per-batch sort handles within-batch),
+    satisfied by a single-batch drain or ts-partitioned file drops.
+
+    Scale: state is (int + 2 longs)/user; emission is append-mode and
+    deterministic (no watermark dependence); the only shuffle is the
+    stateful groupBy(user)."""
+    s0, s1, s2 = stages
+
+    def handle(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.assign(
+            us=pdf[ts_col].astype("datetime64[us]").astype("int64")
+        ).sort_values(["us", "event_id"])
+        stage, t1, t2 = state.get if state.exists else (0, 0, 0)
+        out: list[tuple[int, int, int, int]] = []
+        if stage < 3:
+            for us, et in zip(pdf["us"], pdf["event_type"]):
+                us = int(us)
+                if stage == 0 and et == s0:
+                    stage, t1 = 1, us
+                elif stage == 1 and et == s1 and us > t1:
+                    stage, t2 = 2, us
+                elif stage == 2 and et == s2 and us > t2:
+                    stage = 3
+                    out.append((user_id, t1, t2, us))
+                    break
+        state.update((stage, t1, t2))
+        yield pd.DataFrame(
+            out, columns=["user_id", "view_us", "click_us", "purchase_us"]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        handle,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
