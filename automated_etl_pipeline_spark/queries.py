@@ -535,6 +535,95 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "set_intersect_all",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT p FROM a INTERSECT ALL SELECT p FROM b
+    ) GROUP BY p ORDER BY p
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each priority survives
+    min(count_a, count_b) times, not once (the DISTINCT variant's
+    answer).  Verified by rolling the multiset result back up to
+    per-value counts, which makes the min-of-multiplicities contract
+    directly visible in the gate values."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    return (
+        a.intersectAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p")
+    )
+
+
+@query(
+    "set_except_all",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      SELECT p FROM a EXCEPT ALL SELECT p FROM b
+    ) GROUP BY p ORDER BY p
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each priority survives
+    max(0, count_a - count_b) times (``exceptAll``; contrast
+    ``subtract``, Spark's EXCEPT DISTINCT, in set_except)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("p")
+    )
+
+
+@query(
+    "pagination_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless pagination (page 3 of a price-ranked listing): ORDER BY
+    with a total tiebreak + LIMIT/OFFSET — the API-results shape.
+
+    Scale note (in the docstring because it is the op's real lesson):
+    OFFSET must materialize and discard the first N rows of a global
+    order, so deep pagination degrades linearly — a production listing
+    should keyset-paginate (WHERE (price, key) < last_seen ORDER BY …
+    LIMIT page), which this engine expresses with the same plan as
+    w3_topk_measure.  Shallow OFFSET, as here, is fine: Spark plans it
+    as a single-partition tail after per-partition top-(N+K) pruning."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .offset(50)
+        .limit(25)
+    )
+
+
 # --- W1/P3: deterministic surrogate-keyed dimension (star builder).
 @query(
     "star_date_dim",
