@@ -624,6 +624,55 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "date_spine_gaps",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), active AS (
+      SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+    )
+    SELECT CAST(year(s.d) AS INT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_gap_days
+    FROM spine s LEFT JOIN active a ON s.d = a.d
+    WHERE a.d IS NULL
+    GROUP BY yr ORDER BY yr
+    """,
+)
+def date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: generate every day between the
+    first and last order date (F.sequence over dates + explode — the
+    date-spine idiom) and anti-join the active days, counting
+    zero-order days per year.  The completeness check every reporting
+    pipeline needs before trusting a daily rollup.
+
+    Scale: the spine is O(days) — thousands of rows regardless of fact
+    size — and the active-day set is a DISTINCT that collapses
+    map-side, so the gap join is tiny however large orders grows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    active = orders.select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    return (
+        spine.join(active, "d", "left_anti")
+        .groupBy(F.year("d").cast("int").alias("yr"))
+        .agg(F.count(F.lit(1)).alias("n_gap_days"))
+        .orderBy("yr")
+    )
+
+
 # --- W1/P3: deterministic surrogate-keyed dimension (star builder).
 @query(
     "star_date_dim",
