@@ -625,6 +625,166 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stats_moments_orders",
+    """
+    WITH s AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS sxx
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n,
+           ROUND(CAST(sx AS DOUBLE) / n, 2) AS mean_price,
+           ROUND(sqrt((CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+             / (n - 1)), 2) AS stddev_price
+    FROM s ORDER BY o_orderpriority
+    """,
+)
+def stats_moments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority mean / sample stddev via EXACT moment sums: Σx and
+    Σx² accumulate as DECIMAL (order-independent), and the moment
+    combination is one identical double expression in both engines —
+    the repo's determinism discipline applied to second moments.
+    Engine-native stddev_samp would hash-mismatch (Welford vs
+    textbook accumulation orders differ per partitioning).
+
+    Output rounds to cents: the RAW sample variance (~1e10 here)
+    cannot be gated — the final double ops carry a few ulps of
+    cross-engine noise (~1e-5 absolute at that magnitude, measured),
+    which 9-dp value rounding does not absorb.  stddev/mean are
+    price-scale (~1e5), where ulp noise sits ~7 orders below the
+    cent-rounding boundary.
+
+    Scale: one partial+final aggregate; the moment sums are the
+    classic single-pass distributed formulation."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).alias("sx"),
+        F.sum(p * p).alias("sxx"),
+    )
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return base.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 2).alias("mean_price"),
+        F.round(F.sqrt(var), 2).alias("stddev_price"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "stats_correlation_lineitem",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (quantity vs extended price) from exact
+    DECIMAL cross-moments — Σx, Σy, Σx², Σy², Σxy accumulate
+    order-independently, then corr is one shared double expression
+    rounded to 9 dp.  Engine-native corr() is accumulation-order
+    dependent and could never value-hash.
+
+    Scale: a single global aggregate with map-side partials — the
+    one-pass distributed correlation every feature-stats job runs."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (n * dbl("sxy") - dbl("sx") * dbl("sy")) / F.sqrt(
+        (n * dbl("sxx") - dbl("sx") * dbl("sx"))
+        * (n * dbl("syy") - dbl("sy") * dbl("sy"))
+    )
+    return s.select(
+        n.cast("long").alias("n"), F.round(corr, 9).alias("corr_qty_price")
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS quartile,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           ROUND(MAX(pr), 9) AS max_pr
+    FROM t GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + percent_rank under the value gate: per-priority price
+    quartiles (total order via the o_orderkey tiebreak — ntile over a
+    non-total order would be nondeterministic) rolled up to quartile
+    counts/totals and the quartile's max percent_rank.  percent_rank
+    is (rank-1)/(n-1) — a pure rational of integers, identically
+    rounded at 9 dp in both engines.
+
+    Scale: one hash partition per priority group, per-partition sort,
+    both window functions share the single window pass; the rollup
+    collapses map-side."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    return (
+        t.groupBy("o_orderpriority", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", alias="total"),
+            F.round(F.max("pr"), 9).alias("max_pr"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@query(
     "date_spine_gaps",
     """
     WITH bounds AS (
