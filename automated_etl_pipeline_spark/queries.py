@@ -625,6 +625,109 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_first_last_nth",
+    """
+    WITH w AS (
+      SELECT o_custkey,
+             first_value(o_orderkey) OVER win AS first_key,
+             last_value(o_orderkey)  OVER win AS last_key,
+             nth_value(o_orderkey, 2) OVER win AS second_key,
+             COUNT(*) OVER win AS n_orders
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT DISTINCT o_custkey, first_key, last_key,
+           COALESCE(second_key, -1) AS second_key,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM w ORDER BY o_custkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over an UNBOUNDED-both-ways
+    frame: each customer's chronologically first, last, and second
+    order.  The explicit full frame is the point — with ORDER BY, the
+    DEFAULT frame ends at CURRENT ROW, making last_value silently
+    return the current row in BOTH engines (the classic window-frame
+    trap); single-order customers get second_key = -1 via COALESCE so
+    the NULL never reaches the hash compare asymmetrically.
+
+    Scale: one key-partitioned window pass; DISTINCT collapses the
+    per-row frame outputs to one row per customer map-side."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.first("o_orderkey").over(win).alias("first_key"),
+            F.last("o_orderkey").over(win).alias("last_key"),
+            F.coalesce(
+                F.nth_value("o_orderkey", 2).over(win), F.lit(-1)
+            ).alias("second_key"),
+            F.count(F.lit(1)).over(win).alias("n_orders"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "grouped_concat_topk",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top3_keys
+    FROM r WHERE rn <= 3
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def grouped_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic group-concat (string_agg / GROUP_CONCAT): the
+    top-3 order keys per priority by price, joined ',' in rank order.
+    collect_list order is partition-nondeterministic, so the list is
+    gathered as (rn, key) structs and array_sort'ed before joining —
+    the only way a concatenated aggregate can ever value-hash.
+
+    Scale: the rank filter pre-trims map-side (WindowGroupLimit), so
+    the concat aggregate sees 3 rows per group, not the table."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rn"),
+                                F.col("o_orderkey").cast("string").alias("k"),
+                            )
+                        )
+                    ),
+                    lambda s: s.k,
+                ),
+            ).alias("top3_keys")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "stats_moments_orders",
     """
     WITH s AS (
