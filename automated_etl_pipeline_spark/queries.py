@@ -625,6 +625,80 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "histogram_price_buckets",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+)
+def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (50k-wide price buckets): the profiling
+    primitive behind every distribution dashboard.  Bucket ids are
+    exact integer floor-division; totals follow the DECIMAL sum
+    discipline.
+
+    Scale: a plain partial+final aggregate on a derived key — the
+    bucket expression is computed map-side, so the exchange carries
+    O(buckets) rows per partition."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "filtered_agg_orders",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE year(o_orderdate) = 1995) AS BIGINT)
+             AS n_1995,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_finished,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+                AS BIGINT) AS big_spenders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause): several
+    differently-filtered measures in ONE aggregate pass — counts,
+    filtered decimal sums, and a filtered distinct count — instead of
+    N self-joined subqueries.  Spark expresses FILTER as
+    aggregate-over-CASE; NULLs from unmatched rows are ignored by the
+    aggregates exactly as FILTER semantics require (the filtered SUM
+    over an empty set is NULL in both engines, kept as-is).
+
+    Scale: one partial+final aggregate; the distinct-count expands
+    into its own partial (Spark's expand) but still a single scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.year("o_orderdate") == 1995, 1)).alias("n_1995"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", p))
+            .cast("double")
+            .alias("total_finished"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+            ).alias("big_spenders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
     "window_first_last_nth",
     """
     WITH w AS (
