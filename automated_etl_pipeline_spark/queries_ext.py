@@ -956,6 +956,7 @@ class _stream_parts:
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY window_start ORDER BY window_start
     """,
+    executes_stream=True,
 )
 def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming execution under the value gate: events are
@@ -1226,6 +1227,7 @@ def s5_validated_append_idempotent(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY window_start ORDER BY window_start
     """,
+    executes_stream=True,
 )
 def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup under the value gate: events are
@@ -1593,6 +1595,7 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         WHERE s2.user_id = sess.user_id)
     ORDER BY user_id, session_start_us
     """,
+    executes_stream=True,
 )
 def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator under the value gate:
@@ -1659,6 +1662,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
            JOIN v ON p.user_id = v.user_id
     ORDER BY p.user_id
     """,
+    executes_stream=True,
 )
 def streaming_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming funnel under the value gate: the
@@ -1896,6 +1900,7 @@ def orc_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                          AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM src GROUP BY bucket ORDER BY bucket
     """,
+    executes_stream=True,
 )
 def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Authored Python STREAMING source under the value gate
@@ -2455,6 +2460,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY window_start, c_mktsegment
     ORDER BY window_start, c_mktsegment
     """,
+    executes_stream=True,
 )
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment under the value gate
@@ -2522,6 +2528,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
     ORDER BY p_event_id, v_event_id
     """,
+    executes_stream=True,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join under the value gate: each purchase

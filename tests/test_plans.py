@@ -299,16 +299,38 @@ def test_q22_scalar_avg_broadcast_and_anti_join(spark):
 # join plan left to inspect, and building one costs a full stream drain.
 # Their static sides are guarded at the unit level instead
 # (streaming/joins.py static_enrich defaults to broadcast_dim=False).
-_STREAM_EXEC_GATES = frozenset(
-    {
-        "pysource_stream_agg",
-        "streaming_dedup_watermark",
-        "streaming_interval_join",
-        "streaming_stateful_sessions",
-        "streaming_static_enrich",
-        "streaming_tumbling_1h",
-    }
-)
+# Derived from the registration tag (``@query(..., executes_stream=True)``)
+# rather than a hand-maintained frozenset: VERDICT r7 wrong #1 found
+# streaming_funnel_completions missing from the hand list, so the sweep
+# drained a real stream and then asserted on a vacuous LocalTableScan.
+from automated_etl_pipeline_spark.queries import STREAM_EXEC as _STREAM_EXEC_GATES
+
+
+def test_stream_exec_tag_matches_source():
+    """The executes_stream tag cannot silently go stale in either
+    direction: a registry callable whose source drives Structured
+    Streaming (readStream / writeStream) must be tagged, and a tagged
+    name must both exist in the registry and actually execute a stream.
+    This is the mechanical guard that replaces remembering to update a
+    frozenset when the next streaming gate lands."""
+    import inspect
+    import re
+
+    qs = entry_mod.queries()
+    assert _STREAM_EXEC_GATES <= set(qs), "tagged names missing from registry"
+    streamy = re.compile(r"readStream|writeStream|run_to_memory_sink|drain_stream")
+    for name, fn in qs.items():
+        src = inspect.getsource(fn)
+        if streamy.search(src):
+            assert name in _STREAM_EXEC_GATES, (
+                f"{name} executes a stream but is not tagged "
+                "executes_stream=True at registration"
+            )
+        else:
+            assert name not in _STREAM_EXEC_GATES, (
+                f"{name} is tagged executes_stream=True but its source "
+                "shows no stream execution"
+            )
 
 
 def test_registry_scale_rules_sweep(spark):
