@@ -90,13 +90,21 @@ def span_report(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def removal_token_counts(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
+def removal_token_counts(
+    docs: DataFrame,
+    w: int,
+    id_col: str = "doc_id",
+    toks: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, n_spans, tokens_removed): per-doc keep-first-owner span
     accounting WITHOUT the token-total join — the reusable core of
     ``removal_spans``, consumed directly by pipelines that already
     carry the doc's token count (corpus_curation_e2e's edit-list
-    stage)."""
-    toks = tokenized(docs, w, id_col)
+    stage).  Callers that already tokenized (removal_spans needs the
+    same frame for its n_tokens join) pass ``toks`` so the split-heavy
+    tokenize stays a single shared subtree instead of two independent
+    ones Catalyst won't dedupe (ADVICE r7)."""
+    toks = tokenized(docs, w, id_col) if toks is None else toks
     win = windows(toks, w, id_col)
     owner = (
         win.groupBy("h")
@@ -144,7 +152,7 @@ def removal_spans(docs: DataFrame, w: int, id_col: str = "doc_id") -> DataFrame:
     keep-first-owner merged removal spans per doc, ordered by doc_id."""
     toks = tokenized(docs, w, id_col)
     return (
-        removal_token_counts(docs, w, id_col)
+        removal_token_counts(docs, w, id_col, toks=toks)
         .join(
             toks.select(id_col, F.size("t").cast("long").alias("n_tokens")),
             id_col,

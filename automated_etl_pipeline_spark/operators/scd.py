@@ -137,6 +137,11 @@ def scd2_history_chunked(
     SQL) — NaN→NaN transitions count as changes here, while the plain
     operator's eqNullSafe treats them as equal; don't feed NaN attrs
     to either (F2 NaN→NULL runs first in the cleaning pipeline).
+
+    NULL key columns are supported: both stitch joins use null-safe
+    key equality (ADVICE r7 — plain name-list joins silently dropped a
+    NULL key's offsets, merging its runs wherever its history spanned
+    a chunk edge), matching the plain operator's partitionBy grouping.
     """
     spark = updates.sparkSession
     n = num_chunks or spark.sparkContext.defaultParallelism
@@ -179,10 +184,29 @@ def scd2_history_chunked(
         .select("k.*")
         .distinct()
     )
+    # NULL-safe key equality on BOTH stitch joins (ADVICE r7): a name-
+    # list join uses plain equality, so a NULL key never matched — its
+    # summaries were dropped here and its offsets coalesced to 0 below,
+    # merging runs across chunks.  The plain operator's partitionBy
+    # groups NULL keys correctly, so the two would diverge exactly when
+    # a NULL key's history spanned a chunk edge.  eqNullSafe is a valid
+    # hash-join key (EqualNullSafe), so both stay broadcast hash joins.
+    def _null_safe_on(right: DataFrame, prefix: str) -> tuple[DataFrame, Column]:
+        renamed = right.select(
+            *[F.col(c).alias(f"{prefix}{c}") for c in right.columns]
+        )
+        cond = F.lit(True)
+        for k in key_cols:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"{prefix}{k}"))
+        return renamed, cond
+
+    edge_r, edge_cond = _null_safe_on(edge_keys, "__ek_")
     summary = sorted(
-        summary_all.join(F.broadcast(edge_keys), list(key_cols), "left_semi")
-        .collect(),
-        key=lambda row: (tuple(row[k] for k in key_cols), row["__pid"]),
+        summary_all.join(F.broadcast(edge_r), edge_cond, "left_semi").collect(),
+        key=lambda row: (
+            tuple((row[k] is not None, row[k]) for k in key_cols),
+            row["__pid"],
+        ),
     )
     offsets, prev_key, prev_last, acc = [], None, None, 0
     for row in summary:
@@ -200,10 +224,13 @@ def scd2_history_chunked(
     )
     off_df = spark.createDataFrame(offsets, off_schema)
 
+    off_r, off_cond = _null_safe_on(off_df, "__of_")
     merged = local.join(
-        F.broadcast(off_df), ["__pid", *key_cols], "left"
+        F.broadcast(off_r),
+        (F.col("__pid") == F.col("__of___pid")) & off_cond,
+        "left",
     ).withColumn(
-        "__grun", F.coalesce("__off", F.lit(0)) + F.col("__run")
+        "__grun", F.coalesce("__of___off", F.lit(0)) + F.col("__run")
     )
     agg = merged.groupBy(*key_cols, "__grun").agg(
         F.min(ts_col).alias("valid_from"),

@@ -8,9 +8,18 @@ the real part/supplier keys, both engines read the same parquet, and
 the results are value-compared exactly like the driver's t2 gate.
 
 Generator (mirrors dbgen's layout at the testdata's 0-based keys):
-each part gets ``SUPP_PER_PART``=4 suppliers via the official
-round-robin spread ``(p + i*(S//4 + p//S)) % S`` — guaranteed distinct
-for S=100 — with seeded availqty ∈ [1, 9999] and supplycost a multiple of 0.25 in
+each part gets ``SUPP_PER_PART``=4 suppliers via the round-robin
+spread ``(p + i*step) % S`` with ``step = S//4 + (p//S) % (S//4)``.
+dbgen's own step ``S//4 + p//S`` is only collision-free when S scales
+with P (real TPC-H); at the testdata's fixed small S it collides —
+e.g. S=100, p ∈ [7500, 7600): step=100 ≡ 0, all four i map to ONE
+supplier (ADVICE r7). Bounding the part-dependent term by ``% (S//4)``
+keeps ``step ∈ [S//4, 2*(S//4)-1]``, and then ``d*step ≡ 0 (mod S)``
+for d ∈ {1,2,3} would need step ∈ {S/2, S/3, 2S/3} — unreachable for
+every testdata S (10, 100, 1000: step < S/2 and 3 ∤ S), so the four
+suppliers are distinct for EVERY part key; generate_partsupp asserts
+this so a future S that breaks the argument fails loudly instead of
+silently collapsing pairs. Seeded availqty ∈ [1, 9999] and supplycost a multiple of 0.25 in
 [1.00, 1000.00] — quarter-dollars are BINARY-EXACT doubles (cents/100
 is not: 0.98 has no finite base-2 representation), so every
 supplycost × availqty product and their sums are exact integers-of-
@@ -70,11 +79,17 @@ def generate_partsupp(
     import numpy as np
 
     s = n_suppliers
+    q = s // SUPP_PER_PART
     pairs = {
-        (int(p), (p + i * (s // SUPP_PER_PART + p // s)) % s)
+        (int(p), (p + i * (q + (p // s) % q)) % s)
         for p in sorted(part_keys)
         for i in range(SUPP_PER_PART)
     }
+    # the module docstring's distinctness argument, enforced: the spread
+    # must yield exactly SUPP_PER_PART distinct suppliers per part
+    assert len(pairs) == SUPP_PER_PART * len(set(part_keys)), (
+        f"supplier spread collided for n_suppliers={s}"
+    )
     pairs.update((int(p), int(sk)) for p, sk in extra_pairs)
     rng = np.random.default_rng(seed)
     rows = []

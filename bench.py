@@ -16,6 +16,19 @@ Each query executes via the noop sink (forces full computation of every
 column, no driver collect bottleneck, no disk write skew). One warm-up
 of a tiny query first so JVM/codegen startup isn't billed to the first
 query.
+
+Process isolation (VERDICT r7 ask #2): the sweep runs in SUBPROCESS
+chunks of $SPARK_GRAFT_BENCH_CHUNK_SIZE (default 12) queries, each
+with its own JVM.  Session recycling inside one JVM was not enough —
+PySpark's stop()/getOrCreate() reuses the py4j gateway JVM, so heap
+and GC pressure accumulate across the whole 154-query sweep and the
+late-sweep readings ran 2.3-3.8x their fresh-session medians (four
+spurious >=2x flags per round, each needing adjudication).  A chunk
+boundary is a real JVM exit, so position in the sweep no longer leaks
+into a query's timing; the per-chunk JVM startup is not billed to any
+query.  SPARK_GRAFT_BENCH_CHUNKED=0 restores the single-process path
+(harness tests that monkeypatch the registry need it — a subprocess
+would re-import the real one).
 """
 
 from __future__ import annotations
@@ -78,7 +91,7 @@ def standalone_median(
     This is the adjudication protocol used manually in rounds 4-6 (bm25
     r4, dq/range r5, salted/ngram r6) — automated per VERDICT r6 ask #2
     so in-sweep contention readings self-refute inside the bench run."""
-    out: list[float] = []
+    out: list[float | str] = []
     for _ in range(reps):
         s = get_spark("bench-adjudicate")
         try:
@@ -88,30 +101,48 @@ def standalone_median(
             t0 = time.perf_counter()
             fn(s, sf_dir).write.format("noop").mode("overwrite").save()
             out.append(round(time.perf_counter() - t0, 3))
-        except Exception:
-            pass  # adjudication is advisory; never kill the harness
+        except Exception as e:  # noqa: BLE001 — advisory; never kill the run
+            # record WHY (ADVICE r7): an all-reps-failed adjudication
+            # used to leave standalone_reps=[] indistinguishable from a
+            # never-meaningful one, masking a query broken standalone
+            out.append(f"error: {type(e).__name__}: {e}"[:200])
         finally:
             _quiet_stop(s)
     return out
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
+def run_queries(
+    qs, sf_dir: str, warm_dir: str, cold: bool
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Time each query in THIS process: the in-JVM sweep loop shared by
+    the chunk subprocesses and the single-process fallback path.
 
-    import __spark_entry__ as entry_mod
+    Session recycling: a long-lived local session ages — after ~30
+    queries the same CPU-heavy query runs 4-8x slower than in a fresh
+    session (measured: dedup_simhash 3.7s fresh vs 28.6s after 35
+    queries; ContextCleaner/broadcast/shuffle-state accumulation).  A
+    restart costs <1s and is NOT billed to any query's timing.  (In
+    chunked mode a chunk is at most CHUNK_SIZE queries so this rarely
+    fires; the fallback path still relies on it.)
 
-    qs = entry_mod.queries()
+    Untimed per-query warm pass at warm_dir before the timed run:
+    whole-stage codegen sources are cached JVM-wide by source text, and
+    Janino compilation of the biggest generated methods (the fused
+    64-counter simhash aggregate) costs tens of seconds — a one-time
+    per-executor cost that a real cluster job amortizes over TBs but
+    that lands on a single sf0.1 timing here (measured: dedup_simhash
+    56s cold vs 8s warm in the same fresh session). The warm pass runs
+    the same plan shape on sf0.001 so the timed number is steady-state.
+    SPARK_GRAFT_BENCH_COLD=1 skips it (cold numbers, comparable to a
+    driver bench that has no warm pass) so warm-vs-cold regressions are
+    attributable to code, not methodology (VERDICT r3 ask #6).
 
-    # Session recycling: a long-lived local session ages — after ~30
-    # queries the same CPU-heavy query runs 4-8x slower than in a fresh
-    # session (measured: dedup_simhash 3.7s fresh vs 28.6s after 35
-    # queries; ContextCleaner/broadcast/shuffle-state accumulation).  A
-    # restart costs <1s and is NOT billed to any query's timing, so
-    # recycle every RECYCLE_EVERY queries for stable, position-
-    # independent numbers.  (This is bench-harness hygiene, not an
-    # engine property: a real cluster job runs ONE query per session.)
+    Failure isolation (VERDICT r3 ask #2): one broken query must never
+    zero out the whole round's perf signal. Errors are recorded per
+    query under "errors"; a result always comes back.
+    """
+    import gc
+
     RECYCLE_EVERY = 10
 
     def fresh_session(prev=None):
@@ -126,34 +157,14 @@ def main() -> None:
         return s
 
     spark = fresh_session()
-
-    import gc
-
-    # Untimed per-query warm pass at WARM_DIR before the timed run:
-    # whole-stage codegen sources are cached JVM-wide by source text, and
-    # Janino compilation of the biggest generated methods (the fused
-    # 64-counter simhash aggregate) costs tens of seconds — a one-time
-    # per-executor cost that a real cluster job amortizes over TBs but
-    # that lands on a single sf0.1 timing here (measured: dedup_simhash
-    # 56s cold vs 8s warm in the same fresh session). The warm pass runs
-    # the same plan shape on sf0.001 so the timed number is steady-state.
-    # SPARK_GRAFT_BENCH_COLD=1 skips it (cold numbers, comparable to a
-    # driver bench that has no warm pass) so warm-vs-cold regressions are
-    # attributable to code, not methodology (VERDICT r3 ask #6).
-    WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") not in ("", "0")
-
-    # Failure isolation (VERDICT r3 ask #2): one broken query must never
-    # zero out the whole round's perf signal. Errors are recorded per
-    # query under "errors"; the JSON line is always emitted.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(qs.items()):
         if i and i % RECYCLE_EVERY == 0:
             spark = fresh_session(spark)
-        if not COLD:
+        if not cold:
             try:
-                fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass  # warm pass is best-effort; the timed run still reports
         t0 = time.perf_counter()
@@ -172,6 +183,78 @@ def main() -> None:
         # 66-query sf0.1 run from 167s to 108s; forcing System.gc()
         # per query was tried and bought nothing further)
         gc.collect()
+    _quiet_stop(spark)
+    return timings, errors
+
+
+def _chunked_sweep(
+    names: list[str], chunk_size: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Fan the sweep out over ``python bench.py --chunk a,b,c``
+    subprocesses — one fresh JVM per chunk.  A chunk that dies (crash,
+    unparseable output) marks only its own queries as errors."""
+    import subprocess
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    me = str(Path(__file__).resolve())
+    for i in range(0, len(names), chunk_size):
+        chunk = names[i : i + chunk_size]
+        proc = subprocess.run(
+            [sys.executable, me, "--chunk", ",".join(chunk)],
+            capture_output=True,
+            text=True,
+            cwd=str(Path(me).parent),
+        )
+        got = None
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                got = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if not isinstance(got, dict) or "timings" not in got:
+            msg = f"chunk subprocess failed (rc={proc.returncode}): " + (
+                proc.stderr.strip().splitlines() or ["no stderr"]
+            )[-1][:300]
+            errors.update({q: msg for q in chunk})
+            continue
+        timings.update(got["timings"])
+        errors.update(got.get("errors", {}))
+    return timings, errors
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # Subset filter for iteration / harness tests: run only these names.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        qs = {n: qs[n] for n in only.split(",") if n in qs}
+    WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    COLD = os.environ.get("SPARK_GRAFT_BENCH_COLD", "") not in ("", "0")
+
+    # Child mode: time just the named queries in this process and emit
+    # one machine-readable line for the parent. No adjudication, no
+    # detail file, no compact summary — the parent owns those.
+    if len(sys.argv) >= 3 and sys.argv[1] == "--chunk":
+        want = sys.argv[2].split(",")
+        timings, errors = run_queries(
+            {n: qs[n] for n in want if n in qs}, sf_dir, WARM_DIR, COLD
+        )
+        print(json.dumps({"timings": timings, "errors": errors}))
+        return
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHUNKED", "1") not in ("", "0"):
+        chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_SIZE", "12"))
+        timings, errors = _chunked_sweep(list(qs), chunk_size)
+    else:
+        timings, errors = run_queries(qs, sf_dir, WARM_DIR, COLD)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -194,8 +277,9 @@ def main() -> None:
     # timings above stay untouched. Capped at 8 re-runs (ratio-desc) so
     # a globally-contended sweep can't double the bench wall time.
     # SPARK_GRAFT_BENCH_NO_ADJ=1 disables (harness tests, quick loops).
-    _quiet_stop(spark)
-    spark = None
+    # In chunked mode this parent process has never run a query, so the
+    # adjudication contexts are built in an idle JVM — the same
+    # fresh-session protocol rounds 4-7 used manually.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_ADJ", "") in ("", "0") and sf >= 0.1:
         anchors = newest_anchors(
             Path(
@@ -231,13 +315,14 @@ def main() -> None:
                     }
                     continue
                 reps = standalone_median(qs[q], sf_dir, WARM_DIR, warm=not COLD)
+                nums = [r for r in reps if isinstance(r, (int, float))]
                 adj[q] = {
                     "wall": timings[q],
                     "anchor": anchors[q],
                     "ratio": round(ratio, 2),
                     "standalone_reps": reps,
                     "standalone_median": (
-                        round(statistics.median(reps), 3) if reps else None
+                        round(statistics.median(nums), 3) if nums else None
                     ),
                 }
             out["standalone"] = adj

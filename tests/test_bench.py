@@ -53,6 +53,9 @@ def test_bench_survives_failing_query(tmp_path):
             "SPARK_GRAFT_CPUS": "4",
             # keep the fake-query run away from the committed record
             "SPARK_GRAFT_BENCH_DETAIL": str(detail),
+            # single-process path: a chunk subprocess would re-import
+            # the REAL registry, losing the fake queries injected above
+            "SPARK_GRAFT_BENCH_CHUNKED": "0",
         },
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -75,6 +78,41 @@ def test_bench_survives_failing_query(tmp_path):
 
     got_detail = json.loads(detail.read_text())
     assert got_detail["queries"] == out["queries"]
+
+
+def test_bench_chunked_mode_isolates_jvms(tmp_path):
+    """VERDICT r7 ask #2: the default sweep runs in subprocess chunks,
+    one JVM per chunk, so late-sweep JVM aging can't inflate readings.
+    Two real registry queries, chunk size 1 → two child JVMs; the
+    merged record must carry both timings and the usual two lines."""
+    import os
+
+    detail = tmp_path / "BENCH_DETAIL.json"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=str(REPO),
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "JAVA_HOME": os.environ.get("JAVA_HOME", ""),
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_BENCH_COLD": "1",
+            "SPARK_GRAFT_CPUS": "4",
+            "SPARK_GRAFT_BENCH_DETAIL": str(detail),
+            "SPARK_GRAFT_BENCH_ONLY": "flagship_priority_agg,p5_filter_project",
+            "SPARK_GRAFT_BENCH_CHUNK_SIZE": "1",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = proc.stdout.strip().splitlines()
+    compact = json.loads(lines[-1])
+    assert compact["n"] == 2 and compact["errors"] == 0
+    out = json.loads(lines[-2])
+    assert set(out["queries"]) == {"flagship_priority_agg", "p5_filter_project"}
+    assert all(v > 0 for v in out["queries"].values())
 
 
 def test_newest_anchors_skips_cold_and_prefers_latest(tmp_path):
@@ -137,6 +175,7 @@ def test_bench_self_adjudicates_2x_readings(tmp_path):
         "SPARK_GRAFT_CPUS": "4",
         "SPARK_GRAFT_BENCH_DETAIL": str(detail),
         "SPARK_GRAFT_BENCH_ANCHORS": str(anchors),
+        "SPARK_GRAFT_BENCH_CHUNKED": "0",  # fake queries: see above
     }
     # This test launches 4 sequential Spark JVMs in a subprocess; under
     # full-suite load a launch can transiently fail (observed once in

@@ -264,6 +264,34 @@ def test_scd2_chunked_hot_key_spans_partitions(spark):
     assert _hist_rows(plain) == _hist_rows(chunked)
 
 
+def test_scd2_chunked_null_key_spans_chunks(spark):
+    """ADVICE r7: a NULL key whose history crosses chunk edges. The
+    offset joins use null-safe key equality — with plain equality the
+    NULL key never received its stitch offset (coalesced to 0), so runs
+    from different chunks collided into one wrongly-merged history.
+    Many rows for the NULL key across 8 chunks + straddling runs force
+    the stitch path; a non-null key rides along as a control."""
+    from automated_etl_pipeline_spark.operators.scd import scd2_history_chunked
+
+    n = 4_000
+    nullk = spark.range(n).select(
+        F.lit(None).cast("int").alias("k"),
+        F.col("id").alias("seq"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") / 8).cast("int")).alias("d"),
+        F.concat(F.lit("v"), (F.col("id") / 97).cast("long")).alias("attr"),
+    )
+    ctrl = spark.createDataFrame(
+        [(5, 0, "2020-01-01", "A"), (5, 1, "2020-03-01", "B")],
+        "k int, seq long, d string, attr string",
+    ).select("k", "seq", F.to_date("d").alias("d"), "attr")
+    up = nullk.unionByName(ctrl)
+    plain = scd2_history(up, ["k"], ["attr"], ts_col="d", tiebreak="seq")
+    chunked = scd2_history_chunked(
+        up, ["k"], ["attr"], ts_col="d", tiebreak="seq", num_chunks=8
+    )
+    assert _hist_rows(plain) == _hist_rows(chunked)
+
+
 def test_scd2_chunked_single_chunk_degenerates_to_plain(spark):
     from automated_etl_pipeline_spark.operators.scd import scd2_history_chunked
 

@@ -59,6 +59,21 @@ def test_generator_is_deterministic_and_tpch_shaped():
     assert all(len(s) == SUPP_PER_PART for s in by_part.values())
 
 
+@pytest.mark.parametrize("n_sup,n_part", [(10, 200), (100, 20_000), (1000, 20_000)])
+def test_spread_collision_free_over_full_key_ranges(n_sup, n_part):
+    """ADVICE r7: the original dbgen step (S//4 + p//S) collides at the
+    testdata's fixed small S — e.g. S=100, p ∈ [7500, 7600) mapped all
+    four i to ONE supplier — and the 200-key shape test above never saw
+    it.  Sweep the FULL part-key range of every (suppliers, parts)
+    combination the fixtures use: 4 distinct suppliers for every part."""
+    rows = generate_partsupp(list(range(n_part)), n_sup, seed=7)
+    assert len(rows) == n_part * SUPP_PER_PART
+    by_part: dict[int, set[int]] = {}
+    for p, s, _, _ in rows:
+        by_part.setdefault(p, set()).add(s)
+    assert all(len(s) == SUPP_PER_PART for s in by_part.values())
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_matches_duckdb_oracle(name, spark, partsupp_path, oracle):
     fn, sql = QUERIES[name]
