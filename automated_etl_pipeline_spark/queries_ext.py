@@ -1755,28 +1755,65 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_distinct_rollup")  # no oracle: DataSketches-HLL estimates are
-# engine-specific (DuckDB's approx_count_distinct is a different HLL);
-# the value contract is pinned by tests/test_sketches.py and the
-# hll_merge_error_bound gate instead — the 5% error envelope holds for
-# both merged and single-pass estimates (exact merged==direct equality
-# deliberately NOT claimed; see sketches.py docstring).
+@query(
+    "hll_distinct_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_fine_groups,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS rollup_within_5pct
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate-distinct rollup (functions/sketches.py):
     per-(priority, month) HLL partials → per-priority merge → estimate.
     The 100 TB pattern: raw data scanned once at fine grain; coarser
-    rollups answered from ~KB sketches, never a rescan."""
+    rollups answered from ~KB sketches, never a rescan.
+
+    Oracle-checkable since r8 (VERDICT r7 ask #1 — this was the last
+    non-ML no_oracle row): the raw DataSketches estimate stays engine-
+    specific (DuckDB runs a different HLL), so the gate emits what IS
+    portable, the approx_percentile_price pattern: exact values DuckDB
+    reproduces (distinct fine groups actually merged, exact distinct
+    customers) plus the sketch guarantee recomputed in-query as a
+    boolean — the merged-from-months estimate within 5% of the exact
+    count (lg_k=12 → ~1.6% RSE; 5% ≈ 3 standard errors, the envelope
+    hll_merge_error_bound pins).  A FALSE is a broken sketch pipeline,
+    not an approximation artifact; the hash would catch it."""
     from automated_etl_pipeline_spark.functions.sketches import (
-        approx_distinct_rollup,
+        hll_build,
+        hll_estimate,
+        hll_merge,
     )
 
     (orders,) = _t(spark, sf_dir, "orders")
-    return approx_distinct_rollup(
-        orders.withColumn("m", F.date_format("o_orderdate", "yyyy-MM")),
-        ["o_orderpriority", "m"],
-        ["o_orderpriority"],
-        "o_custkey",
-    ).orderBy("o_orderpriority")
+    fine = orders.withColumn("m", F.date_format("o_orderdate", "yyyy-MM"))
+    parts = hll_build(fine, ["o_orderpriority", "m"], "o_custkey")
+    est = hll_estimate(
+        hll_merge(parts, ["o_orderpriority"]), out_col="est_rollup"
+    )
+    fine_ct = parts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_fine_groups")
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        est.join(fine_ct, "o_orderpriority")
+        .join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_fine_groups",
+            "n_exact",
+            (
+                F.abs(F.col("est_rollup") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("rollup_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
 
 
 @query(
