@@ -2741,3 +2741,45 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------
+# Heavy-hitters sketch (functions/heavy_hitters.py — VERDICT r7 ask #5)
+# ----------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitter_tokens",
+    """
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), n AS (SELECT COUNT(*) AS n FROM t)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM t GROUP BY token
+    HAVING COUNT(*) >= 0.02 * (SELECT n FROM n)
+    ORDER BY token
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy tokens (count >= 2% of all token instances)
+    computed sketch-first: per-partition Misra-Gries partials (bounded
+    memory, <= k rows each) -> merge -> candidate filter at the sketch
+    guarantee threshold -> exact recount of the candidates only.  No
+    full GROUP BY over the token space ever runs; the only full-key
+    aggregate in the plan is over <= k*partitions sketch rows.  The
+    no-miss guarantee (every true heavy hitter survives the candidate
+    filter) makes the output EXACT and partition-independent, so the
+    plain GROUP BY ... HAVING oracle must hash-match it — a missed
+    candidate is a missing row, not an approximation artifact.
+
+    This corpus's token distribution is near-uniform over a tiny
+    vocabulary, so the eviction path barely fires here; the planted-
+    zipf unit tests (tests/test_heavy_hitters.py) pin the sketch bound
+    where k << vocabulary and evictions dominate."""
+    from automated_etl_pipeline_spark.functions.heavy_hitters import (
+        heavy_hitters,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = spread(docs).select(F.explode(F.split("text", " ")).alias("token"))
+    return heavy_hitters(toks, "token", phi=0.02).orderBy("token")
