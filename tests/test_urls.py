@@ -1,0 +1,213 @@
+"""URL/domain curation pytest-oracle gates (VERDICT r7 ask #4).
+
+The driver testdata has no URL column, so — the partsupp precedent — a
+seeded generator builds a url table (+ a small public-suffix table) in
+tmp parquet; Spark and DuckDB read the same files; DuckDB mirrors the
+longest-suffix registrable-domain semantics with a LIKE join and the
+cap/prior logic with window/AVG SQL.  Values compare exactly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.operators.urls import (
+    apply_domain_prior,
+    domain_cap,
+    domain_quality_prior,
+    extract_host,
+    registrable_domain,
+)
+
+SUFFIXES = ["com", "org", "net", "io", "co.uk", "ac.uk", "com.au", "github.io"]
+
+_NAMES = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+_TLDS = ["com", "org", "net", "io", "co.uk", "ac.uk", "com.au"]
+_SUBS = ["", "www.", "news.", "a.b.", "cdn.static."]
+
+
+def _gen_urls(n: int = 400, seed: int = 13) -> list[tuple[int, str, float]]:
+    """(doc_id, url, quality): 40% of rows pile onto one crawl-hot
+    domain (alpha.com) so the cap provably bites; the rest spread over
+    name x tld x subdomain combinations; a tail of odd rows exercises
+    the edge cases (bare public suffix, unknown TLD, dotless host,
+    pages on a github.io subdomain whose registrable domain is the
+    3-label user site)."""
+    rng = np.random.default_rng(seed)
+    rows: list[tuple[int, str, float]] = []
+    for i in range(n):
+        q = round(float(rng.uniform(0.1, 1.0)), 3)
+        r = rng.random()
+        if r < 0.4:
+            url = f"https://www.alpha.com/page/{i}?ref={int(rng.integers(9))}"
+        elif r < 0.9:
+            sub = _SUBS[int(rng.integers(len(_SUBS)))]
+            name = _NAMES[int(rng.integers(len(_NAMES)))]
+            tld = _TLDS[int(rng.integers(len(_TLDS)))]
+            url = f"https://{sub}{name}.{tld}/x/{i}"
+        elif r < 0.94:
+            url = f"https://docs.{_NAMES[int(rng.integers(4))]}.github.io/g/{i}"
+        elif r < 0.96:
+            url = f"https://co.uk/weird/{i}"  # host IS a public suffix
+        elif r < 0.98:
+            url = f"https://unknown{i}.zz/t"  # TLD not in the table
+        else:
+            url = f"https://localhost/l/{i}"  # dotless host
+        rows.append((i, url, q))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("urls")
+    upath, spath = str(d / "urls.parquet"), str(d / "suffixes.parquet")
+    spark.createDataFrame(
+        _gen_urls(), "doc_id long, url string, quality double"
+    ).write.mode("overwrite").parquet(upath)
+    spark.createDataFrame(
+        [(s,) for s in SUFFIXES], "suffix string"
+    ).write.mode("overwrite").parquet(spath)
+    return upath, spath
+
+
+@pytest.fixture(scope="module")
+def oracle(fixture_paths):
+    upath, spath = fixture_paths
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW urls AS SELECT * FROM '{upath}/*.parquet'")
+    con.execute(f"CREATE VIEW suffixes AS SELECT * FROM '{spath}/*.parquet'")
+    # host + registrable domain, longest-suffix-wins, as one reusable view
+    con.execute(
+        """
+        CREATE VIEW reg AS
+        WITH hosts AS (
+          SELECT doc_id, quality,
+                 lower(regexp_extract(url, '://([^/?#]+)', 1)) AS host
+          FROM urls
+        ), cand AS (
+          SELECT h.doc_id, h.host, s.suffix,
+                 len(string_split(s.suffix, '.')) AS m
+          FROM hosts h JOIN suffixes s
+            ON h.host = s.suffix OR h.host LIKE '%.' || s.suffix
+        ), best AS (
+          SELECT doc_id, host, suffix, m,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY m DESC, suffix) AS rn
+          FROM cand
+        )
+        SELECT h.doc_id, h.quality, h.host,
+               CASE WHEN b.suffix IS NOT NULL
+                         AND len(string_split(h.host, '.')) > b.m
+                    THEN array_to_string(
+                           string_split(h.host, '.')[
+                             len(string_split(h.host, '.')) - b.m :], '.')
+                    ELSE NULL END AS domain
+        FROM hosts h LEFT JOIN best b ON h.doc_id = b.doc_id AND b.rn = 1
+        """
+    )
+    yield con
+    con.close()
+
+
+def _spark_reg(spark, fixture_paths):
+    upath, spath = fixture_paths
+    urls = spark.read.parquet(upath)
+    suff = spark.read.parquet(spath)
+    return registrable_domain(extract_host(urls), suff, id_col="doc_id")
+
+
+def test_registrable_domain_matches_oracle(spark, fixture_paths, oracle):
+    got = {
+        (r["doc_id"], r["host"], r["domain"])
+        for r in _spark_reg(spark, fixture_paths)
+        .select("doc_id", "host", "domain")
+        .collect()
+    }
+    want = {
+        (i, h, d)
+        for i, _, h, d in oracle.execute(
+            "SELECT doc_id, quality, host, domain FROM reg"
+        ).fetchall()
+    }
+    assert len(got) == 400 and got == want
+    # edge semantics actually present and correct in the fixture
+    by_host = {}
+    for _, h, d in got:
+        by_host.setdefault(h, set()).add(d)
+    assert by_host["co.uk"] == {None}  # bare public suffix
+    assert by_host["localhost"] == {None}  # dotless host
+    assert any(h.startswith("unknown") and d == {None} for h, d in by_host.items())
+    # longest match: ac.uk beats uk-less com fallback; github.io user
+    # sites are registrable at 3 labels
+    assert all(
+        d == {"alpha.github.io"} or not h.endswith("alpha.github.io")
+        for h, d in by_host.items()
+        if h.endswith(".github.io")
+        and h.split(".")[-3] == "alpha"
+    )
+    assert by_host["www.alpha.com"] == {"alpha.com"}
+
+
+def test_domain_cap_matches_oracle_and_bites(spark, fixture_paths, oracle):
+    cap = 5
+    reg = _spark_reg(spark, fixture_paths).filter(F.col("domain").isNotNull())
+    kept = domain_cap(reg, cap)
+    got = kept.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("kept_id_sum"),
+    )
+    want = oracle.execute(
+        """
+        WITH ranked AS (
+          SELECT domain, doc_id,
+                 row_number() OVER (PARTITION BY domain
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM reg WHERE domain IS NOT NULL)
+        SELECT domain, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
+        FROM ranked WHERE rk <= 5 GROUP BY domain
+        """
+    ).fetchall()
+    assert {tuple(r) for r in got.collect()} == set(want)
+    # the crawl-hot domain really was capped
+    n_alpha = reg.filter(F.col("domain") == "alpha.com").count()
+    assert n_alpha > 100
+    assert kept.filter(F.col("domain") == "alpha.com").count() == cap
+
+
+def test_domain_quality_prior_matches_oracle(spark, fixture_paths, oracle):
+    reg = _spark_reg(spark, fixture_paths)
+    priors = domain_quality_prior(reg)
+    scored = apply_domain_prior(reg, priors).select(
+        "doc_id", "prior_weighted_quality"
+    )
+    want = oracle.execute(
+        """
+        WITH p AS (
+          SELECT domain,
+                 CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS prior
+          FROM reg WHERE domain IS NOT NULL GROUP BY domain)
+        SELECT r.doc_id,
+               r.quality * COALESCE(p.prior, 1.0) AS pw
+        FROM reg r LEFT JOIN p USING (domain)
+        """
+    ).fetchall()
+    assert {tuple(r) for r in scored.collect()} == set(want)
+
+
+def test_plans_stay_jvm_side(spark, fixture_paths):
+    """The whole family must be JVM expressions + hash joins: no
+    Python row boundary, no cartesian product, suffix join broadcast."""
+    from automated_etl_pipeline_spark.plans.explain import executed_plan
+
+    reg = _spark_reg(spark, fixture_paths)
+    scored = apply_domain_prior(reg, domain_quality_prior(reg))
+    plan = executed_plan(domain_cap(scored, 5))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "BroadcastHashJoin" in plan
