@@ -97,7 +97,14 @@ def standalone_median(
         try:
             s.read.parquet(f"{sf_dir}/region.parquet").count()
             if warm:
+                # rehearse at BOTH scales: the sf0.001 pass compiles the
+                # generated code, but a fresh JVM's FIRST full-scale
+                # execution still pays C2 tier-up on the framework hot
+                # paths (measured: chunk position 0 medians 2.0x vs 1.1x
+                # at position 10) — so the timed run must be the second
+                # full-scale execution, i.e. steady state
                 fn(s, warm_dir).write.format("noop").mode("overwrite").save()
+                fn(s, sf_dir).write.format("noop").mode("overwrite").save()
             t0 = time.perf_counter()
             fn(s, sf_dir).write.format("noop").mode("overwrite").save()
             out.append(round(time.perf_counter() - t0, 3))
@@ -112,7 +119,7 @@ def standalone_median(
 
 
 def run_queries(
-    qs, sf_dir: str, warm_dir: str, cold: bool
+    qs, sf_dir: str, warm_dir: str, cold: bool, burn_in: int = 0
 ) -> tuple[dict[str, float], dict[str, str]]:
     """Time each query in THIS process: the in-JVM sweep loop shared by
     the chunk subprocesses and the single-process fallback path.
@@ -157,6 +164,21 @@ def run_queries(
         return s
 
     spark = fresh_session()
+    # Chunk burn-in: a fresh JVM's first few FULL-SCALE executions pay
+    # C2/JIT tier-up on framework hot paths that the sf0.001 warm pass
+    # cannot trigger (measured: with chunked JVMs and no burn-in, the
+    # per-chunk position-0/1/2 median anchor-ratios were 1.98/1.64/1.43
+    # vs ~1.15 from position 3 on).  Running the chunk's first
+    # ``burn_in`` queries once untimed at sf_dir makes their timed runs
+    # second full-scale executions and tiers the JVM up for the rest —
+    # position-independent, steady-state numbers at ~25% extra wall,
+    # none of it billed.
+    if burn_in and not cold:
+        for name, fn in list(qs.items())[:burn_in]:
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass  # the timed loop will surface the error properly
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for i, (name, fn) in enumerate(qs.items()):
@@ -244,8 +266,13 @@ def main() -> None:
     # detail file, no compact summary — the parent owns those.
     if len(sys.argv) >= 3 and sys.argv[1] == "--chunk":
         want = sys.argv[2].split(",")
+        burn_in = int(os.environ.get("SPARK_GRAFT_BENCH_BURNIN", "3"))
         timings, errors = run_queries(
-            {n: qs[n] for n in want if n in qs}, sf_dir, WARM_DIR, COLD
+            {n: qs[n] for n in want if n in qs},
+            sf_dir,
+            WARM_DIR,
+            COLD,
+            burn_in=burn_in,
         )
         print(json.dumps({"timings": timings, "errors": errors}))
         return
