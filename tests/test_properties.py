@@ -252,3 +252,83 @@ def test_scd2_chunked_equals_plain_property(spark, updates, num_chunks):
         tuple(str(r[c]) for c in cols) for r in d.collect()
     )
     assert norm(plain) == norm(chunked)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=400
+    ),
+    st.integers(min_value=1, max_value=6),
+    st.sampled_from([0.05, 0.1, 0.25]),
+)
+@settings(max_examples=8, deadline=None)
+def test_heavy_hitters_equals_exact_property(spark, items, parts, phi):
+    """heavy_hitters == the exact phi-heavy set for ARBITRARY streams,
+    k values at the guarantee boundary, and partition layouts — the
+    no-miss theorem (functions/heavy_hitters.py) as a property, not a
+    planted example.  k is chosen as the SMALLEST the precondition
+    phi > 1/(k+1) allows, so the sketch has the least slack the math
+    permits."""
+    import math
+
+    from automated_etl_pipeline_spark.functions.heavy_hitters import heavy_hitters
+
+    k = max(1, int(math.ceil(1.0 / phi)))  # 1/(k+1) < phi minimally
+    df = spark.createDataFrame(
+        [(x,) for x in items], "x long"
+    ).repartition(parts)
+    got = {(r["x"], r["cnt"]) for r in heavy_hitters(df, "x", phi, k=k).collect()}
+    n = len(items)
+    from collections import Counter
+
+    want = {(x, c) for x, c in Counter(items).items() if c >= phi * n}
+    assert got == want
+
+
+_HOST_LABEL = st.from_regex(r"[a-z][a-z0-9]{0,6}", fullmatch=True)
+_SUFFIX_POOL = ["com", "org", "io", "co.uk", "ac.uk", "com.au", "github.io"]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(_HOST_LABEL, min_size=0, max_size=3),  # subdomain labels
+            st.one_of(st.sampled_from(_SUFFIX_POOL), _HOST_LABEL),  # tail
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_registrable_domain_matches_python_reference(spark, hosts):
+    """registrable_domain == a direct Python longest-suffix reference
+    for arbitrary hosts: random label stacks over a tail that may or
+    may not be a known public suffix (when it isn't, or when the host
+    IS a bare suffix, the domain must be NULL)."""
+    from automated_etl_pipeline_spark.operators.urls import registrable_domain
+
+    host_strs = [
+        ".".join(labels + [tail]) for labels, tail in hosts
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(host_strs)], "doc_id long, host string"
+    )
+    suff = spark.createDataFrame([(s,) for s in _SUFFIX_POOL], "suffix string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in registrable_domain(df, suff, id_col="doc_id").collect()
+    }
+
+    def ref(h: str):
+        labels = h.split(".")
+        best = None
+        for m in range(1, min(4, len(labels)) + 1):
+            cand = ".".join(labels[-m:])
+            if cand in _SUFFIX_POOL:
+                best = m
+        if best is None or len(labels) <= best:
+            return None
+        return ".".join(labels[-(best + 1):])
+
+    for i, h in enumerate(host_strs):
+        assert got[i] == ref(h), (h, got[i], ref(h))
