@@ -3040,3 +3040,75 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
     )
+
+
+@query(
+    "streaming_hll_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_within_5pct
+    FROM events GROUP BY window_start ORDER BY window_start
+    """,
+    executes_stream=True,
+)
+def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable distinct rollup under the value gate (the
+    8th value-gated streaming execution path): events drain through a
+    file stream into per-hour HLL sketch state
+    (streaming/windows.windowed_distinct_sketch — bounded state per
+    window, incremental merges per trigger), and the drained estimates
+    must sit inside the sketch's 5% envelope of a BATCH exact distinct
+    recount per hour, emitted as oracle-checkable booleans beside the
+    exact counts (the hll_distinct_rollup pattern, now across the
+    batch/streaming boundary: a wrong watermark, a dropped trigger, or
+    state-merge corruption shifts an estimate or loses a window and
+    breaks the hash)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory_sink,
+        windowed_distinct_sketch,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_hll_stream_")
+    name = f"hll_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(drop)
+        with _stream_parts(spark):
+            q = run_to_memory_sink(
+                windowed_distinct_sketch(
+                    read_events_stream(spark, drop, max_files_per_trigger=4)
+                ),
+                name,
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name)
+        est = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    exact = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        exact.join(est, "window_start", "left")
+        .select(
+            "window_start",
+            "n_exact",
+            (
+                F.abs(F.coalesce("approx_distinct", F.lit(0)) - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("window_start")
+    )

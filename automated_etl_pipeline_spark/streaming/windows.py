@@ -79,3 +79,33 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_distinct_sketch(
+    events: DataFrame,
+    window_len: str = "1 hour",
+    watermark_delay: str | None = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-window HLL distinct-count partials — the streaming half of
+    the mergeable rollup (functions/sketches.py): each trigger merges
+    new rows into the window's ~2^lg_k-byte sketch state instead of
+    holding the distinct value set, so state size is bounded per window
+    regardless of cardinality.  The drained table carries the ESTIMATE
+    per window; a consumer needing coarser grains unions the sketches,
+    never re-reads the stream.  Works identically on batch frames
+    (same expression), which is what lets the gate check the streamed
+    estimates against a batch exact recount."""
+    w = F.window(ts_col, window_len)
+    src = (
+        events.withWatermark(ts_col, watermark_delay)
+        if events.isStreaming and watermark_delay
+        else events
+    )
+    return src.groupBy(w.getField("start").alias("window_start")).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(value_col, F.lit(lg_k))
+        ).alias("approx_distinct")
+    )
