@@ -2783,3 +2783,61 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     toks = spread(docs).select(F.explode(F.split("text", " ")).alias("token"))
     return heavy_hitters(toks, "token", phi=0.02).orderBy("token")
+
+
+# ----------------------------------------------------------------------
+# Sign random projection (similarity/rproj.py)
+# ----------------------------------------------------------------------
+
+
+def _rproj_oracle() -> str:
+    from automated_etl_pipeline_spark.similarity.rproj import (
+        oracle_matrix_sql,
+        sign_matrix,
+    )
+
+    mat = oracle_matrix_sql(sign_matrix(64, 16, seed=7))
+    # scale 1/sqrt(16) = 0.25: exactly representable, no fp wobble
+    return f"""
+    WITH m AS (SELECT {mat} AS mat),
+    p AS (
+      SELECT label,
+             list_transform(range(1, 17), j ->
+               list_sum(list_transform(range(1, 65), i ->
+                 CAST(embedding[i] AS DOUBLE) * mat[j][i])) * 0.25) AS proj
+      FROM embeddings, m
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(list_sum(list_transform(proj, x -> x * x))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm2
+    FROM p GROUP BY label ORDER BY label
+    """
+
+
+@query("emb_random_projection", _rproj_oracle())
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sign random projection 64-d -> 16-d (similarity/rproj.py:
+    JL-style dimension reduction for the ANN stack, bit-reproducible
+    because the ±1 matrix is md5-derived from the seed, not sampled).
+    The gate aggregates per-label projected-norm checksums: every one
+    of the 16x64 mat-vec lanes feeds the value, so a single wrong sign,
+    a dropped dimension, or a summation-order change breaks the hash
+    against DuckDB running the IDENTICAL literal matrix.  Distortion
+    properties are pinned separately (tests/test_rproj.py)."""
+    from automated_etl_pipeline_spark.similarity.rproj import project_embeddings
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    p = project_embeddings(spread(emb), out_dim=16, seed=7)
+    norm2 = F.aggregate(
+        F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        p.select("label", norm2.cast("decimal(18,6)").alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n2").cast("double").alias("sum_norm2"),
+        )
+        .orderBy("label")
+    )
