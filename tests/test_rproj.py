@@ -70,3 +70,53 @@ def test_projection_plan_is_jvm_only(spark):
     plan = executed_plan(project_embeddings(df))
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Exchange"):
         assert bad not in plan, bad
+
+
+def test_projected_prefilter_ann_recall_floor(spark):
+    """The projection's job in the ANN stack: rank candidates by
+    PROJECTED cosine, keep the top 3k, rerank exactly — recall vs the
+    exact top-k.  On STRUCTURED data (planted blobs, the scenario a
+    prefilter exists for): true neighbors are genuinely closer, and a
+    16-d projection must keep them in the 3k prefix.  (On structureless
+    data — the testdata embeddings, where no cosine gap exceeds noise —
+    recall measured 0.4: JL preserves distances within eps, not
+    orderings finer than eps, and that negative result is part of the
+    operator's documentation.)  Deterministic: fixed matrix, fixed
+    seed, so the measured floor is pinned."""
+    rng = np.random.default_rng(17)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # sigma=0.05: same-blob cosines ~0.99 vs cross-blob ~0 — the
+    # separation is at the structure scale the projection provably
+    # preserves; the sub-eps WITHIN-blob ordering is the exact
+    # rerank's job, not the prefilter's (sigma=0.25 noise-balls
+    # measured recall 0.55 — ordering finer than eps is not JL's
+    # contract)
+    raw = [
+        centers[c] + 0.05 * rng.normal(size=64)
+        for c in range(10)
+        for _ in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(raw)],
+        "vec_id long, embedding array<double>",
+    )
+    proj = project_embeddings(df, out_dim=16, seed=7).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in proj}
+    projs = {r["vec_id"]: np.array(r["proj"]) for r in proj}
+    q, k = 0, 20
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    exact = sorted(
+        (i for i in vecs if i != q), key=lambda i: -cos(vecs[i], vecs[q])
+    )[:k]
+    by_proj = sorted(
+        (i for i in projs if i != q), key=lambda i: -cos(projs[i], projs[q])
+    )[:3 * k]
+    rerank = sorted(by_proj, key=lambda i: -cos(vecs[i], vecs[q]))[:k]
+    recall = len(set(rerank) & set(exact)) / k
+    # measured 1.0 on this corpus/matrix; the floor leaves room only
+    # for genuine derivation changes, not noise (everything is seeded)
+    assert recall >= 0.9, recall
