@@ -1,0 +1,133 @@
+"""Robust (median/MAD) outlier statistics — curation quality filtering.
+
+Quality scores over a web-scale corpus are heavy-tailed and spiked
+(boilerplate floods, SEO spam, truncated crawls), so mean/stddev
+thresholds are themselves dragged by the garbage they are supposed to
+catch.  The standard robust alternative is the median absolute
+deviation: ``z_i = |x_i - median| / (1.4826 * MAD)`` with a cut at
+``z > 3`` — the 1.4826 constant makes MAD consistent with sigma under
+normality, and both statistics have a 50% breakdown point, so no
+realistic contamination level moves the threshold.
+
+Plan shape (exact path, used by the gate):
+
+  1. ``groupBy(group).agg(percentile(x, 0.5))``   -> per-group median
+  2. broadcast-join medians back, derive |x - med|
+  3. ``groupBy(group).agg(percentile(adev, 0.5))`` -> per-group MAD
+  4. broadcast-join MADs back, flag + final per-group aggregate
+
+Three aggregation passes over the fact table, two of them exact
+per-group percentiles (sort-based per-group value shuffle).  The
+group-level frames (one row per group: per-source, per-lang, per-
+domain — bounded cardinality) are broadcast back, so the fact table
+itself never shuffles on the group key for the joins.
+
+100 TB path: swap both ``percentile`` calls for ``approx_percentile``
+(Greenwald-Khanna, single-pass, mergeable partials — the
+``approx_percentile_price`` pattern, queries_ext.py) and the operator
+becomes three map-side-combinable passes with no per-group value
+sort; the epsilon on the median/MAD moves the threshold by at most
+eps * range, immaterial for a 3-sigma-equivalent cut.  The exact path
+is kept for the oracle gate because DuckDB's quantile_cont matches
+Spark's percentile interpolation bit-for-bit on doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# MAD -> sigma consistency constant under normality (1 / Phi^-1(3/4)).
+MAD_SIGMA = 1.4826
+
+
+def robust_group_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_cut: float = 3.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group robust outlier statistics over ``value_col``.
+
+    Returns one row per group: ``n_rows``, ``med``, ``mad``,
+    ``n_outliers`` (|z| > z_cut), and ``max_z`` (the most extreme
+    robust z in the group, decimal(18,6)-stabilized).  ``approx=True``
+    selects the single-pass mergeable GK percentile (the 100 TB path;
+    not oracle-exact).
+    """
+    x = F.col(value_col).cast("double")
+    pctl = (
+        (lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(10000)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+
+    med = df.groupBy(*group_cols).agg(pctl(x).alias("med"))
+    with_med = df.join(F.broadcast(med), group_cols).withColumn(
+        "__adev", F.abs(x - F.col("med"))
+    )
+    mad = with_med.groupBy(*group_cols).agg(
+        pctl(F.col("__adev")).alias("mad")
+    )
+    # try_divide: MAD = 0 (majority-identical group) makes z undefined
+    # -> NULL, which when()/max() ignore, instead of an ANSI-mode
+    # DIVIDE_BY_ZERO.  Degenerate groups report n_outliers = 0 and
+    # max_z NULL, matching mad_filter's keep-everything semantics.
+    scored = with_med.join(F.broadcast(mad), group_cols).withColumn(
+        "__z", F.try_divide(F.col("__adev"), F.lit(MAD_SIGMA) * F.col("mad"))
+    )
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("__z") > F.lit(z_cut), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.max(F.col("__z").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("max_z"),
+        )
+    )
+
+
+def mad_filter(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_cut: float = 3.0,
+    approx: bool = False,
+) -> DataFrame:
+    """Drop rows whose robust z exceeds ``z_cut`` within their group.
+
+    Same plan as :func:`robust_group_stats` minus the final aggregate:
+    the thresholds (one row per group) broadcast back onto the fact
+    table and the filter is a codegen'd expression — the fact table is
+    scanned, never shuffled on the group key.
+    """
+    x = F.col(value_col).cast("double")
+    pctl = (
+        (lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(10000)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(0.5)))
+    )
+    med = df.groupBy(*group_cols).agg(pctl(x).alias("__med"))
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.withColumn("__adev", F.abs(x - F.col("__med")))
+        .groupBy(*group_cols)
+        .agg(pctl(F.col("__adev")).alias("__mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .where(
+            (F.col("__mad") == 0)  # degenerate group: keep everything
+            | (
+                F.abs(x - F.col("__med"))
+                <= F.lit(z_cut) * F.lit(MAD_SIGMA) * F.col("__mad")
+            )
+        )
+        .drop("__med", "__mad")
+    )

@@ -2841,3 +2841,56 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ----------------------------------------------------------------------
+# Robust (median/MAD) outlier statistics (operators/robust.py)
+# ----------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.source, CAST(d.n_chars AS DOUBLE) AS x, m.med,
+         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
+SELECT v.source,
+       COUNT(*) AS n_rows,
+       ANY_VALUE(v.med) AS med,
+       ANY_VALUE(t.mad) AS mad,
+       SUM(CASE WHEN v.adev / (1.4826 * t.mad) > 3.0 THEN 1 ELSE 0 END)
+         AS n_outliers,
+       CAST(MAX(CAST(v.adev / (1.4826 * t.mad) AS DECIMAL(18,6))) AS DOUBLE)
+         AS max_z
+FROM dev v JOIN mad t USING (source)
+GROUP BY v.source ORDER BY v.source
+"""
+
+
+@query("quality_mad_outliers", _MAD_ORACLE)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust outlier statistics on doc length
+    (operators/robust.py): median + MAD + robust-z cut at 3.0, the
+    50%-breakdown filter a curation pipeline runs on quality scores
+    before mean/stddev stats are trustworthy.  The gate hashes the
+    FULL stats vector (median, MAD, outlier count, max robust z per
+    source), so the two-level exact-percentile plan is value-checked
+    end-to-end even though this uniform synthetic corpus has no
+    3-sigma-equivalent tail (n_outliers is legitimately 0 here; the
+    catch-the-planted-tail behavior is pinned on a contaminated frame
+    in tests/test_robust.py, where mean/stddev provably misses what
+    MAD catches).  Scale: exact per-group percentile twice (per-group
+    value shuffle) with bounded group frames broadcast back; the
+    100 TB swap is approx=True -> single-pass mergeable GK partials,
+    same operator (see module docstring)."""
+    from automated_etl_pipeline_spark.operators.robust import robust_group_stats
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        robust_group_stats(spread(docs), "n_chars", ["source"], z_cut=3.0)
+        .orderBy("source")
+    )
