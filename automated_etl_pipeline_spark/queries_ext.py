@@ -3112,3 +3112,67 @@ def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ----------------------------------------------------------------------
+# Join skew diagnostics: per-key cardinality product BEFORE running
+# the join.  At 100 TB the first question about any planned equi-join
+# is "which keys explode?" — the answer needs only the two per-key
+# count vectors (each a partial-aggregated shuffle of its side, output
+# bounded by distinct keys), never the join itself.  The est_rows
+# column is the exact per-key output cardinality |L_k| * |R_k|; pct
+# ranks each key's share of the total join output, which is what you
+# feed a salting decision (salt keys whose pct makes a single task
+# exceed its memory budget) or an AQE skew-threshold sanity check.
+# For keys too numerous to hold reduced, cap each side's vector with
+# the Misra-Gries heavy-hitters sketch first (functions/
+# heavy_hitters.py) — the skewed keys ARE heavy hitters by definition.
+# The window total runs over the REDUCED per-key frame (bounded by
+# key cardinality), not the fact tables.
+# ----------------------------------------------------------------------
+
+_JOIN_SKEW_ORACLE = """
+WITH l AS (SELECT c_nationkey AS k, COUNT(*) AS left_cnt
+           FROM customer GROUP BY 1),
+     r AS (SELECT s_nationkey AS k, COUNT(*) AS right_cnt
+           FROM supplier GROUP BY 1),
+     j AS (SELECT l.k, left_cnt, right_cnt,
+                  left_cnt * right_cnt AS est_rows
+           FROM l JOIN r USING (k))
+SELECT k, left_cnt, right_cnt, est_rows,
+       CAST(CAST(est_rows AS DOUBLE) / SUM(est_rows) OVER ()
+            AS DECIMAL(18,6)) AS pct
+FROM j ORDER BY est_rows DESC, k LIMIT 10
+"""
+
+
+@query("join_skew_diagnostics", _JOIN_SKEW_ORACLE)
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew profile of customer ⋈ supplier ON nationkey: the
+    top-10 keys by exact output cardinality |L_k|*|R_k| with their
+    share of the total join output.  Both fact tables reduce to
+    per-key counts first (map-side partial agg), so the only joined/
+    windowed frame is bounded by key cardinality — the diagnostic
+    never pays anything close to the join it profiles.  See the
+    section comment for the 100 TB path (MG heavy-hitter cap when the
+    key space itself doesn't reduce)."""
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    l = cust.groupBy(F.col("c_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("left_cnt")
+    )
+    r = supp.groupBy(F.col("s_nationkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("right_cnt")
+    )
+    j = l.join(r, "k").withColumn(
+        "est_rows", F.col("left_cnt") * F.col("right_cnt")
+    )
+    total = Window.partitionBy()  # over the reduced per-key frame only
+    return (
+        j.withColumn(
+            "pct",
+            (F.col("est_rows").cast("double") / F.sum("est_rows").over(total))
+            .cast("decimal(18,6)"),
+        )
+        .orderBy(F.desc("est_rows"), "k")
+        .limit(10)
+    )
