@@ -2894,3 +2894,78 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         robust_group_stats(spread(docs), "n_chars", ["source"], z_cut=3.0)
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------------
+# Nucleus (top-p) vocabulary cutoff per language.  Tokenizer/vocab
+# construction at corpus scale: rank the per-language token counts,
+# keep the smallest prefix covering p of the token mass (p=0.9 here).
+# The heavy work is ONE partial-aggregated shuffle (lang, token) ->
+# count; everything after — the cumulative-mass window and the
+# keep/cut decision — runs on the REDUCED vocabulary frame (bounded
+# by vocab size, ~100k-1M rows per language regardless of corpus
+# size), so the plan costs the same at 100 TB as at 100 GB once the
+# count shuffle is paid.  Ties at the boundary are deterministic:
+# (count DESC, token ASC) in both engines.
+# ----------------------------------------------------------------------
+
+_TOP_P_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT lang, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, token, c,
+         SUM(c) OVER (PARTITION BY lang ORDER BY c DESC, token
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY lang) AS total
+  FROM cnt
+)
+SELECT lang,
+       COUNT(*) FILTER (WHERE cum - c < 0.9 * total) AS n_kept,
+       COUNT(*) AS vocab_size,
+       MIN(c) FILTER (WHERE cum - c < 0.9 * total) AS cutoff_cnt,
+       CAST(CAST(SUM(c) FILTER (WHERE cum - c < 0.9 * total) AS DOUBLE)
+            / ANY_VALUE(total) AS DECIMAL(18,6)) AS kept_mass
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
+@query("vocab_top_p_cutoff", _TOP_P_ORACLE)
+def vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language nucleus vocabulary cutoff: the smallest
+    count-ranked token prefix covering 90% of the language's token
+    mass, with kept-set size, the count at the cutoff, and the mass
+    actually covered (first prefix to CROSS p, so kept_mass >= 0.9 by
+    construction — an in-query-checkable guarantee).  One (lang,
+    token) count shuffle; the ranking window and the aggregate run on
+    the reduced vocab frame only (see section comment)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("c"), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cnt.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    kept = (F.col("cum") - F.col("c")) < F.lit(0.9) * F.col("total")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.min(F.when(kept, F.col("c"))).alias("cutoff_cnt"),
+            (
+                F.sum(F.when(kept, F.col("c"))).cast("double")
+                / F.first("total")
+            )
+            .cast("decimal(18,6)")
+            .alias("kept_mass"),
+        )
+        .orderBy("lang")
+    )
