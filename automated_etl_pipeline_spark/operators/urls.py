@@ -167,3 +167,90 @@ def apply_domain_prior(
         .withColumn(out_col, blended)
         .drop(prior_col)
     )
+
+
+# Tracking parameters every crawl pipeline strips before URL identity:
+# per-click junk that makes one page look like a million distinct URLs.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+
+
+def canonicalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Append ``out_col``: the crawl-identity canonical form of
+    ``url_col``.  Two URLs that fetch the same page must canonicalize
+    equal; this is the key the web-dedup stage groups on (a crawler
+    that skips it re-crawls and re-trains on every utm_source variant
+    of every page).
+
+    Normalizations (all codegen'd expressions — no UDF, no shuffle):
+      - scheme and host lower-cased
+      - default ports dropped (http:80, https:443); explicit
+        non-default ports kept
+      - fragment dropped (client-side only, never reaches the server)
+      - tracking query params dropped (``TRACKING_PARAM_RE``)
+      - surviving query params sorted (param order is not identity)
+      - trailing slashes trimmed from non-root paths
+
+    NULL-host rows (unparseable URLs) canonicalize to NULL: they have
+    no fetch identity and the dedup stage must not collapse them.
+    """
+    url = F.col(url_col)
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    host = F.regexp_replace(auth, r":\d+$", "")
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.regexp_replace(
+        F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit("")), r"/+$", ""
+    )
+    q = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    q_str = F.array_join(F.array_sort(params), "&")
+    canon = F.when(
+        host.isNotNull() & (host != ""),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port_part,
+            path,
+            F.when(q_str == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), q_str)
+            ),
+        ),
+    )
+    return df.withColumn(out_col, canon)
+
+
+def canonical_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Keep the best-quality row per canonical URL (ties broken by
+    lowest id — deterministic across re-runs and shard orders).
+    Rank-then-filter over the canonical key → Spark's WindowGroupLimit
+    rewrite: map-side top-1 per key before the shuffle, so a page with
+    a million tracking-param variants ships partitions x 1 rows, not a
+    million, through the exchange.  NULL canonical keys (unparseable
+    URLs) are all kept — they carry no fetch identity."""
+    with_canon = canonicalize_url(df, url_col)
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.desc(quality_col), F.col(id_col)
+    )
+    ranked = with_canon.withColumn("__rk", F.row_number().over(w))
+    return ranked.filter(
+        F.col("canonical_url").isNull() | (F.col("__rk") == 1)
+    ).drop("__rk")

@@ -211,3 +211,163 @@ def test_plans_stay_jvm_side(spark, fixture_paths):
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
     assert "BroadcastHashJoin" in plan
+
+
+# ----------------------------------------------------------------------
+# URL canonicalization + canonical-URL dedup (operators/urls.py).
+# Same method as above: a seeded generator emits each base page in
+# 1-5 disguises (tracking params, fragments, default ports, trailing
+# slashes, shuffled param order); Spark and DuckDB read the same
+# parquet; DuckDB mirrors the canonical form with regexp/list
+# functions and the keep-best with an identical window.  Exact value
+# compare — a single normalization rule disagreeing breaks the set.
+# ----------------------------------------------------------------------
+
+_CANON_SQL = """
+WITH parts AS (
+  SELECT doc_id, url, quality,
+         lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+         regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+         coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q
+  FROM urls
+),
+np AS (
+  SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_replace(auth, ':[0-9]+$', '') AS host
+  FROM parts
+),
+canon AS (
+  SELECT doc_id, url, quality,
+    CASE WHEN host IS NULL OR host = '' THEN NULL ELSE
+      scheme || '://' || host ||
+      CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+           THEN '' ELSE ':' || port END ||
+      path ||
+      CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+    END AS canonical_url
+  FROM (
+    -- coalesce: DuckDB array_to_string([]) is NULL, not ''
+    SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+               '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)='))), '&'), '') AS qs
+    FROM np
+  )
+)
+"""
+
+
+def _gen_variant_urls(seed: int = 29) -> list[tuple[int, str, float]]:
+    rng = np.random.default_rng(seed)
+    rows, doc_id = [], 0
+    for base_i in range(120):
+        name = _NAMES[base_i % len(_NAMES)]
+        tld = _TLDS[base_i % len(_TLDS)]
+        base = f"https://{name}.{tld}/p/{base_i}"
+        n_var = 1 + int(rng.integers(5))
+        variants = {base}
+        for v in range(n_var):
+            kind = int(rng.integers(6))
+            if kind == 0:
+                variants.add(f"{base}?utm_source=x{v}&utm_campaign=c{v}")
+            elif kind == 1:
+                variants.add(f"{base}#section-{v}")
+            elif kind == 2:
+                variants.add(f"https://{name}.{tld}:443/p/{base_i}")
+            elif kind == 3:
+                variants.add(f"{base}/")
+            elif kind == 4:
+                variants.add(f"{base}?b={v}&a={v}&fbclid=junk{v}")
+                variants.add(f"{base}?a={v}&b={v}")  # same page, reordered
+            else:
+                variants.add(f"{base}?page={v}")  # REAL param: distinct page
+        for u in sorted(variants):
+            rows.append((doc_id, u, round(float(rng.uniform(0.1, 1.0)), 3)))
+            doc_id += 1
+    # unparseable tail: no fetch identity, must all survive dedup
+    for j in range(5):
+        rows.append((doc_id, f"not a url {j}", 0.5))
+        doc_id += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def canon_fixture(tmp_path_factory, spark):
+    d = tmp_path_factory.mktemp("canon_urls")
+    upath = str(d / "urls.parquet")
+    spark.createDataFrame(
+        _gen_variant_urls(), "doc_id long, url string, quality double"
+    ).write.mode("overwrite").parquet(upath)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW urls AS SELECT * FROM '{upath}/*.parquet'")
+    return upath, con
+
+
+def test_canonicalize_matches_oracle_exactly(spark, canon_fixture):
+    from automated_etl_pipeline_spark.operators.urls import canonicalize_url
+
+    upath, con = canon_fixture
+    got = {
+        (r.doc_id, r.canonical_url)
+        for r in canonicalize_url(spark.read.parquet(upath)).collect()
+    }
+    want = set(
+        map(tuple, con.execute(
+            _CANON_SQL + "SELECT doc_id, canonical_url FROM canon"
+        ).fetchall())
+    )
+    assert got == want
+
+
+def test_canonical_dedup_keep_best_matches_oracle(spark, canon_fixture):
+    from automated_etl_pipeline_spark.operators.urls import canonical_url_dedup
+
+    upath, con = canon_fixture
+    got = {
+        r.doc_id for r in canonical_url_dedup(spark.read.parquet(upath)).collect()
+    }
+    want = {
+        r[0]
+        for r in con.execute(
+            _CANON_SQL
+            + """
+            SELECT doc_id FROM (
+              SELECT doc_id, canonical_url,
+                     ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                        ORDER BY quality DESC, doc_id) AS rk
+              FROM canon)
+            WHERE canonical_url IS NULL OR rk = 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+    # the planted disguises actually collapsed: strictly fewer
+    # survivors than rows, and every NULL-canon row survived
+    n_rows = con.execute("SELECT COUNT(*) FROM urls").fetchone()[0]
+    assert len(got) < n_rows - 100
+
+
+def test_canonicalization_rules_pinned(spark):
+    """The individual rules, pinned one by one on handwritten pairs."""
+    from automated_etl_pipeline_spark.operators.urls import canonicalize_url
+
+    pairs = [
+        # (variant, expected canonical)
+        ("HTTPS://WWW.Ex.COM/A", "https://www.ex.com/A"),  # host lc, path kept
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("http://ex.com:8080/a", "http://ex.com:8080/a"),  # real port kept
+        ("https://ex.com/a/", "https://ex.com/a"),
+        ("https://ex.com/", "https://ex.com"),
+        ("https://ex.com/a#frag", "https://ex.com/a"),
+        ("https://ex.com/a?utm_source=t&x=1", "https://ex.com/a?x=1"),
+        ("https://ex.com/a?b=2&a=1", "https://ex.com/a?a=1&b=2"),
+        ("https://ex.com/a?gclid=1&fbclid=2&ref=h", "https://ex.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(pairs)], "i long, url string"
+    )
+    got = {r.i: r.canonical_url for r in canonicalize_url(df).collect()}
+    for i, (u, want) in enumerate(pairs):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
