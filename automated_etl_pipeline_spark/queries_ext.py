@@ -3176,3 +3176,77 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("est_rows"), "k")
         .limit(10)
     )
+
+
+# ----------------------------------------------------------------------
+# Equi-depth histogram (the optimizer-statistics shape: 8 buckets of
+# ~equal row count over o_totalprice).  Built WITHOUT a global-ntile
+# window — a global NTILE pulls the whole table through one window
+# partition, the classic single-task bottleneck.  Instead: the 7 cut
+# points are exact percentiles (one partial-aggregated global agg),
+# inlined as literals (a bounded 7-double collect — the star.py
+# limit(1) precedent), and bucket assignment is a codegen'd
+# comparison chain over the scan.  100 TB: swap percentile ->
+# approx_percentile and the boundary pass is single-pass mergeable;
+# assignment is unchanged.
+#
+# Cross-engine determinism: prices are cast to exact DECIMAL cents
+# (BIGINT), and the probs k/8 are dyadic, so the interpolation
+# lo + (hi - lo) * k/8 is EXACT in binary floating point in both
+# engines — boundary comparisons cannot disagree by a last bit.
+# ----------------------------------------------------------------------
+
+_EQUI_DEPTH_ORACLE = """
+WITH cents AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders
+),
+cuts AS (
+  SELECT quantile_cont(CAST(c AS DOUBLE),
+           [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS q
+  FROM cents
+),
+b AS (
+  SELECT c, 1 + len(list_filter((SELECT q FROM cuts),
+                    x -> CAST(c AS DOUBLE) > x)) AS bucket
+  FROM cents
+)
+SELECT bucket, COUNT(*) AS n_rows,
+       CAST(MIN(c) AS DOUBLE) / 100 AS lo,
+       CAST(MAX(c) AS DOUBLE) / 100 AS hi
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("equi_depth_histogram", _EQUI_DEPTH_ORACLE)
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bucket equi-depth histogram of o_totalprice: exact percentile
+    cut points inlined as literals, bucket = 1 + #cuts strictly below
+    the value, per-bucket row count and bounds.  See the section
+    comment for the no-global-window plan and the dyadic-cents
+    determinism argument; the only driver-side data movement is the
+    7-double cut vector."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents_col = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    cents = orders.select(cents_col.alias("c"))
+    probs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    cuts = cents.agg(
+        F.percentile(F.col("c").cast("double"), F.lit(probs)).alias("q")
+    ).collect()[0]["q"]  # bounded: exactly 7 doubles
+    bucket = F.lit(1)
+    for q in cuts:
+        bucket = bucket + F.when(
+            F.col("c").cast("double") > F.lit(q), 1
+        ).otherwise(0)
+    return (
+        cents.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.min("c").cast("double") / 100).alias("lo"),
+            (F.max("c").cast("double") / 100).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
