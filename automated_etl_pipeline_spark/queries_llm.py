@@ -2969,3 +2969,109 @@ def vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters (streaming/stateful.py) — the
+# 9th value-gated streaming execution path, and the streaming twin of
+# heavy_hitter_tokens: the same sketch bound, carried across trigger
+# boundaries in applyInPandasWithState state instead of across
+# partitions in mapInPandas partials.
+# ----------------------------------------------------------------------
+
+
+@query(
+    "streaming_heavy_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS n_exact FROM tok GROUP BY token),
+    tot AS (SELECT SUM(n_exact) AS n FROM cnt)
+    SELECT token, n_exact, TRUE AS captured
+    FROM cnt, tot WHERE n_exact > 0.02 * n ORDER BY token
+    """,
+    executes_stream=True,
+)
+def streaming_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens through a REAL stream: documents drain
+    through a file stream (8 drop files, 2 per trigger -> >= 4
+    triggers), tokens route to B=4 hash buckets, and per-bucket MG
+    sketch state folds each trigger's counts under the k-entry cap
+    (streaming/stateful.heavy_hitters_stateful).  The final sketch is
+    the max-seq emission per bucket; the gate recounts every
+    phi-heavy token exactly in batch and hashes the guarantee: with
+    k=32 the capture bound n_bucket/(k+1) sits below phi * n_total
+    even for the worst observed bucket imbalance, so every true heavy
+    hitter MUST appear in its bucket's final sketch — a lost state
+    row, a dropped trigger, or a wrong fold breaks `captured` (or the
+    row set) against the batch/DuckDB oracle.  This corpus's 31-token
+    vocabulary never trips the eviction path at k=32 (by design — the
+    bound must HOLD here); eviction-under-slicing correctness is
+    pinned separately against brute force in tests/test_streaming.py
+    property tests over planted zipf streams."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from automated_etl_pipeline_spark.io.sources import load_testdata
+    from automated_etl_pipeline_spark.queries_ext import _stream_parts
+    from automated_etl_pipeline_spark.schemas import DOCUMENTS
+    from automated_etl_pipeline_spark.streaming.stateful import (
+        heavy_hitters_stateful,
+    )
+    from automated_etl_pipeline_spark.streaming.windows import (
+        run_to_memory_sink,
+    )
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    drop = tempfile.mkdtemp(prefix="spark_graft_mg_stream_")
+    name = f"mg_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        docs.repartition(8).write.mode("overwrite").parquet(drop)
+        stream_toks = (
+            spark.readStream.schema(DOCUMENTS)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(drop)
+            .select(F.explode(F.split("text", " ")).alias("item"))
+            .withColumn("bucket", F.pmod(F.xxhash64("item"), F.lit(4)))
+        )
+        with _stream_parts(spark):
+            q = run_to_memory_sink(
+                heavy_hitters_stateful(stream_toks, k=32),
+                name,
+                output_mode="append",
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("availableNow drain did not finish in 300s")
+        snapshot = spark.table(name)
+        emitted = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        spark.catalog.dropTempView(name) if name in [
+            t.name for t in spark.catalog.listTables()
+        ] else None
+        shutil.rmtree(drop, ignore_errors=True)
+    # final sketch = max-seq emission per bucket (bounded frame:
+    # B * k * n_triggers rows total)
+    last = emitted.groupBy("bucket").agg(F.max("seq").alias("seq"))
+    candidates = emitted.join(last, ["bucket", "seq"]).select("item")
+    toks = spread(docs).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_exact"))
+    total = cnt.agg(F.sum("n_exact").alias("n"))
+    heavy = cnt.crossJoin(F.broadcast(total)).where(
+        F.col("n_exact") > F.lit(0.02) * F.col("n")
+    )
+    return (
+        heavy.join(
+            F.broadcast(candidates.distinct()),
+            heavy.token == F.col("item"),
+            "left",
+        )
+        .select(
+            "token", "n_exact", F.col("item").isNotNull().alias("captured")
+        )
+        .orderBy("token")
+    )

@@ -183,3 +183,99 @@ def funnel_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("item", T.StringType(), False),
+        T.StructField("cnt", T.LongType(), False),
+    ]
+)
+
+# (trigger sequence number, sketch items, parallel counts) — the MG
+# summary itself IS the state, bounded at k entries per bucket.
+MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("items", T.ArrayType(T.StringType()), False),
+        T.StructField("counts", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def mg_fold(
+    sketch: dict[str, int], batch: dict[str, int], k: int
+) -> dict[str, int]:
+    """Fold one trigger's counts into an MG summary, bounded at ``k``
+    entries: add, then while over k, subtract the minimum count from
+    every entry and drop zeros.  Each decrement round subtracts the
+    same amount from every item's tally, so any item's stored count
+    undershoots its true count by at most the total decremented mass,
+    which the standard argument bounds at n/(k+1) over the whole
+    stream — independent of trigger slicing or arrival order (the
+    property tests/test_streaming.py pins against brute force)."""
+    for it, c in batch.items():
+        sketch[it] = sketch.get(it, 0) + c
+    while len(sketch) > k:
+        m = min(sketch.values())
+        sketch = {i: c - m for i, c in sketch.items() if c > m}
+    return sketch
+
+
+def heavy_hitters_stateful(
+    items: DataFrame, item_col: str = "item", k: int = 16
+) -> DataFrame:
+    """Streaming Misra-Gries: per-bucket sketch state across triggers.
+
+    The streaming twin of functions/heavy_hitters.mg_partials: the
+    input stream arrives pre-bucketed (a ``bucket`` column, normally
+    ``pmod(xxhash64(item), B)`` so all occurrences of an item share a
+    bucket), per-bucket state holds an MG summary bounded at ``k``
+    entries, and each trigger folds its batch in with the standard
+    batched update (add counts; while over k entries, subtract the
+    minimum count from all and drop zeros — the decrement step that
+    gives the deterministic n_bucket/(k+1) undercount bound for ANY
+    arrival order or trigger slicing).
+
+    Each trigger EMITS the bucket's post-update sketch stamped with a
+    state sequence number (append mode: k rows per bucket per
+    trigger).  The final sketch is the max-seq row group per bucket —
+    snapshot extraction is a bounded window over B*k*triggers rows.
+    Guarantee carried across the batch/stream boundary: any item with
+    global count > n_bucket/(k+1) is PRESENT in its bucket's final
+    sketch, so a recount-and-check gate can hash it exactly.
+
+    State per bucket: k (item, count) pairs + a long — constant; B
+    buckets spread the stream's full rate, and k trades memory for
+    the guarantee threshold exactly as in the batch operator.
+    """
+
+    def handle(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (bucket,) = key
+        batch = pd.concat(list(pdfs))[item_col].value_counts()
+        if state.exists:
+            seq, items_, counts_ = state.get
+            sketch = dict(zip(items_, counts_))
+        else:
+            seq, sketch = 0, {}
+        sketch = mg_fold(sketch, {i: int(c) for i, c in batch.items()}, k)
+        seq += 1
+        state.update((seq, list(sketch.keys()), list(sketch.values())))
+        yield pd.DataFrame(
+            [(bucket, seq, i, c) for i, c in sketch.items()],
+            columns=["bucket", "seq", "item", "cnt"],
+        )
+
+    return items.groupBy("bucket").applyInPandasWithState(
+        handle,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

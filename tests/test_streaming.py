@@ -144,3 +144,69 @@ def test_foreachbatch_sink_is_idempotent_under_replay(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == events.count()
+
+
+# ----------------------------------------------------------------------
+# Streaming Misra-Gries (streaming/stateful.mg_fold): the fold rule
+# the stateful handler applies per trigger, pinned against brute
+# force under arbitrary stream slicings.
+# ----------------------------------------------------------------------
+
+
+class TestMgFold:
+    def _zipf_stream(self, seed: int, n: int = 3000, vocab: int = 200):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return [f"t{z}" for z in rng.zipf(1.3, n) % vocab]
+
+    def test_bound_and_capture_under_any_slicing(self):
+        """For random trigger slicings of a zipf stream: every stored
+        count undershoots truth by at most n/(k+1), and every item
+        with true count > n/(k+1) is in the final sketch."""
+        import collections
+        import random
+
+        from automated_etl_pipeline_spark.streaming.stateful import mg_fold
+
+        for seed in range(8):
+            stream = self._zipf_stream(seed)
+            truth = collections.Counter(stream)
+            n, k = len(stream), 24
+            rnd = random.Random(seed)
+            sketch: dict[str, int] = {}
+            i = 0
+            while i < n:  # arbitrary trigger sizes, 1..400
+                j = min(n, i + 1 + rnd.randrange(400))
+                sketch = mg_fold(
+                    sketch, collections.Counter(stream[i:j]), k
+                )
+                i = j
+            assert len(sketch) <= k
+            bound = n / (k + 1)
+            for item, c in sketch.items():
+                assert c <= truth[item]  # never overcounts
+                assert truth[item] - c <= bound  # undercount bounded
+            for item, t in truth.items():
+                if t > bound:
+                    assert item in sketch, (item, t, bound)
+
+    def test_slicing_invariance_of_guarantee_not_content(self):
+        """Sketch CONTENT may differ between slicings (MG is order-
+        sensitive) but the guaranteed capture set may not."""
+        import collections
+
+        from automated_etl_pipeline_spark.streaming.stateful import mg_fold
+
+        stream = self._zipf_stream(99)
+        truth = collections.Counter(stream)
+        n, k = len(stream), 24
+        bound = n / (k + 1)
+        guaranteed = {i for i, t in truth.items() if t > bound}
+        for step in (1, 7, 100, n):
+            sketch: dict[str, int] = {}
+            for i in range(0, n, step):
+                sketch = mg_fold(
+                    sketch, collections.Counter(stream[i : i + step]), k
+                )
+            assert guaranteed <= set(sketch)
