@@ -3250,3 +3250,88 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# Hourly gap-fill + LOCF (last observation carried forward): the
+# time-series regularization every metrics/feature pipeline needs —
+# turn an irregular event stream into a dense per-key hourly series,
+# carrying the last seen value across empty hours.  Plan: per-key
+# hourly reduce (partial-aggregated shuffle), per-key spine explode
+# bounded by that key's OWN active span (never a global calendar x
+# key cartesian), per-key ordered window for the carry.  Everything
+# is keyed by user — no global sort, no unbounded state; a 100 TB
+# run partitions by user and each task fills its keys independently.
+# ----------------------------------------------------------------------
+
+_LOCF_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, arg_max(value, ts) AS last_val
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id,
+         unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+  FROM span
+),
+filled AS (
+  SELECT s.user_id, s.h, hr.last_val,
+         LAST_VALUE(hr.last_val IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.h
+           ROWS UNBOUNDED PRECEDING) AS locf
+  FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h
+)
+SELECT user_id % 50 AS bucket,
+       COUNT(*) AS n_hours,
+       SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
+       CAST(SUM(CAST(locf AS DECIMAL(18,6))) AS DOUBLE) AS sum_locf
+FROM filled GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("locf_hourly_gap_fill", _LOCF_ORACLE)
+def locf_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user hourly series with LOCF carry across empty
+    hours, rolled up to 50 hash-bucket checksums (spine size, filled-
+    hour count, exact decimal sum of the carried series — any wrong
+    spine bound, missed carry, or off-by-one-hour shifts a checksum).
+    The last-event-in-hour reduce uses max_by(value, ts); (user_id,
+    ts) is unique in the events data model, so the reduce is
+    deterministic at every SF.  See section comment for the per-key
+    scale argument."""
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.max_by("value", "ts").alias("last_val"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .withColumn("locf", F.last("last_val", ignorenulls=True).over(w))
+    )
+    return (
+        filled.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(
+                F.when(F.col("last_val").isNull(), 1).otherwise(0)
+            ).alias("n_filled"),
+            F.sum(F.col("locf").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_locf"),
+        )
+        .orderBy("bucket")
+    )
