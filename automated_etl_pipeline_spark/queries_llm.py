@@ -3075,3 +3075,95 @@ def streaming_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token")
     )
+
+
+# ----------------------------------------------------------------------
+# Reciprocal-rank fusion of a lexical and a vector ranker — the
+# standard hybrid-retrieval combiner (RRF: score = sum 1/(c + rank),
+# c=60).  Scale shape: each ranker yields only its top-M candidate
+# list via TakeOrderedAndProject (per-partition heaps, no global
+# sort); ranks and the fusion run on the bounded M-row frames.
+# Absent-from-one-list candidates contribute 0 from that ranker —
+# the standard fusion-over-retrieved-lists semantics; an item outside
+# a top-M list could add at most 1/(60+M), which bounds the error of
+# truncation and is why M need not grow with the corpus.
+# ----------------------------------------------------------------------
+
+_RRF_ORACLE = """
+WITH text_rank AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (
+           ORDER BY len(list_filter(string_split(text, ' '),
+                                    x -> x = 'data')) DESC, doc_id) AS r
+  FROM documents
+),
+vec_rank AS (
+  SELECT vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+  FROM (
+    SELECT vec_id,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))),
+             6) AS cos
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q
+  )
+),
+t AS (SELECT * FROM text_rank WHERE r <= 100),
+v AS (SELECT * FROM vec_rank WHERE r <= 100)
+SELECT COALESCE(t.id, v.id) AS id,
+       t.r AS text_rank, v.r AS vec_rank,
+       COALESCE(1.0 / (60 + t.r), 0) + COALESCE(1.0 / (60 + v.r), 0)
+         AS rrf_score
+FROM t FULL OUTER JOIN v ON t.id = v.id
+ORDER BY rrf_score DESC, id LIMIT 20
+"""
+
+
+@query("rrf_hybrid_fusion", _RRF_ORACLE)
+def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a lexical ranker (exact-token tf of 'data')
+    and a vector ranker (cosine to the vec_id=0 embedding, the
+    ann_cosine_topk recipe) each emit a top-100 candidate list; RRF
+    fuses them and the gate hashes the fused top-20 with both
+    component ranks.  Each ranker's candidate cut is
+    TakeOrderedAndProject; ranking and fusion then touch only the two
+    bounded 100-row frames (single-partition windows over M rows — by
+    construction, not by accident).  See section comment for the
+    truncation-error bound that keeps M corpus-independent."""
+    docs, emb = _t(spark, sf_dir, "documents", "embeddings")
+    tf = F.size(F.filter(F.split("text", " "), lambda x: x == "data"))
+    t_cand = (
+        spread(docs)
+        .select(F.col("doc_id").alias("id"), tf.alias("tf"))
+        .orderBy(F.desc("tf"), "id")
+        .limit(100)
+    )
+    t_rank = t_cand.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("tf"), "id"))
+    ).select("id", "r")
+    v_cand = (
+        _cosine_to_query(spread(emb), 0)
+        .select(F.col("vec_id").alias("id"), "cosine_sim")
+        .orderBy(F.desc("cosine_sim"), "id")
+        .limit(100)
+    )
+    v_rank = v_cand.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("cosine_sim"), "id"))
+    ).select("id", "r")
+    t, v = t_rank.alias("t"), v_rank.alias("v")
+    fused = t.join(v, F.col("t.id") == F.col("v.id"), "full_outer").select(
+        F.coalesce(F.col("t.id"), F.col("v.id")).alias("id"),
+        F.col("t.r").alias("text_rank"),
+        F.col("v.r").alias("vec_rank"),
+        (
+            F.coalesce(1.0 / (60 + F.col("t.r")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("v.r")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "id").limit(20)
