@@ -78,3 +78,39 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
         (F.col("r.n_violations") == 0).alias("passed"),
         "r.n_violations",
     )
+
+
+def fk_audit(
+    child: DataFrame,
+    fk_col: str,
+    parent: DataFrame,
+    pk_col: str,
+    label: str,
+) -> DataFrame:
+    """One-row referential-integrity audit of ``child.fk -> parent.pk``:
+    total child rows, distinct FK values, and orphan ROWS (child rows
+    whose key has no parent).
+
+    Scale shape: the child reduces to (fk, cnt) FIRST (map-side
+    partial agg — the shuffle carries one row per distinct key, not
+    per child row), the parent reduces to its distinct keys, and the
+    orphan check is a join of the two REDUCED frames; orphan rows are
+    recovered by summing cnt.  The child fact table is scanned once
+    and never joined at row grain — at 100 TB this is the difference
+    between auditing and re-running the pipeline.  NULL FKs count as
+    orphans (a NULL reference resolves to no parent); audits that
+    treat NULL as "intentionally absent" should filter first.
+    """
+    counts = child.groupBy(F.col(fk_col).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    keys = parent.select(F.col(pk_col).alias("__k")).distinct()
+    joined = counts.join(keys.withColumn("__hit", F.lit(1)), "__k", "left")
+    return joined.agg(
+        F.lit(label).alias("fk"),
+        F.sum("__cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("__hit").isNull(), F.col("__cnt"))), F.lit(0)
+        ).alias("n_orphan_rows"),
+    )

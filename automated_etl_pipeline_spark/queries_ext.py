@@ -3335,3 +3335,90 @@ def locf_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# Schema-wide referential-integrity audit (operators/quality.fk_audit)
+# over every FK edge in the star/snowflake: each fact reduces to
+# per-key counts map-side, each parent to its distinct keys, and the
+# orphan check joins the two REDUCED frames — the audit never joins a
+# fact table at row grain.  On this clean testdata the correct answer
+# is 0 orphans everywhere; the hash stays value-sensitive through
+# n_rows / n_distinct_keys per edge (7 different magnitudes), and the
+# orphan arithmetic itself is pinned on planted-orphan frames in
+# tests/test_cleaning.py.
+# ----------------------------------------------------------------------
+
+_FK_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS n_rows,
+         COUNT(DISTINCT c_nationkey) AS n_distinct_keys,
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphan_rows
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+         COUNT(DISTINCT l_orderkey),
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part', COUNT(*),
+         COUNT(DISTINCT l_partkey),
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+         COUNT(DISTINCT l_suppkey),
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  UNION ALL
+  SELECT 'nation.n_regionkey->region', COUNT(*),
+         COUNT(DISTINCT n_regionkey),
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+  UNION ALL
+  SELECT 'orders.o_custkey->customer', COUNT(*),
+         COUNT(DISTINCT o_custkey),
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'supplier.s_nationkey->nation', COUNT(*),
+         COUNT(DISTINCT s_nationkey),
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+) ORDER BY fk
+"""
+
+
+@query("fk_referential_audit", _FK_AUDIT_ORACLE)
+def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All seven FK edges of the schema audited in one result: per
+    edge, child rows / distinct keys / orphan rows, via the
+    reduce-first fk_audit operator (see section comment)."""
+    from automated_etl_pipeline_spark.operators.quality import fk_audit
+
+    region, nation, customer, supplier, orders, lineitem, part = _t(
+        spark, sf_dir,
+        "region", "nation", "customer", "supplier", "orders",
+        "lineitem", "part",
+    )
+    audits = [
+        fk_audit(customer, "c_nationkey", nation, "n_nationkey",
+                 "customer.c_nationkey->nation"),
+        fk_audit(lineitem, "l_orderkey", orders, "o_orderkey",
+                 "lineitem.l_orderkey->orders"),
+        fk_audit(lineitem, "l_partkey", part, "p_partkey",
+                 "lineitem.l_partkey->part"),
+        fk_audit(lineitem, "l_suppkey", supplier, "s_suppkey",
+                 "lineitem.l_suppkey->supplier"),
+        fk_audit(nation, "n_regionkey", region, "r_regionkey",
+                 "nation.n_regionkey->region"),
+        fk_audit(orders, "o_custkey", customer, "c_custkey",
+                 "orders.o_custkey->customer"),
+        fk_audit(supplier, "s_nationkey", nation, "n_nationkey",
+                 "supplier.s_nationkey->nation"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("fk")

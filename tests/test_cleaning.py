@@ -68,3 +68,36 @@ def test_cast_to_schema(spark):
     assert [f.dataType for f in out.schema.fields] == [T.IntegerType(), T.DoubleType()]
     (row,) = out.collect()
     assert (row.a, row.b) == (5, 2.5)
+
+
+# ----------------------------------------------------------------------
+# fk_audit (operators/quality.py): the orphan arithmetic, pinned on
+# planted-orphan frames (the registry gate's clean testdata correctly
+# reports 0 orphans everywhere, so the counting path is proven here).
+# ----------------------------------------------------------------------
+
+
+def test_fk_audit_counts_planted_orphans(spark):
+    from automated_etl_pipeline_spark.operators.quality import fk_audit
+
+    child = spark.createDataFrame(
+        # 3 rows -> parent 1; 2 rows -> parent 2; 4 orphan rows over
+        # 2 missing keys; 2 NULL-key rows (orphans by contract)
+        [(1,), (1,), (1,), (2,), (2,), (9,), (9,), (8,), (8,), (None,), (None,)],
+        "fk int",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = fk_audit(child, "fk", parent, "pk", "t").collect()[0]
+    assert row["fk"] == "t"
+    assert row["n_rows"] == 11
+    assert row["n_distinct_keys"] == 5  # 1, 2, 9, 8, NULL
+    assert row["n_orphan_rows"] == 6  # 9,9,8,8 + the two NULLs
+
+
+def test_fk_audit_clean_relationship_zero_orphans(spark):
+    from automated_etl_pipeline_spark.operators.quality import fk_audit
+
+    child = spark.createDataFrame([(i % 3,) for i in range(30)], "fk int")
+    parent = spark.createDataFrame([(0,), (1,), (2,), (3,)], "pk int")
+    row = fk_audit(child, "fk", parent, "pk", "clean").collect()[0]
+    assert (row["n_rows"], row["n_distinct_keys"], row["n_orphan_rows"]) == (30, 3, 0)
