@@ -1,0 +1,91 @@
+"""Exact-quota stratified sampling via largest-remainder apportionment.
+
+Mixture construction for a training corpus is usually specified as
+"exactly N documents, allocated across sources proportional to weight
+W" — not as per-row probabilities.  Bernoulli/`sampleBy` gives quotas
+only in expectation; this operator gives them exactly:
+
+  1. reduce to one row per group: total weight + row count (the only
+     pass over the fact table until the final take);
+  2. Hamilton/largest-remainder apportionment ON THE REDUCED FRAME:
+     base = floor(N * w_g / W), then the groups with the largest
+     fractional remainders absorb the leftover N - sum(base), ties
+     broken by group key — sum(quota) == N exactly, allocation error
+     per group < 1 doc (the classic apportionment optimality);
+  3. take exactly quota_g rows per group, ordered by md5(id) — a
+     deterministic pseudo-random order, so re-runs and late shards
+     agree with no RNG state.
+
+The windows in step 2 run over the group frame (bounded by group
+cardinality); step 3 shuffles the fact table once on the group key
+with an optional literal ``pretrim_cap`` so the rank-filter rewrites
+to WindowGroupLimit (map-side top-cap per group BEFORE the shuffle —
+cap at any upper bound for max(quota), e.g. N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def largest_remainder_quotas(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    total: int,
+) -> DataFrame:
+    """One row per group: (group, n_group, quota), sum(quota) == total
+    (unless a group's quota would exceed its row count — then it is
+    capped at the count and the shortfall is NOT redistributed; pick
+    total <= corpus size for exact sums).  All arithmetic on the
+    reduced frame; shares are double but derived from identical
+    integer sums in any engine, so quotas are deterministic."""
+    g = df.groupBy(*group_cols).agg(
+        F.sum(F.col(weight_col).cast("double")).alias("__w"),
+        F.count(F.lit(1)).alias("n_group"),
+    )
+    everything = Window.partitionBy()  # the reduced group frame only
+    share = F.lit(total) * F.col("__w") / F.sum("__w").over(everything)
+    with_share = g.withColumn("__base", F.floor(share).cast("long")).withColumn(
+        "__rem", share - F.floor(share)
+    )
+    deficit = F.lit(total) - F.sum("__base").over(everything)
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("__rem"), *group_cols)  # bounded frame
+    )
+    return (
+        with_share.withColumn(
+            "quota",
+            F.least(
+                F.col("__base")
+                + F.when(rk <= deficit, 1).otherwise(0),
+                F.col("n_group"),
+            ),
+        )
+        .select(*group_cols, "n_group", "quota")
+    )
+
+
+def quota_stratified_sample(
+    df: DataFrame,
+    quotas: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    pretrim_cap: int | None = None,
+) -> DataFrame:
+    """Take exactly ``quota`` rows per group (md5(id)-ordered — the
+    deterministic-sample recipe).  ``pretrim_cap``: any literal upper
+    bound on max(quota) turns the first rank-filter into a
+    WindowGroupLimit map-side pre-trim, so a billion-row group ships
+    cap x partitions rows, not a billion, through the exchange."""
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    if pretrim_cap is not None:
+        ranked = ranked.filter(F.col("__rk") <= pretrim_cap)
+    return (
+        ranked.join(F.broadcast(quotas), group_cols)
+        .filter(F.col("__rk") <= F.col("quota"))
+        .drop("__rk", "n_group", "quota")
+    )

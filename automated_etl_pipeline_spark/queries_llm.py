@@ -3167,3 +3167,88 @@ def rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "id").limit(20)
+
+
+# ----------------------------------------------------------------------
+# Exact-quota stratified sampling (operators/apportion.py): Hamilton /
+# largest-remainder apportionment of a fixed doc budget across
+# sources, then a deterministic md5-ordered take of EXACTLY quota_g
+# docs per source.  See the module docstring for the scale shape
+# (apportionment on the reduced group frame; WindowGroupLimit
+# pre-trim on the take).
+# ----------------------------------------------------------------------
+
+_QUOTA_ORACLE = """
+WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS w, COUNT(*) AS n_group
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w) AS tw, SUM(n_group) AS n FROM g),
+q AS (
+  SELECT source, n_group,
+         CAST(FLOOR(100.0 * w / tw) AS BIGINT) AS base,
+         100.0 * w / tw - FLOOR(100.0 * w / tw) AS rem
+  FROM g, tot
+),
+alloc AS (
+  SELECT source, n_group,
+         LEAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                      <= 100 - (SELECT SUM(base) FROM q) THEN 1 ELSE 0 END,
+               n_group) AS quota
+  FROM q
+),
+ranked AS (
+  SELECT d.source, d.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS rk
+  FROM documents d
+),
+sampled AS (
+  SELECT r.source, r.doc_id
+  FROM ranked r JOIN alloc a ON r.source = a.source
+  WHERE r.rk <= a.quota
+)
+SELECT a.source, a.quota,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT) AS id_checksum
+FROM alloc a LEFT JOIN sampled s ON a.source = s.source
+GROUP BY a.source, a.quota ORDER BY a.source
+"""
+
+
+@query("quota_stratified_sample", _QUOTA_ORACLE)
+def quota_stratified_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 100 docs allocated across sources proportional to
+    their total n_chars: per source the gate hashes the quota, the
+    sampled count (== quota by construction), and the doc_id checksum
+    of the md5-ordered take — a wrong remainder rank, an
+    off-by-one base, or a nondeterministic take order all break the
+    hash.  sum(quota) == 100 exactly (largest-remainder invariant;
+    also pinned with property tests in tests/test_apportion.py)."""
+    from automated_etl_pipeline_spark.operators.apportion import (
+        largest_remainder_quotas,
+        quota_stratified_sample,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    quotas = largest_remainder_quotas(
+        spread(docs), ["source"], "n_chars", total=100
+    )
+    sampled = quota_stratified_sample(
+        spread(docs), quotas, ["source"], "doc_id", pretrim_cap=100
+    )
+    per_src = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return (
+        quotas.join(per_src, "source", "left")
+        .select(
+            "source",
+            "quota",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
