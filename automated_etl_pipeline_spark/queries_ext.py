@@ -3422,3 +3422,85 @@ def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionAll(a)
     return out.orderBy("fk")
+
+
+# ----------------------------------------------------------------------
+# Rolling-window anomaly detection: per-user trailing-24h z-scores
+# from EXACT decimal window moments.  Engine-native stddev over a
+# window is accumulation-order dependent (can't value-hash); here
+# sum and sum-of-squares go through DECIMAL(18,6) inside the frame
+# (the stats_moments_orders recipe, applied to RANGE frames), so the
+# variance (s2 - s^2/n)/(n-1) is bit-identical across engines and
+# the z threshold cannot flicker.  Per-key RANGE windows in
+# event-time micros — no global sort, state bounded by each key's
+# 24h event density; the streaming twin would be a watermarked
+# sliding aggregate.  Guard rails: windows need n >= 5 and positive
+# variance before scoring (cold-start rows score NULL, counted as
+# non-anomalous).
+# ----------------------------------------------------------------------
+
+_ROLLING_ANOMALY_ORACLE = """
+WITH w AS (
+  SELECT user_id, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s2,
+         COUNT(*) OVER win AS n
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+),
+z AS (
+  SELECT user_id,
+         CASE WHEN n >= 5 AND (s2 - s*s/n) / (n-1) > 0
+              THEN abs(value - s/n) / sqrt((s2 - s*s/n) / (n-1)) END AS zscore
+  FROM w
+)
+SELECT user_id % 20 AS bucket, COUNT(*) AS n_events,
+       SUM(CASE WHEN zscore > 1.6 THEN 1 ELSE 0 END) AS n_anomalies,
+       CAST(MAX(CAST(zscore AS DECIMAL(18,6))) AS DOUBLE) AS max_z
+FROM z GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("rolling_anomaly_zscores", _ROLLING_ANOMALY_ORACLE)
+def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user z-score anomalies rolled up to 20 hash
+    buckets (event count, anomaly count at z > 1.6, max z) — the
+    exact-decimal window-moment construction makes an order-dependent
+    statistic value-hashable (see section comment)."""
+    (events,) = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    w = events.select(
+        "user_id",
+        "value",
+        F.sum(vdec).over(win).cast("double").alias("s"),
+        F.sum(vdec * vdec).over(win).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = F.when(
+        (F.col("n") >= 5) & (var > 0),
+        F.abs(F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
+    )
+    scored = w.select("user_id", z.alias("zscore"))
+    return (
+        scored.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("zscore") > 1.6, 1).otherwise(0)
+            ).alias("n_anomalies"),
+            F.max(F.col("zscore").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("max_z"),
+        )
+        .orderBy("bucket")
+    )
