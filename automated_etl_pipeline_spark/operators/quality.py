@@ -114,3 +114,32 @@ def fk_audit(
             F.sum(F.when(F.col("__hit").isNull(), F.col("__cnt"))), F.lit(0)
         ).alias("n_orphan_rows"),
     )
+
+
+def fd_audit(
+    df: DataFrame, det_col: str, dep_col: str, label: str
+) -> DataFrame:
+    """One-row functional-dependency audit of ``det -> dep``: does the
+    determinant column functionally determine the dependent?  Reports
+    distinct determinant keys, how many keys violate (map to >1
+    dependent value), and the worst fan-out.  Same reduce-first shape
+    as fk_audit: one (det, dep) distinct-pair shuffle (map-side
+    partial), then per-key counts on the reduced frame — the fact
+    table is never carried past the first reduction.  NULL dependents
+    count as a value via a sentinel (NULL vs non-NULL for one key IS
+    a violation)."""
+    pairs = df.select(
+        F.col(det_col).alias("__x"),
+        F.coalesce(F.col(dep_col).cast("string"), F.lit("<<NULL>>")).alias(
+            "__y"
+        ),
+    ).distinct()
+    per_key = pairs.groupBy("__x").agg(F.count(F.lit(1)).alias("__ny"))
+    return per_key.agg(
+        F.lit(label).alias("fd"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("__ny") > 1, 1).otherwise(0)).alias(
+            "n_violating_keys"
+        ),
+        F.max("__ny").alias("max_fanout"),
+    )

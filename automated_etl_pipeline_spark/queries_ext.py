@@ -2364,7 +2364,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape (late shipments by priority class, shipmode
-    swapped for l_linestatus — the testdata has no l_shipmode): fact ⋈
+    swapped for l_linestatus — the testdata has no l_returnflag): fact ⋈
     fact equi join with a cross-table residual (ship lag > 90 days)
     evaluated post-join, then conditional aggregation.  The CASE counts
     are map-side partials; only the 2-group key shuffles."""
@@ -3504,3 +3504,74 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# Functional-dependency audit (operators/quality.fd_audit): the DQ
+# probe behind schema discovery and denormalization decisions — does
+# X determine Y?  One distinct-pair reduction per claim (map-side
+# partial agg), per-key counts on the reduced frame; the claims below
+# mix a TRUE dependency (nation key -> region key, 0 violations) with
+# three FALSE ones whose violation counts and fan-outs the hash pins.
+# ----------------------------------------------------------------------
+
+_FD_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'customer.c_nationkey->c_mktsegment' AS fd,
+         COUNT(*) AS n_keys,
+         CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+         MAX(ny) AS max_fanout
+  FROM (SELECT c_nationkey,
+               COUNT(DISTINCT COALESCE(CAST(c_mktsegment AS VARCHAR),
+                                       '<<NULL>>')) AS ny
+        FROM customer GROUP BY c_nationkey)
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->l_returnflag', COUNT(*),
+         CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ny)
+  FROM (SELECT l_orderkey,
+               COUNT(DISTINCT COALESCE(CAST(l_returnflag AS VARCHAR),
+                                       '<<NULL>>')) AS ny
+        FROM lineitem GROUP BY l_orderkey)
+  UNION ALL
+  SELECT 'nation.n_nationkey->n_regionkey', COUNT(*),
+         CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ny)
+  FROM (SELECT n_nationkey,
+               COUNT(DISTINCT COALESCE(CAST(n_regionkey AS VARCHAR),
+                                       '<<NULL>>')) AS ny
+        FROM nation GROUP BY n_nationkey)
+  UNION ALL
+  SELECT 'orders.o_custkey->o_orderpriority', COUNT(*),
+         CAST(SUM(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT), MAX(ny)
+  FROM (SELECT o_custkey,
+               COUNT(DISTINCT COALESCE(CAST(o_orderpriority AS VARCHAR),
+                                       '<<NULL>>')) AS ny
+        FROM orders GROUP BY o_custkey)
+) ORDER BY fd
+"""
+
+
+@query("fd_dependency_audit", _FD_AUDIT_ORACLE)
+def fd_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four functional-dependency claims audited in one result (one
+    true, three false — keys / violating keys / worst fan-out per
+    claim); reduce-first shape per the section comment."""
+    from automated_etl_pipeline_spark.operators.quality import fd_audit
+
+    nation, customer, orders, lineitem = _t(
+        spark, sf_dir, "nation", "customer", "orders", "lineitem"
+    )
+    audits = [
+        fd_audit(customer, "c_nationkey", "c_mktsegment",
+                 "customer.c_nationkey->c_mktsegment"),
+        fd_audit(lineitem, "l_orderkey", "l_returnflag",
+                 "lineitem.l_orderkey->l_returnflag"),
+        fd_audit(nation, "n_nationkey", "n_regionkey",
+                 "nation.n_nationkey->n_regionkey"),
+        fd_audit(orders, "o_custkey", "o_orderpriority",
+                 "orders.o_custkey->o_orderpriority"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("fd")

@@ -3252,3 +3252,59 @@ def quota_stratified_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------------
+# Char-diversity quality signal (Simpson index 1 - sum p_i^2 over the
+# 27-char alphabet): the log-free concentration measure — boilerplate
+# floods and repeated-char spam collapse it toward 0 while natural
+# text sits near 1 - 1/|alphabet|.  Chosen over Shannon entropy
+# DELIBERATELY: entropy needs log2, which neither engine computes
+# correctly-rounded (libm vs JVM intrinsics CAN differ in final
+# bits), while Simpson is pure rational arithmetic — add/multiply/
+# divide of identical doubles is IEEE-exact in both engines, so the
+# 6-dp values hash without a tolerance.  Plan: 27 translate/length
+# expression pairs, all codegen'd in the scan projection — zero
+# shuffle until the per-lang rollup; per-doc cost is constant.
+# ----------------------------------------------------------------------
+
+_SIMPSON_ORACLE = """
+WITH s AS (
+  SELECT lang, ROUND(1.0 - (((CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)))), 6) AS simpson FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(simpson AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_simpson,
+       MIN(simpson) AS min_simpson,
+       MAX(simpson) AS max_simpson
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+@query("char_diversity_quality", _SIMPSON_ORACLE)
+def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Simpson char-diversity stats (doc count, micro-avg
+    via exact decimal sums, min/max at 6 dp) — see section comment for
+    why Simpson and not Shannon, and the zero-shuffle scan shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    sq_sum = F.lit(0.0)
+    for ch in "abcdefghijklmnopqrstuvwxyz ":
+        cnt = F.length("text") - F.length(F.translate("text", ch, ""))
+        ratio = cnt.cast("double") / n
+        sq_sum = sq_sum + ratio * ratio
+    simpson = F.round(F.lit(1.0) - sq_sum, 6)
+    s = spread(docs).select("lang", simpson.alias("simpson"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("simpson").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_simpson"),
+            F.min("simpson").alias("min_simpson"),
+            F.max("simpson").alias("max_simpson"),
+        )
+        .orderBy("lang")
+    )
