@@ -3308,3 +3308,98 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ----------------------------------------------------------------------
+# Collocation mining by lift: which adjacent word pairs co-occur more
+# than their unigram frequencies predict — the vocabulary-building
+# signal behind multi-word tokens and phrase detection (word2vec's
+# phrase pass, BPE seeding).  Lift = c_xy * N / (c_x * c_y) is the
+# exponential of PMI; used RAW, not logged, DELIBERATELY: log is not
+# correctly-rounded in either engine (the char_diversity_quality
+# argument), while lift is pure integer-ratio arithmetic — IEEE-exact
+# both sides, and rank order is identical to PMI's.  Plan: one bigram
+# count shuffle + one unigram count shuffle (both partial-aggregated,
+# output vocab-bounded); the support floor (c_xy >= 5, the standard
+# sparse-PMI guard) cuts the bigram frame before the joins; the
+# unigram side joins broadcast (vocab-sized).
+# ----------------------------------------------------------------------
+
+_COLLOCATION_ORACLE = """
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+),
+bc AS (SELECT bg, COUNT(*) AS c_xy FROM big GROUP BY bg),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT SUM(c) AS n FROM uc),
+scored AS (
+  SELECT bg, c_xy,
+         string_split(bg, ' ')[1] AS x, string_split(bg, ' ')[2] AS y
+  FROM bc WHERE c_xy >= 5
+)
+SELECT s.bg AS bigram, s.c_xy AS n_pair,
+       CAST(CAST(CAST(s.c_xy AS DOUBLE) * t.n / (ux.c * uy.c)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS lift
+FROM scored s JOIN uc ux ON s.x = ux.w JOIN uc uy ON s.y = uy.w, tot t
+ORDER BY lift DESC, bigram LIMIT 25
+"""
+
+
+@query("collocation_lift_topk", _COLLOCATION_ORACLE)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 adjacent-pair collocations by lift with a c_xy >= 5
+    support floor — see section comment for the log-free determinism
+    argument and the two-shuffle, vocab-bounded plan."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = spread(docs).select(t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    bc = (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    uc = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uc.agg(F.sum("c").alias("n"))
+    parts = F.split("bg", " ")
+    scored = bc.withColumn("x", parts.getItem(0)).withColumn(
+        "y", parts.getItem(1)
+    )
+    ux = uc.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
+    uy = uc.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
+    lift = (
+        F.col("c_xy").cast("double")
+        * F.col("n")
+        / (F.col("c_x") * F.col("c_y"))
+    )
+    return (
+        scored.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c_xy").alias("n_pair"),
+            lift.cast("decimal(18,6)").cast("double").alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(25)
+    )
