@@ -3575,3 +3575,101 @@ def fd_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in audits[1:]:
         out = out.unionAll(a)
     return out.orderBy("fd")
+
+
+# ----------------------------------------------------------------------
+# Incremental aggregate maintenance: merge STORED per-group partials
+# with a new raw batch — the lambda/IVM primitive that lets a daily
+# 100 TB rollup cost one day's scan instead of the full history.
+# The state vector (n, decimal sum, min, max) is chosen mergeable:
+# each component combines associatively (add / add / least /
+# greatest), so partials from any partitioning of history combine to
+# the exact full answer.  The gate PROVES the merge identity
+# in-query: it computes merged(old-partials, new-batch) AND the
+# full-history recompute, emits both sums and the equality booleans —
+# a non-mergeable component (e.g. avg stored as avg) would break the
+# hash immediately.  Decimal sums keep merge order irrelevant (the
+# queries.py determinism rule doing double duty as IVM correctness).
+# ----------------------------------------------------------------------
+
+_INCR_MERGE_ORACLE = """
+WITH old_part AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+),
+new_batch AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+),
+merged AS (
+  SELECT event_type, SUM(n) AS n, SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+  FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_batch)
+  GROUP BY event_type
+),
+full_recompute AS (
+  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type
+)
+SELECT m.event_type, m.n AS n_merged,
+       CAST(m.s AS DOUBLE) AS sum_merged,
+       (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
+         AS merge_equals_full
+FROM merged m JOIN full_recompute f ON m.event_type = f.event_type
+ORDER BY m.event_type
+"""
+
+
+@query("incremental_agg_merge", _INCR_MERGE_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge stored pre-2024-01-25 per-event-type partials with the
+    newer raw slice and prove, in-query, that the merge equals the
+    full-history recompute (see section comment for why the state
+    vector is mergeable and what that buys at 100 TB)."""
+    (events,) = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    old_part = partials(events.filter(F.col("ts") < cutoff))
+    new_batch = partials(events.filter(F.col("ts") >= cutoff))
+    merged = (
+        old_part.unionByName(new_batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    full = partials(events).select(
+        F.col("event_type"),
+        F.col("n").alias("fn"),
+        F.col("s").alias("fs"),
+        F.col("mn").alias("fmn"),
+        F.col("mx").alias("fmx"),
+    )
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_merged"),
+            F.col("s").cast("double").alias("sum_merged"),
+            (
+                (F.col("n") == F.col("fn"))
+                & (F.col("s") == F.col("fs"))
+                & (F.col("mn") == F.col("fmn"))
+                & (F.col("mx") == F.col("fmx"))
+            ).alias("merge_equals_full"),
+        )
+        .orderBy("event_type")
+    )

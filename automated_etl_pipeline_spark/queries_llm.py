@@ -3403,3 +3403,70 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "bigram")
         .limit(25)
     )
+
+
+# ----------------------------------------------------------------------
+# Train/test leakage audit: the ML-pipeline failure the split gate
+# alone cannot see — a deterministic hash split is LEAK-FREE only at
+# the exact-doc-id grain; near/exact duplicate CONTENT still lands on
+# both sides and inflates eval.  The audit joins the split assignment
+# (the split_train_val_test md5-bucket recipe) with content
+# fingerprints (first-8-token md5, the dedup_fingerprint grain) and
+# counts, per split, the docs whose fingerprint group spans more than
+# one split.  Plan: one (fp, split) reduce + a fingerprint-grain
+# rollup joined back at fp grain — fingerprint groups are the reduced
+# frame; the 100 TB mitigation the audit motivates is split-by-
+# FINGERPRINT-hash instead of doc-id-hash (one expression swap).
+# ----------------------------------------------------------------------
+
+_LEAKAGE_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 90 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 100 < 95 THEN 'val' ELSE 'test' END AS split
+  FROM documents
+),
+groups AS (
+  SELECT fp, COUNT(DISTINCT split) AS n_splits FROM tagged GROUP BY fp
+)
+SELECT t.split, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_docs
+FROM tagged t JOIN groups g ON t.fp = g.fp
+GROUP BY t.split ORDER BY t.split
+"""
+
+
+@query("split_leakage_audit", _LEAKAGE_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per split: total docs and docs whose content fingerprint also
+    appears in another split (leaked eval rows).  Non-zero on this
+    corpus — the audit catches real cross-split duplicates that the
+    doc-id-hash split necessarily admits (see section comment)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    fp = F.md5(F.concat_ws(" ", F.slice(t, 1, 8)))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    tagged = spread(docs).select(split.alias("split"), fp.alias("fp"))
+    groups = tagged.groupBy("fp").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    return (
+        tagged.join(groups, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_splits") > 1, 1).otherwise(0)
+            ).alias("n_leaked_docs"),
+        )
+        .orderBy("split")
+    )
