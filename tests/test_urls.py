@@ -371,3 +371,23 @@ def test_canonicalization_rules_pinned(spark):
     got = {r.i: r.canonical_url for r in canonicalize_url(df).collect()}
     for i, (u, want) in enumerate(pairs):
         assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalization_is_idempotent(spark, canon_fixture):
+    """Canonical forms are fixed points: canonicalize(canonicalize(u))
+    == canonicalize(u) for the whole variant corpus.  A rule that
+    rewrites its own output (e.g. a port stripper that re-matches, a
+    param filter that reorders unstably) breaks this immediately."""
+    from automated_etl_pipeline_spark.operators.urls import canonicalize_url
+
+    upath, _ = canon_fixture
+    once = canonicalize_url(spark.read.parquet(upath)).select(
+        F.col("doc_id"), F.col("canonical_url").alias("url")
+    ).where(F.col("url").isNotNull())
+    twice = canonicalize_url(once).select("doc_id", "canonical_url")
+    diff = (
+        once.join(twice, "doc_id")
+        .where(F.col("url") != F.col("canonical_url"))
+        .count()
+    )
+    assert diff == 0
