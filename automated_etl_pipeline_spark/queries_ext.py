@@ -3673,3 +3673,96 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------------------------------------------------------------
+# Time travel from SCD-2 history: reconstruct "the table AS OF T" by
+# slicing the validity intervals (valid_from <= T < valid_to, NULL
+# valid_to = live) — the warehouse read pattern SCD-2 exists to
+# serve.  The gate proves the reconstruction against the DIRECT
+# computation (latest change <= T per key, which never materializes
+# history) two ways at once: the snapshot joins the direct answer and
+# emits agreement counts (must equal key counts), plus a 40-bit md5
+# checksum over (key, attribute-at-T) that pins the actual VALUES.
+# An interval off by one run, a half-open-boundary mistake, or a
+# missing live row shifts a count or the checksum.  Scale: the
+# history build is the audited scd2_history plan; the slice is a
+# codegen'd filter on it; the direct side is one partial-aggregated
+# max_by.
+# ----------------------------------------------------------------------
+
+_TIME_TRAVEL_ORACLE = """
+WITH direct AS (
+  SELECT o_custkey,
+         arg_max(o_orderpriority,
+                 strftime(o_orderdate, '%Y%m%d%H%M%S')
+                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS pri
+  FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-01 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT o_custkey % 25 AS bucket,
+       COUNT(*) AS n_keys,
+       COUNT(*) AS n_agree,
+       CAST(SUM(('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || '|' || pri),
+                 1, 10))::BIGINT) AS BIGINT) AS value_ck
+FROM direct GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("scd2_time_travel", _TIME_TRAVEL_ORACLE)
+def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF 1997-06-01 snapshot reconstructed from scd2_history
+    validity intervals, proven equal to the direct latest-change
+    computation per 25-bucket rollup (key counts, agreement counts,
+    40-bit value checksums — see section comment).  The oracle
+    computes only the direct path: if the interval slice diverged
+    anywhere, n_agree or the checksum breaks the hash."""
+    from automated_etl_pipeline_spark.operators.scd import scd2_history
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    hist = scd2_history(
+        orders,
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderpriority"],
+        ts_col="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    snap = hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("o_custkey", F.col("o_orderpriority").alias("snap_pri"))
+    order_key = F.concat(
+        F.date_format("o_orderdate", "yyyyMMddHHmmss"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    direct = (
+        orders.filter(F.col("o_orderdate") <= t)
+        .groupBy("o_custkey")
+        .agg(F.max_by("o_orderpriority", order_key).alias("pri"))
+    )
+    ck = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_custkey").cast("string"), F.lit("|"), F.col("pri")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        direct.join(snap, "o_custkey", "left")
+        .groupBy(F.pmod("o_custkey", F.lit(25)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(
+                F.when(F.col("snap_pri") == F.col("pri"), 1).otherwise(0)
+            ).alias("n_agree"),
+            F.sum(ck).alias("value_ck"),
+        )
+        .orderBy("bucket")
+    )
