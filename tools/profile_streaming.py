@@ -45,6 +45,9 @@ GATES = [
     "streaming_stateful_sessions",
     "streaming_static_enrich",
     "streaming_interval_join",
+    "streaming_funnel_completions",
+    "streaming_hll_hourly",
+    "streaming_heavy_tokens",
     "pysource_stream_agg",
 ]
 
