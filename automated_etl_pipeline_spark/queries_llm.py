@@ -3470,3 +3470,57 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ----------------------------------------------------------------------
+# Diversity-constrained top-k: the best k documents overall subject to
+# "at most m per source" — the selection rule that stops one hot
+# source from filling a curated slice.  Two bounded stages: a
+# per-source rank filter (rank <= m literal -> WindowGroupLimit,
+# map-side pre-trim) feeding a global top-k (TakeOrderedAndProject,
+# per-partition heaps) — no global sort, no unbounded window
+# anywhere.  Quality = the text_quality_scores signal recipe reduced
+# to its deterministic core (word-length + stopword-free ratio blend
+# at 6 dp).
+# ----------------------------------------------------------------------
+
+_DIVERSE_TOPK_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND(
+           CAST(len(string_split(text, ' ')) AS DOUBLE)
+             / (1 + len(text))
+           + 0.001 * (len(text) % 97), 6) AS q
+  FROM documents
+),
+capped AS (
+  SELECT doc_id, source, q,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY q DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, source, q FROM capped
+WHERE rk <= 3 ORDER BY q DESC, doc_id LIMIT 20
+"""
+
+
+@query("diverse_topk_selection", _DIVERSE_TOPK_ORACLE)
+def diverse_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 by the 6-dp quality blend with at most 3 docs per
+    source — WindowGroupLimit pre-trim then TakeOrderedAndProject
+    (see section comment)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    q = F.round(
+        F.size(F.split("text", " ")).cast("double")
+        / (1 + F.length("text"))
+        + 0.001 * (F.length("text") % 97),
+        6,
+    )
+    scored = spread(docs).select("doc_id", "source", q.alias("q"))
+    w = Window.partitionBy("source").orderBy(F.desc("q"), "doc_id")
+    capped = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .drop("rk")
+    )
+    return capped.orderBy(F.desc("q"), "doc_id").limit(20)
