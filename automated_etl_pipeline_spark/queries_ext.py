@@ -3766,3 +3766,135 @@ def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ----------------------------------------------------------------------
+# Market-basket analysis: frequent co-occurring item pairs with
+# minimum support — orders are baskets, suppliers the items.  The
+# pair generation is a WITHIN-BASKET self-join (u < v) whose fan-out
+# is bounded by basket size (TPC-H baskets hold <= 7 line items →
+# <= 21 pairs), so candidate volume is O(rows * basket_size), never
+# O(items²); support counting is one partial-aggregated shuffle on
+# the pair key.  At 100 TB the levers are the ones already in this
+# repo: a basket-size cap (WindowGroupLimit) for pathological
+# baskets, and the Misra-Gries sketch when the pair space itself
+# cannot reduce.  Top-25 lands via TakeOrderedAndProject.
+# ----------------------------------------------------------------------
+
+_FREQ_PAIRS_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item FROM lineitem
+),
+pairs AS (
+  SELECT a.item AS u, b.item AS v, COUNT(*) AS support
+  FROM items a JOIN items b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT u, v, support FROM pairs WHERE support >= 2
+ORDER BY support DESC, u, v LIMIT 25
+"""
+
+
+@query("frequent_pairs_minsup", _FREQ_PAIRS_ORACLE)
+def frequent_pairs_minsup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 supplier pairs by basket co-occurrence support (minsup
+    2) — bounded within-basket self-join + one pair-count shuffle,
+    see section comment for the basket-size-bounded scale argument."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("u"), F.col("b.item").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    return pairs.orderBy(F.desc("support"), "u", "v").limit(25)
+
+
+# ----------------------------------------------------------------------
+# Exact weighted median (lower weighted median: smallest value whose
+# cumulative weight reaches half the group total).  Chosen over the
+# interpolated form because it is COMPARISON-ONLY — integer weights,
+# decimal values, no floating interpolation — so the gate needs no
+# rounding anywhere, and price ties at the boundary resolve to the
+# same value under any within-tie order.  Plan: per-group value-sort
+# window (the honest exact shape, same as percentile_price, with the
+# same documented 100 TB swap: a weighted GK/t-digest sketch); groups
+# here are (returnflag, ship-year), which parallelizes across
+# group-partitions and grows with the data's time span.
+# ----------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag AS flag, EXTRACT(YEAR FROM l_shipdate) AS yr,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT flag, yr, price, qty,
+         SUM(qty) OVER (PARTITION BY flag, yr
+                        ORDER BY price, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(qty) OVER (PARTITION BY flag, yr) AS tot
+  FROM base
+)
+SELECT flag, CAST(yr AS BIGINT) AS yr,
+       CAST(MIN(CASE WHEN cum * 2 >= tot THEN price END) AS DOUBLE)
+         AS wmedian,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS total_qty,
+       COUNT(*) AS n_rows
+FROM c GROUP BY flag, yr ORDER BY flag, yr
+"""
+
+
+@query("weighted_median_price", _WMEDIAN_ORACLE)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per (returnflag,
+    ship-year) — exact lower weighted median via cumulative-weight
+    windows; see section comment for the determinism and scale
+    arguments."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("flag", "yr").orderBy(
+        "price", "l_orderkey", "l_linenumber"
+    )
+    c = base.select(
+        "flag",
+        "yr",
+        "price",
+        F.sum("qty")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("qty").over(Window.partitionBy("flag", "yr")).alias("tot"),
+    )
+    return (
+        c.groupBy("flag", "yr")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("price")))
+            .cast("double")
+            .alias("wmedian"),
+            F.first("tot").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("flag", "yr")
+    )
