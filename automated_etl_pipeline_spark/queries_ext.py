@@ -3898,3 +3898,93 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "yr")
     )
+
+
+# ----------------------------------------------------------------------
+# Association rules from the frequent pairs: confidence(u -> v) =
+# support(u,v) / support(u), both directions per pair, ranked by
+# confidence.  All three frames are REDUCED (pair supports, item
+# supports — bounded by item-space size, not row count), so the rule
+# stage costs nothing beyond the support counts frequent_pairs
+# already pays; confidence is a ratio of integer supports (IEEE-
+# exact, the log-free rule again).
+# ----------------------------------------------------------------------
+
+_ASSOC_RULES_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_suppkey AS item FROM lineitem
+),
+isup AS (SELECT item, COUNT(*) AS s FROM items GROUP BY item),
+psup AS (
+  SELECT a.item AS u, b.item AS v, COUNT(*) AS s_uv
+  FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+  GROUP BY 1, 2
+),
+rules AS (
+  SELECT u AS antecedent, v AS consequent, s_uv,
+         CAST(CAST(CAST(s_uv AS DOUBLE) / su.s AS DECIMAL(18,6)) AS DOUBLE)
+           AS confidence
+  FROM psup JOIN isup su ON psup.u = su.item
+  WHERE s_uv >= 2
+  UNION ALL
+  SELECT v, u, s_uv,
+         CAST(CAST(CAST(s_uv AS DOUBLE) / sv.s AS DECIMAL(18,6)) AS DOUBLE)
+  FROM psup JOIN isup sv ON psup.v = sv.item
+  WHERE s_uv >= 2
+)
+SELECT antecedent, consequent, s_uv AS pair_support, confidence
+FROM rules ORDER BY confidence DESC, antecedent, consequent LIMIT 25
+"""
+
+
+@query("association_rules_topk", _ASSOC_RULES_ORACLE)
+def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 association rules by confidence over the supplier
+    basket graph (minsup 2, both rule directions) — reduced-frame
+    joins only, integer-ratio confidence (see section comment)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item")
+    ).distinct()
+    isup = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    psup = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("u"), F.col("b.item").alias("v"))
+        .agg(F.count(F.lit(1)).alias("s_uv"))
+        .filter(F.col("s_uv") >= 2)
+    )
+
+    def rules(ante, cons):
+        sup = isup.select(
+            F.col("item").alias(ante), F.col("s").alias("s_a")
+        )
+        return (
+            psup.join(F.broadcast(sup), ante)
+            .select(
+                F.col(ante).alias("antecedent"),
+                F.col(cons).alias("consequent"),
+                F.col("s_uv"),
+                (F.col("s_uv").cast("double") / F.col("s_a"))
+                .cast("decimal(18,6)")
+                .cast("double")
+                .alias("confidence"),
+            )
+        )
+
+    return (
+        rules("u", "v")
+        .unionByName(rules("v", "u"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s_uv").alias("pair_support"),
+            "confidence",
+        )
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .limit(25)
+    )
