@@ -3988,3 +3988,182 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("confidence"), "antecedent", "consequent")
         .limit(25)
     )
+
+
+# ----------------------------------------------------------------------
+# Benford first-digit audit — the forensic DQ screen for fabricated
+# or artificially-generated numeric columns: natural multi-magnitude
+# amounts follow P(d) = log10(1 + 1/d); uniform synthetics (like this
+# testdata's prices — which the audit correctly flags) and invented
+# figures don't.  The nine expected shares are INLINE LITERALS
+# (precomputed once), so no engine log10 is evaluated — the log-free
+# determinism rule again.  Plan: one string-prefix projection + a
+# 9-group partial-aggregated count; shares and deviations are ratios
+# of integer counts.
+# ----------------------------------------------------------------------
+
+_BENFORD = {
+    "1": 0.30103, "2": 0.176091, "3": 0.124939, "4": 0.09691,
+    "5": 0.079181, "6": 0.066947, "7": 0.057992, "8": 0.051153,
+    "9": 0.045757,
+}
+
+_BENFORD_CASE_SQL = "CASE d " + " ".join(
+    f"WHEN '{d}' THEN {s}" for d, s in _BENFORD.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH digits AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+    AS d
+  FROM orders
+),
+c AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS t FROM c)
+SELECT d AS digit, n,
+       CAST(CAST(CAST(n AS DOUBLE) / t AS DECIMAL(18,6)) AS DOUBLE)
+         AS share,
+       CAST({_BENFORD_CASE_SQL} AS DOUBLE) AS benford_share,
+       CAST(CAST(abs(CAST(n AS DOUBLE) / t - ({_BENFORD_CASE_SQL}))
+                 AS DECIMAL(18,6)) AS DOUBLE) AS abs_dev
+FROM c, tot ORDER BY d
+"""
+
+
+@query("benford_digit_audit", _BENFORD_ORACLE)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of o_totalprice vs the Benford
+    expectation (inline literal shares) — counts, observed shares,
+    and absolute deviations per digit.  This synthetic corpus is
+    correctly flagged as non-Benford (uniform price range); see
+    section comment."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    d = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    )
+    c = (
+        orders.select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(F.sum("n").alias("t"))
+    expr = None
+    for dig, s in _BENFORD.items():
+        cond = F.when(F.col("d") == dig, F.lit(s))
+        expr = cond if expr is None else expr.when(
+            F.col("d") == dig, F.lit(s)
+        )
+    share = F.col("n").cast("double") / F.col("t")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n",
+            share.cast("decimal(18,6)").cast("double").alias("share"),
+            expr.alias("benford_share"),
+            F.abs(share - expr)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ----------------------------------------------------------------------
+# Linear multi-touch attribution: each purchase's value is split
+# equally across the user's view/click touches in the preceding 7
+# days (purchases with no touches are 'direct').  The touch-purchase
+# pairing is an equi-join on user_id with a per-key time-range
+# predicate — pair volume is bounded by per-user activity in the
+# window, never cross-user; the per-purchase touch count comes from a
+# window over the paired frame (purchase-grain, bounded).  Credit =
+# value / n_touch on identical doubles both engines, decimal-cast
+# before the order-insensitive sum.
+# ----------------------------------------------------------------------
+
+_ATTRIBUTION_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click')
+),
+pt AS (
+  SELECT p.event_id, p.value, t.event_type AS touch_type,
+         COUNT(*) OVER (PARTITION BY p.event_id) AS n_touch
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id
+   AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT touch_type, COUNT(*) AS n_credited,
+         CAST(SUM(CAST(value / n_touch AS DECIMAL(18,6))) AS DOUBLE)
+           AS credit
+  FROM pt GROUP BY touch_type
+),
+direct AS (
+  SELECT 'direct' AS touch_type, COUNT(*) AS n_credited,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS credit
+  FROM purchases p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM touches t
+    WHERE t.user_id = p.user_id
+      AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 7 DAY)
+)
+SELECT * FROM credited
+UNION ALL SELECT * FROM direct WHERE n_credited > 0
+ORDER BY touch_type
+"""
+
+
+@query("multi_touch_attribution", _ATTRIBUTION_ORACLE)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day linear attribution of purchase value across view/click
+    touches, with a 'direct' bucket for untouched purchases — see
+    section comment for the per-key pairing bound."""
+    (events,) = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"), "value"
+    )
+    touches = events.filter(
+        F.col("event_type").isin("view", "click")
+    ).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("interval 7 days"))
+    )
+    pt = purchases.join(touches, cond).withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    credited = pt.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credited"),
+        F.sum(
+            (F.col("value") / F.col("n_touch")).cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("credit"),
+    )
+    direct = (
+        purchases.join(
+            touches,
+            cond,
+            "left_anti",
+        )
+        .agg(
+            F.lit("direct").alias("touch_type"),
+            F.count(F.lit(1)).alias("n_credited"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("credit"),
+        )
+        .filter(F.col("n_credited") > 0)
+    )
+    return credited.unionByName(direct).orderBy("touch_type")
