@@ -4167,3 +4167,90 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_credited") > 0)
     )
     return credited.unionByName(direct).orderBy("touch_type")
+
+
+# ----------------------------------------------------------------------
+# CUSUM change-point statistic per event type: the cumulative sum of
+# deviations from the series mean peaks exactly where the level
+# shifts — the classic offline change-point locator, here fully
+# deterministic because deviations go through DECIMAL(18,6) before
+# the ordered cumulative window (exact arithmetic — no float
+# accumulation drift to disagree across engines), and the argmax
+# timestamp is selected via a composite sortable string (zero-padded
+# exact-integer micro-units of |cusum| + timestamp), so ties at the
+# peak resolve to the LATEST timestamp in both engines by plain MAX.
+# Per-key ordered windows only; the mean is a bounded per-type frame
+# broadcast back.
+# ----------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT e.event_type, e.ts,
+         SUM(CAST(e.value - m.mu AS DECIMAL(18,6))) OVER (
+           PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM events e JOIN m ON e.event_type = m.event_type
+),
+k AS (
+  SELECT event_type, cusum,
+         lpad(CAST(CAST(abs(cusum) * 1000000 AS BIGINT) AS VARCHAR), 20, '0')
+           || strftime(ts, '%Y%m%d%H%M%S') AS pick
+  FROM c
+)
+SELECT event_type,
+       CAST(MAX(abs(cusum)) AS DOUBLE) AS max_cusum,
+       substr(MAX(pick), 21) AS argmax_ts,
+       COUNT(*) AS n
+FROM k GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("cusum_change_point", _CUSUM_ORACLE)
+def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM peak (magnitude + deterministic argmax
+    timestamp + series length) — exact-decimal cumulative deviations,
+    see section comment."""
+    (events,) = _t(spark, sf_dir, "events")
+    m = events.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = events.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "ts",
+        F.sum((F.col("value") - F.col("mu")).cast("decimal(18,6)"))
+        .over(w)
+        .alias("cusum"),
+    )
+    pick = F.concat(
+        F.lpad(
+            (F.abs(F.col("cusum")) * 1000000)
+            .cast("bigint")
+            .cast("string"),
+            20,
+            "0",
+        ),
+        F.date_format("ts", "yyyyMMddHHmmss"),
+    )
+    return (
+        c.select("event_type", "cusum", pick.alias("pick"))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.abs(F.col("cusum"))).cast("double").alias("max_cusum"),
+            F.substring(F.max("pick"), 21, 14).alias("argmax_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
