@@ -3524,3 +3524,95 @@ def diverse_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
     )
     return capped.orderBy(F.desc("q"), "doc_id").limit(20)
+
+
+# ----------------------------------------------------------------------
+# Cross-source quantile-mapping calibration (quantile normalization,
+# the batch-effect correction recipe): replace each doc's raw length
+# with the GLOBAL value at its within-source rank, so every source's
+# calibrated distribution matches the corpus distribution.  The
+# global quantile cuts are built ALL-INTEGER — cumulative counts over
+# the reduced distinct-value frame, cut_b = min value with
+# cum * 20 >= b * n — no percentile interpolation anywhere, so there
+# is literally no floating arithmetic to disagree across engines
+# (values here are bounded-cardinality ints; continuous columns bin
+# first).  Within-source ranks are NTILE(20) per-key windows.  The
+# per-source delta (raw sum - calibrated sum) is the calibration
+# effect the gate pins alongside the construction itself.
+# ----------------------------------------------------------------------
+
+_QMAP_ORACLE = """
+WITH vc AS (
+  SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY v
+),
+cd AS (
+  SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM vc
+),
+cuts AS (
+  SELECT b.b, MIN(cd.v) AS cut
+  FROM (SELECT unnest(range(1, 21)) AS b) b
+  JOIN cd ON cd.cum * 20 >= b.b * cd.n
+  GROUP BY b.b
+),
+ranked AS (
+  SELECT source, doc_id, n_chars,
+         NTILE(20) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS b
+  FROM documents
+)
+SELECT r.source, COUNT(*) AS n_docs,
+       CAST(SUM(r.n_chars) AS BIGINT) AS raw_sum,
+       CAST(SUM(c.cut) AS BIGINT) AS calibrated_sum,
+       CAST(SUM(r.n_chars) - SUM(c.cut) AS BIGINT) AS delta
+FROM ranked r JOIN cuts c ON r.b = c.b
+GROUP BY r.source ORDER BY r.source
+"""
+
+
+@query("quantile_map_calibration", _QMAP_ORACLE)
+def quantile_map_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize doc length across sources: per source the
+    gate pins raw sums, calibrated sums (global-quantile-mapped), and
+    the calibration delta — all-integer construction, see section
+    comment."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    vc = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cd = vc.select(
+        "v",
+        F.sum("c")
+        .over(
+            Window.orderBy("v").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    buckets = spark.range(1, 21).select(F.col("id").alias("b"))
+    cuts = (
+        F.broadcast(buckets)
+        .join(cd, cd["cum"] * 20 >= F.col("b") * cd["n"])
+        .groupBy("b")
+        .agg(F.min("v").alias("cut"))
+    )
+    ranked = spread(docs).select(
+        "source",
+        "n_chars",
+        F.ntile(20)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("b"),
+    )
+    return (
+        ranked.join(F.broadcast(cuts), "b")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("raw_sum"),
+            F.sum("cut").alias("calibrated_sum"),
+            (F.sum("n_chars") - F.sum("cut")).alias("delta"),
+        )
+        .orderBy("source")
+    )
