@@ -3616,3 +3616,90 @@ def quantile_map_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------------
+# Deterministic negative sampling (contrastive-training pairs): k
+# pseudo-random negatives per anchor via md5-derived offsets,
+# neg = (id + 1 + h % (n-1)) % n — the offset lands in [1, n-1], so
+# a self-pair is IMPOSSIBLE by construction (the gate counts them
+# anyway: the column must hash as all-zero), re-runs and late shards
+# get identical pairs (no RNG state), and every negative is a valid
+# id when ids are contiguous — pinned by the join-coverage count
+# (matched == n_pairs).  Expression-only pair generation: no
+# cartesian, no shuffle until the (bounded) per-k rollup; the join
+# back to documents is a plain equi hash join at pair grain.
+# ----------------------------------------------------------------------
+
+_NEG_SAMPLE_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+pairs AS (
+  SELECT d.doc_id AS anchor, k.k,
+         (d.doc_id + 1
+          + ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || k.k),
+                            1, 8))::BIGINT % (n.n - 1)) % n.n AS neg
+  FROM documents d, (SELECT unnest(range(1, 4)) AS k) k, n
+)
+SELECT p.k AS k,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN p.anchor = p.neg THEN 1 ELSE 0 END) AS BIGINT)
+         AS self_pairs,
+       CAST(COUNT(d2.doc_id) AS BIGINT) AS matched,
+       CAST(SUM(p.neg) AS BIGINT) AS neg_id_sum
+FROM pairs p LEFT JOIN documents d2 ON p.neg = d2.doc_id
+GROUP BY p.k ORDER BY p.k
+"""
+
+
+@query("negative_pair_sampling", _NEG_SAMPLE_ORACLE)
+def negative_pair_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 deterministic negatives per anchor doc — per-k pair counts,
+    the (necessarily zero) self-pair count, join coverage against the
+    real id space, and the negative-id checksum.  See section comment
+    for the no-RNG / no-self-pair construction."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n = docs.count()  # bounded: one scalar for the modulus literal
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("anchor").cast("string"),
+                    F.lit("#"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    pairs = (
+        spread(docs)
+        .select(F.col("doc_id").alias("anchor"))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "anchor",
+            "k",
+            (
+                (F.col("anchor") + 1 + h % F.lit(n - 1)) % F.lit(n)
+            ).alias("neg"),
+        )
+    )
+    d2 = docs.select(F.col("doc_id").alias("neg"), F.lit(1).alias("hit"))
+    return (
+        pairs.join(d2, "neg", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("anchor") == F.col("neg"), 1).otherwise(0)
+            ).alias("self_pairs"),
+            F.sum(F.coalesce("hit", F.lit(0)))
+            .cast("long")
+            .alias("matched"),
+            F.sum("neg").alias("neg_id_sum"),
+        )
+        .orderBy("k")
+    )
