@@ -4254,3 +4254,127 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ----------------------------------------------------------------------
+# Per-key linear trend (OLS slope/intercept from exact decimal
+# moments): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum
+# through DECIMAL(18,6) — the one-pass closed form is mergeable
+# (partial+final agg, no window, no sort) and the engine-native
+# linear-regression aggregates it replaces are accumulation-order
+# dependent (can't value-hash).  x is days since 2024-01-01 from
+# epoch micros (the proven unix_micros/epoch_us parity).  The
+# trend-per-key shape is the monitoring primitive behind drift
+# detection at any number of keys.
+# ----------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 86400000000 AS x,
+         value AS y
+  FROM events
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+              AS DOUBLE) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS slope,
+       CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 AS DECIMAL(18,6)) AS DOUBLE) AS intercept
+FROM s ORDER BY event_type
+"""
+
+
+@query("trend_slope_per_key", _TREND_ORACLE)
+def trend_slope_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS value-vs-time slope and intercept per event type from
+    exact decimal moments — one mergeable pass, see section
+    comment."""
+    (events,) = _t(spark, sf_dir, "events")
+    x = (
+        (F.unix_micros("ts") - F.lit(1704067200000000)).cast("double")
+        / 86400000000
+    )
+    xd = x.cast("decimal(18,6)")
+    yd = F.col("value").cast("decimal(18,6)")
+    s = events.select("event_type", xd.alias("xd"), yd.alias("yd")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        s.select(
+            "event_type",
+            "n",
+            slope.cast("decimal(18,6)").cast("double").alias("slope"),
+            intercept.cast("decimal(18,6)").cast("double").alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------------------------------------------
+# k-anonymity audit: for a quasi-identifier set, how re-identifiable
+# is the table?  Reports the equivalence-class landscape — class
+# count, minimum class size (the k in k-anonymity), and how many
+# ROWS sit in classes below the k=5 threshold (the population a
+# release would endanger).  One partial-aggregated group-by to class
+# sizes; every later step runs on the reduced class frame.  The QI
+# set here is (nationkey, mktsegment) on customer — the audit shape
+# is column-agnostic.
+# ----------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_classes,
+       MIN(sz) AS k_anonymity,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k5,
+       CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k5,
+       CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM classes
+"""
+
+
+@query("k_anonymity_audit", _KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity of customer under the (nationkey, mktsegment)
+    quasi-identifier: class count, min class size, and the rows/
+    classes under the k=5 release threshold — reduce-first, see
+    section comment."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    classes = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("sz").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < 5, F.col("sz")).otherwise(0)).alias(
+            "rows_below_k5"
+        ),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0)).alias(
+            "classes_below_k5"
+        ),
+        F.sum("sz").alias("n_rows"),
+    )
