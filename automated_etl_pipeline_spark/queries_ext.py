@@ -4378,3 +4378,141 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("sz").alias("n_rows"),
     )
+
+
+# ----------------------------------------------------------------------
+# Seasonality profile: hour-of-day share and micro-averaged value per
+# event type — the periodic-pattern decomposition behind staffing /
+# anomaly baselines ("is 3am traffic low, or broken?").  One
+# partial-aggregated (type, hour) group-by; shares are ratios of
+# integer counts against a per-type window total on the REDUCED
+# 24-row-per-type frame; averages are the exact decimal micro-average
+# recipe.  The uniformity deviation (share - 1/24) is pinned per cell.
+# ----------------------------------------------------------------------
+
+_SEASONALITY_ORACLE = """
+WITH c AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hod, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
+       CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)
+                 AS DECIMAL(18,6)) AS DOUBLE) AS share,
+       CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)
+                 - 1.0 / 24 AS DECIMAL(18,6)) AS DOUBLE) AS dev_uniform,
+       CAST(sv AS DOUBLE) / n AS avg_value
+FROM c ORDER BY event_type, hod
+"""
+
+
+@query("seasonality_profile", _SEASONALITY_ORACLE)
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day event share, deviation from uniform, and exact
+    micro-averaged value per event type — reduce-first, see section
+    comment."""
+    (events,) = _t(spark, sf_dir, "events")
+    c = events.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+    )
+    tot = F.sum("n").over(Window.partitionBy("event_type"))
+    share = F.col("n").cast("double") / tot
+    return (
+        c.select(
+            "event_type",
+            "hod",
+            "n",
+            share.cast("decimal(18,6)").cast("double").alias("share"),
+            (share - F.lit(1.0) / 24)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("dev_uniform"),
+            (F.col("sv").cast("double") / F.col("n")).alias("avg_value"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+# ----------------------------------------------------------------------
+# Gini concentration of customer spend per nation — the inequality /
+# concentration audit (is one buyer the whole market?).  The rank-
+# weighted form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n needs an ordered
+# rank per group (per-key window over the customer-grain REDUCED
+# spend frame, not orders), and the weighted sum Σ(i·x_i) is kept in
+# EXACT DECIMAL (bigint rank × decimal spend) — a double Σ(i·x)
+# would be accumulation-order dependent and unhashable.  Only the
+# final ratio is double.
+# ----------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH spend AS (
+  SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT nk, s, ROW_NUMBER() OVER (PARTITION BY nk ORDER BY s, ck) AS i,
+         COUNT(*) OVER (PARTITION BY nk) AS n,
+         SUM(s) OVER (PARTITION BY nk) AS tot
+  FROM spend
+)
+SELECT nk AS nationkey, ANY_VALUE(n) AS n_customers,
+       CAST(ANY_VALUE(tot) AS DOUBLE) AS total_spend,
+       CAST(CAST(2.0 * CAST(SUM(i * s) AS DOUBLE)
+                 / (ANY_VALUE(n) * CAST(ANY_VALUE(tot) AS DOUBLE))
+                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n)
+            AS DECIMAL(18,6)) AS DOUBLE) AS gini
+FROM r GROUP BY nk ORDER BY nk
+"""
+
+
+@query("gini_concentration", _GINI_ORACLE)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend (exact-decimal
+    rank-weighted sums; see section comment)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    spend = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        )
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.col("c_nationkey").alias("nk"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+        )
+    )
+    w = Window.partitionBy("nk")
+    r = spend.select(
+        "nk",
+        "s",
+        F.row_number().over(w.orderBy("s", "ck")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("s").over(w).alias("tot"),
+    )
+    gini = (
+        F.lit(2.0)
+        * F.sum(F.col("i").cast("decimal(18,0)") * F.col("s")).cast("double")
+        / (F.first("n") * F.first("tot").cast("double"))
+        - (F.first("n") + F.lit(1.0)) / F.first("n")
+    )
+    return (
+        r.groupBy("nk")
+        .agg(
+            F.first("n").alias("n_customers"),
+            F.first("tot").cast("double").alias("total_spend"),
+            gini.cast("decimal(18,6)").cast("double").alias("gini"),
+        )
+        .select(
+            F.col("nk").alias("nationkey"),
+            "n_customers",
+            "total_spend",
+            "gini",
+        )
+        .orderBy("nationkey")
+    )
