@@ -4516,3 +4516,79 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+# ----------------------------------------------------------------------
+# 2-D skyline (Pareto front): orders not dominated on (newer date,
+# higher price) — the multi-criteria shortlist operator.  Exact and
+# reduce-first: collapse to one (date, max price) row per date (the
+# per-date max can never be dominated by same-date rows; dominated
+# rows can't resurface), then the skyline test on the REDUCED frame
+# is a single ordered cumulative-max window: a date survives iff its
+# max price strictly exceeds every strictly-later date's max.  The
+# window runs over date-cardinality rows (bounded by the time span),
+# never order grain, and all comparisons are decimal/date-exact —
+# no floats anywhere.  Skyline membership of individual orders =
+# equi-join back on the (date, price) point (count reported).
+# ----------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH perday AS (
+  SELECT o_orderdate AS d, MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS p
+  FROM orders GROUP BY 1
+),
+sk AS (
+  SELECT d, p,
+         MAX(p) OVER (ORDER BY d DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS later_max
+  FROM perday
+),
+front AS (
+  SELECT d, p FROM sk WHERE later_max IS NULL OR p > later_max
+)
+SELECT strftime(f.d, '%Y%m%d') AS order_day,
+       CAST(f.p AS DOUBLE) AS price,
+       COUNT(*) AS n_orders_at_point
+FROM front f JOIN orders o
+  ON o.o_orderdate = f.d AND CAST(o.o_totalprice AS DECIMAL(18,2)) = f.p
+GROUP BY f.d, f.p ORDER BY f.d
+"""
+
+
+@query("skyline_pareto_front", _SKYLINE_ORACLE)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal (date, price) points over orders with the count
+    of orders sitting on each point — reduce-first skyline, see
+    section comment."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    perday = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max(F.col("o_totalprice").cast("decimal(18,2)")).alias("p")
+    )
+    w = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = (
+        perday.withColumn("later_max", F.max("p").over(w))
+        .filter(
+            F.col("later_max").isNull() | (F.col("p") > F.col("later_max"))
+        )
+        .select("d", "p")
+    )
+    return (
+        F.broadcast(front)
+        .join(
+            orders,
+            (orders.o_orderdate == F.col("d"))
+            & (orders.o_totalprice.cast("decimal(18,2)") == F.col("p")),
+        )
+        .groupBy("d", "p")
+        .agg(F.count(F.lit(1)).alias("n_orders_at_point"))
+        .select(
+            F.date_format("d", "yyyyMMdd").alias("order_day"),
+            F.col("p").cast("double").alias("price"),
+            "n_orders_at_point",
+        )
+        .orderBy("order_day")
+    )
