@@ -4592,3 +4592,90 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_day")
     )
+
+
+# ----------------------------------------------------------------------
+# Two-sample KS drift statistic: max |CDF_a - CDF_b| between the
+# pre- and post-1997-06 price distributions — the distribution-drift
+# monitor (train vs serve, yesterday vs today) in its log-free form
+# (PSI needs log ratios; KS is pure rational arithmetic, so the gate
+# hashes exactly).  Values are binned to $500 integer buckets FIRST
+# (floor division on exact cents) — the standard practice for
+# monitoring, and what bounds the CDF frame: the cumulative window
+# runs over bin-cardinality rows (~1.2k), never value or row grain.
+# Counts, cumulative sums, and the final max are integers and exact
+# ratios of integers end-to-end.
+# ----------------------------------------------------------------------
+
+_KS_DRIFT_ORACLE = """
+WITH a AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000
+    AS bin
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'
+),
+b AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000
+    AS bin
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+),
+bins AS (
+  SELECT bin, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+    SELECT bin, 1 AS ca, 0 AS cb FROM a
+    UNION ALL SELECT bin, 0, 1 FROM b) GROUP BY bin
+),
+cum AS (
+  SELECT bin,
+         SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cna,
+         SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cnb,
+         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+  FROM bins
+)
+SELECT CAST(CAST(MAX(abs(CAST(cna AS DOUBLE) / na - CAST(cnb AS DOUBLE) / nb))
+            AS DECIMAL(18,6)) AS DOUBLE) AS ks_stat,
+       ANY_VALUE(na) AS n_before, ANY_VALUE(nb) AS n_after,
+       COUNT(*) AS n_bins
+FROM cum
+"""
+
+
+@query("ks_drift_statistic", _KS_DRIFT_ORACLE)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between pre/post-1997-06 price
+    distributions, with sample sizes and bin count — log-free drift
+    detection over a bounded CDF frame (see section comment)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    tagged = orders.select(
+        F.floor(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "bigint"
+            )
+            / 50000
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0).alias("ca"),
+        F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0).alias("cb"),
+    )
+    bins = tagged.groupBy("bin").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.sum("ca").over(wcum).alias("cna"),
+        F.sum("cb").over(wcum).alias("cnb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    diff = F.abs(
+        F.col("cna").cast("double") / F.col("na")
+        - F.col("cnb").cast("double") / F.col("nb")
+    )
+    return cum.agg(
+        F.max(diff).cast("decimal(18,6)").cast("double").alias("ks_stat"),
+        F.first("na").alias("n_before"),
+        F.first("nb").alias("n_after"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
