@@ -51,10 +51,13 @@ def robust_group_stats(
     """Per-group robust outlier statistics over ``value_col``.
 
     Returns one row per group: ``n_rows``, ``med``, ``mad``,
-    ``n_outliers`` (|z| > z_cut), and ``max_z`` (the most extreme
-    robust z in the group, decimal(18,6)-stabilized).  ``approx=True``
-    selects the single-pass mergeable GK percentile (the 100 TB path;
-    not oracle-exact).
+    ``n_outliers`` (|z| > z_cut), and ``max_z_micro`` (the most
+    extreme robust z in the group as ``floor(z * 1e6)`` BIGINT —
+    floor of a deterministic IEEE double is bit-identical across
+    engines, unlike a double->DECIMAL cast, which rounds onto a
+    decimal grid and can tie-break differently per engine build).
+    ``approx=True`` selects the single-pass mergeable GK percentile
+    (the 100 TB path; not oracle-exact).
     """
     x = F.col(value_col).cast("double")
     pctl = (
@@ -86,9 +89,9 @@ def robust_group_stats(
             F.sum(
                 F.when(F.col("__z") > F.lit(z_cut), 1).otherwise(0)
             ).alias("n_outliers"),
-            F.max(F.col("__z").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("max_z"),
+            F.max(
+                F.floor(F.col("__z") * 1_000_000).cast("bigint")
+            ).alias("max_z_micro"),
         )
     )
 
@@ -120,10 +123,15 @@ def mad_filter(
         .groupBy(*group_cols)
         .agg(pctl(F.col("__adev")).alias("__mad"))
     )
+    # x.isNull() keeps NULL-valued rows uniformly: without it a NULL
+    # comparison is false in where(), so NULL rows would be dropped in
+    # normal groups yet kept in degenerate MAD == 0 groups — an outlier
+    # filter must never silently judge missing values (ADVICE r8).
     return (
         with_med.join(F.broadcast(mad), group_cols)
         .where(
-            (F.col("__mad") == 0)  # degenerate group: keep everything
+            x.isNull()
+            | (F.col("__mad") == 0)  # degenerate group: keep everything
             | (
                 F.abs(x - F.col("__med"))
                 <= F.lit(z_cut) * F.lit(MAD_SIGMA) * F.col("__mad")

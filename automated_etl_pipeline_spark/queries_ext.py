@@ -3140,8 +3140,9 @@ WITH l AS (SELECT c_nationkey AS k, COUNT(*) AS left_cnt
                   left_cnt * right_cnt AS est_rows
            FROM l JOIN r USING (k))
 SELECT k, left_cnt, right_cnt, est_rows,
-       CAST(CAST(est_rows AS DOUBLE) / SUM(est_rows) OVER ()
-            AS DECIMAL(18,6)) AS pct
+       CAST(SUM(est_rows) OVER () AS BIGINT) AS total_rows,
+       CAST(est_rows * 1000000 // SUM(est_rows) OVER () AS BIGINT)
+         AS share_ppm
 FROM j ORDER BY est_rows DESC, k LIMIT 10
 """
 
@@ -3167,11 +3168,14 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_rows", F.col("left_cnt") * F.col("right_cnt")
     )
     total = Window.partitionBy()  # over the reduced per-key frame only
+    # Exact-integer share: est_rows*1e6 DIV total (floor division on
+    # BIGINTs, bit-identical in any engine build) — never a double
+    # ratio rounded onto a DECIMAL grid (the r8 driver-red construct).
     return (
-        j.withColumn(
-            "pct",
-            (F.col("est_rows").cast("double") / F.sum("est_rows").over(total))
-            .cast("decimal(18,6)"),
+        j.withColumn("total_rows", F.sum("est_rows").over(total))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(est_rows * 1000000L DIV total_rows AS BIGINT)"),
         )
         .orderBy(F.desc("est_rows"), "k")
         .limit(10)
@@ -3285,7 +3289,7 @@ filled AS (
 SELECT user_id % 50 AS bucket,
        COUNT(*) AS n_hours,
        SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
-       CAST(SUM(CAST(locf AS DECIMAL(18,6))) AS DOUBLE) AS sum_locf
+       SUM(CAST(floor(locf * 100) AS BIGINT)) AS sum_locf_cents
 FROM filled GROUP BY bucket ORDER BY bucket
 """
 
@@ -3329,9 +3333,14 @@ def locf_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("last_val").isNull(), 1).otherwise(0)
             ).alias("n_filled"),
-            F.sum(F.col("locf").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_locf"),
+            # floor(x*100) of the SAME IEEE double is bit-identical in
+            # every engine build (multiply + floor are required IEEE
+            # ops); summing the resulting BIGINT cents is exact and
+            # order-free — no decimal-grid rounding anywhere (r9 fix
+            # for the r8 driver-red DECIMAL(18,6) construct).
+            F.sum(
+                F.floor(F.col("locf") * 100).cast("bigint")
+            ).alias("sum_locf_cents"),
         )
         .orderBy("bucket")
     )
@@ -3426,10 +3435,10 @@ def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------------------
 # Rolling-window anomaly detection: per-user trailing-24h z-scores
-# from EXACT decimal window moments.  Engine-native stddev over a
+# from EXACT integer window moments.  Engine-native stddev over a
 # window is accumulation-order dependent (can't value-hash); here
-# sum and sum-of-squares go through DECIMAL(18,6) inside the frame
-# (the stats_moments_orders recipe, applied to RANGE frames), so the
+# sum and sum-of-squares accumulate BIGINT cents (floor(value*100),
+# bit-identical in any engine build) inside the frame, so the
 # variance (s2 - s^2/n)/(n-1) is bit-identical across engines and
 # the z threshold cannot flicker.  Per-key RANGE windows in
 # event-time micros — no global sort, state bounded by each key's
@@ -3440,25 +3449,33 @@ def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _ROLLING_ANOMALY_ORACLE = """
-WITH w AS (
-  SELECT user_id, value,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))
-                  * CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS s2,
+WITH e AS (
+  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS xc FROM events
+),
+w AS (
+  SELECT user_id, xc,
+         SUM(xc) OVER win AS sc,
+         SUM(xc * xc) OVER win AS s2c,
          COUNT(*) OVER win AS n
-  FROM events
+  FROM e
   WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 ),
 z AS (
   SELECT user_id,
-         CASE WHEN n >= 5 AND (s2 - s*s/n) / (n-1) > 0
-              THEN abs(value - s/n) / sqrt((s2 - s*s/n) / (n-1)) END AS zscore
+         CASE WHEN n >= 5 AND
+                   (CAST(s2c AS DOUBLE)
+                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)
+                   > 0
+              THEN abs(CAST(xc AS DOUBLE) - CAST(sc AS DOUBLE) / n)
+                   / sqrt((CAST(s2c AS DOUBLE)
+                           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
+                          / (n - 1)) END AS zscore
   FROM w
 )
 SELECT user_id % 20 AS bucket, COUNT(*) AS n_events,
        SUM(CASE WHEN zscore > 1.6 THEN 1 ELSE 0 END) AS n_anomalies,
-       CAST(MAX(CAST(zscore AS DECIMAL(18,6))) AS DOUBLE) AS max_z
+       MAX(CAST(floor(zscore * 1000000) AS BIGINT)) AS max_z_micro
 FROM z GROUP BY bucket ORDER BY bucket
 """
 
@@ -3466,29 +3483,41 @@ FROM z GROUP BY bucket ORDER BY bucket
 @query("rolling_anomaly_zscores", _ROLLING_ANOMALY_ORACLE)
 def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h per-user z-score anomalies rolled up to 20 hash
-    buckets (event count, anomaly count at z > 1.6, max z) — the
-    exact-decimal window-moment construction makes an order-dependent
-    statistic value-hashable (see section comment)."""
+    buckets (event count, anomaly count at z > 1.6, max z in floored
+    micro-units) — the exact-integer window-moment construction makes
+    an order-dependent statistic value-hashable (see section
+    comment)."""
     (events,) = _t(spark, sf_dir, "events")
     win = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-86_400_000_000, 0)
     )
-    vdec = F.col("value").cast("decimal(18,6)")
+    # r9 determinism rework: window moments accumulate BIGINT cents
+    # (floor(value*100) of the same IEEE double is bit-identical in any
+    # engine build), so sums are exact integers with no decimal-grid
+    # rounding; z is scale-invariant, so cent-space z == dollar-space z
+    # up to the SAME deterministic double ops on both engines; the gate
+    # value is floor(z*1e6) — required-IEEE ops only (mul/div/sqrt/abs/
+    # floor), never a double->DECIMAL cast (the r8 driver-red construct).
+    xc = F.floor(F.col("value") * 100).cast("bigint")
     w = events.select(
         "user_id",
-        "value",
-        F.sum(vdec).over(win).cast("double").alias("s"),
-        F.sum(vdec * vdec).over(win).cast("double").alias("s2"),
+        xc.alias("xc"),
+        "ts",
+    ).select(
+        "user_id",
+        "xc",
+        F.sum("xc").over(win).alias("sc"),
+        F.sum(F.col("xc") * F.col("xc")).over(win).alias("s2c"),
         F.count(F.lit(1)).over(win).alias("n"),
     )
-    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n")) / (
-        F.col("n") - 1
-    )
+    sd = F.col("sc").cast("double")
+    s2d = F.col("s2c").cast("double")
+    var = (s2d - sd * sd / F.col("n")) / (F.col("n") - 1)
     z = F.when(
         (F.col("n") >= 5) & (var > 0),
-        F.abs(F.col("value") - F.col("s") / F.col("n")) / F.sqrt(var),
+        F.abs(F.col("xc").cast("double") - sd / F.col("n")) / F.sqrt(var),
     )
     scored = w.select("user_id", z.alias("zscore"))
     return (
@@ -3498,9 +3527,9 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(F.col("zscore") > 1.6, 1).otherwise(0)
             ).alias("n_anomalies"),
-            F.max(F.col("zscore").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("max_z"),
+            F.max(
+                F.floor(F.col("zscore") * 1_000_000).cast("bigint")
+            ).alias("max_z_micro"),
         )
         .orderBy("bucket")
     )
@@ -3588,33 +3617,40 @@ def fd_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in-query: it computes merged(old-partials, new-batch) AND the
 # full-history recompute, emits both sums and the equality booleans —
 # a non-mergeable component (e.g. avg stored as avg) would break the
-# hash immediately.  Decimal sums keep merge order irrelevant (the
-# queries.py determinism rule doing double duty as IVM correctness).
+# hash immediately.  BIGINT micro-unit sums keep merge order
+# irrelevant (exact integer addition — the determinism rule doing
+# double duty as IVM correctness).
 # ----------------------------------------------------------------------
 
 _INCR_MERGE_ORACLE = """
-WITH old_part AS (
-  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+WITH e AS (
+  SELECT event_type, ts, value,
+         CAST(floor(value * 1000000) AS BIGINT) AS v_mic
+  FROM events
+),
+old_part AS (
+  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
          MIN(value) AS mn, MAX(value) AS mx
-  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+  FROM e WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
 ),
 new_batch AS (
-  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
          MIN(value) AS mn, MAX(value) AS mx
-  FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+  FROM e WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
 ),
 merged AS (
-  SELECT event_type, SUM(n) AS n, SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+  SELECT event_type, SUM(n) AS n, CAST(SUM(s) AS BIGINT) AS s,
+         MIN(mn) AS mn, MAX(mx) AS mx
   FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_batch)
   GROUP BY event_type
 ),
 full_recompute AS (
-  SELECT event_type, COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,6))) AS s,
+  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
          MIN(value) AS mn, MAX(value) AS mx
-  FROM events GROUP BY event_type
+  FROM e GROUP BY event_type
 )
 SELECT m.event_type, m.n AS n_merged,
-       CAST(m.s AS DOUBLE) AS sum_merged,
+       m.s AS sum_merged_micros,
        (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
          AS merge_equals_full
 FROM merged m JOIN full_recompute f ON m.event_type = f.event_type
@@ -3630,11 +3666,19 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector is mergeable and what that buys at 100 TB)."""
     (events,) = _t(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    # r9 determinism rework: the mergeable sum accumulates BIGINT
+    # micro-units floor(value*1e6) — bit-identical per row in any
+    # engine build — instead of a per-row double->DECIMAL cast (the
+    # r8 driver-red construct).  Integer sums stay associative/
+    # order-free, so the merge-identity proof is unchanged.
+    events = events.withColumn(
+        "v_mic", F.floor(F.col("value") * 1_000_000).cast("bigint")
+    )
 
     def partials(df):
         return df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("s"),
+            F.sum("v_mic").alias("s"),
             F.min("value").alias("mn"),
             F.max("value").alias("mx"),
         )
@@ -3663,7 +3707,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             F.col("n").alias("n_merged"),
-            F.col("s").cast("double").alias("sum_merged"),
+            F.col("s").alias("sum_merged_micros"),
             (
                 (F.col("n") == F.col("fn"))
                 & (F.col("s") == F.col("fs"))
@@ -4630,8 +4674,7 @@ cum AS (
          SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
   FROM bins
 )
-SELECT CAST(CAST(MAX(abs(CAST(cna AS DOUBLE) / na - CAST(cnb AS DOUBLE) / nb))
-            AS DECIMAL(18,6)) AS DOUBLE) AS ks_stat,
+SELECT CAST(MAX(abs(cna * nb - cnb * na)) AS BIGINT) AS ks_num,
        ANY_VALUE(na) AS n_before, ANY_VALUE(nb) AS n_after,
        COUNT(*) AS n_bins
 FROM cum
@@ -4641,7 +4684,9 @@ FROM cum
 @query("ks_drift_statistic", _KS_DRIFT_ORACLE)
 def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned two-sample KS statistic between pre/post-1997-06 price
-    distributions, with sample sizes and bin count — log-free drift
+    distributions, emitted as the exact integer numerator
+    max|cna*nb - cnb*na| plus the two sample sizes (KS = ks_num /
+    (n_before*n_after)) and bin count — log-free, float-free drift
     detection over a bounded CDF frame (see section comment)."""
     (orders,) = _t(spark, sf_dir, "orders")
     cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
@@ -4669,12 +4714,16 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(wall).alias("na"),
         F.sum("cb").over(wall).alias("nb"),
     )
+    # |CDF_a - CDF_b| maximized as the integer cross-product
+    # |cna*nb - cnb*na| (same argmax since na*nb > 0 is constant):
+    # the gate is pure BIGINT arithmetic end-to-end — no double ratio,
+    # no decimal-grid rounding (r9 fix for the r8 driver-red cast).
+    # ks_stat itself is ks_num / (n_before*n_after), derivable exactly.
     diff = F.abs(
-        F.col("cna").cast("double") / F.col("na")
-        - F.col("cnb").cast("double") / F.col("nb")
+        F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na")
     )
     return cum.agg(
-        F.max(diff).cast("decimal(18,6)").cast("double").alias("ks_stat"),
+        F.max(diff).cast("bigint").alias("ks_num"),
         F.first("na").alias("n_before"),
         F.first("nb").alias("n_after"),
         F.count(F.lit(1)).alias("n_bins"),

@@ -2864,8 +2864,8 @@ SELECT v.source,
        ANY_VALUE(t.mad) AS mad,
        SUM(CASE WHEN v.adev / (1.4826 * t.mad) > 3.0 THEN 1 ELSE 0 END)
          AS n_outliers,
-       CAST(MAX(CAST(v.adev / (1.4826 * t.mad) AS DECIMAL(18,6))) AS DOUBLE)
-         AS max_z
+       MAX(CAST(floor(v.adev / (1.4826 * t.mad) * 1000000) AS BIGINT))
+         AS max_z_micro
 FROM dev v JOIN mad t USING (source)
 GROUP BY v.source ORDER BY v.source
 """
