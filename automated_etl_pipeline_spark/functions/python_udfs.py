@@ -32,6 +32,19 @@ def geometric_mean(v: pd.Series) -> float:
     return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
 
 
+@pandas_udf("long")
+def log_sum_e4(v: pd.Series) -> int:
+    """Grouped-aggregate pandas UDF returning the EXACT integer
+    ``sum(floor(ln(x) * 1e4))`` per group.  The geometric mean derives
+    as ``exp(log_sum_e4 / 1e4 / n)``, but unlike ``exp(avg(ln(x)))``
+    the gate value is an integer sum — summation order cannot move
+    it, so a SQL oracle can hash-match the Python path exactly
+    instead of within a rounding tolerance (the r9 determinism rule:
+    UDF boundary-crossing proofs use integer-valued statistics)."""
+    x = v.to_numpy(dtype="float64")
+    return int(np.floor(np.log(x) * 1e4).astype(np.int64).sum())
+
+
 @udtf(returnType="sentence_idx int, sentence string")
 class SplitSentences:
     """UDTF: one document row -> one row per '.'-delimited sentence.
@@ -48,3 +61,4 @@ def register_all(spark) -> None:
     """Expose the UDTF/UDFs to the SQL surface by name."""
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udf.register("geometric_mean", geometric_mean)
+    spark.udf.register("log_sum_e4", log_sum_e4)

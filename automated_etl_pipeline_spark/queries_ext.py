@@ -1327,7 +1327,7 @@ def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1335,7 +1335,8 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level salted aggregation over a low-cardinality (so
     inherently skewed) key: rows first aggregate on (key, salt16) —
     spreading each hot key over 16 reducers — then the 16 partials
-    combine per key.  Partials stay DECIMAL until the final cast, so
+    combine per key.  Partials stay exact BIGINT micro-units
+    (floor(value*1e6), bit-identical per row in any engine build), so
     the result is bit-identical to the direct groupBy (the oracle).
     Spark's map-side partial aggregation makes plain COUNT/SUM safe
     unsalted; the salt pattern is the template for the cases where
@@ -1347,13 +1348,15 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("event_type", "__salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("psum"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000).cast("bigint")
+        ).alias("psum"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("pn").alias("n_events"),
-            F.sum("psum").cast("double").alias("sum_value"),
+            F.sum("psum").alias("sum_value_micros"),
         )
         .orderBy("event_type")
     )
@@ -3966,18 +3969,17 @@ psup AS (
 ),
 rules AS (
   SELECT u AS antecedent, v AS consequent, s_uv,
-         CAST(CAST(CAST(s_uv AS DOUBLE) / su.s AS DECIMAL(18,6)) AS DOUBLE)
-           AS confidence
+         CAST(s_uv * 1000000 // su.s AS BIGINT) AS conf_ppm
   FROM psup JOIN isup su ON psup.u = su.item
   WHERE s_uv >= 2
   UNION ALL
   SELECT v, u, s_uv,
-         CAST(CAST(CAST(s_uv AS DOUBLE) / sv.s AS DECIMAL(18,6)) AS DOUBLE)
+         CAST(s_uv * 1000000 // sv.s AS BIGINT)
   FROM psup JOIN isup sv ON psup.v = sv.item
   WHERE s_uv >= 2
 )
-SELECT antecedent, consequent, s_uv AS pair_support, confidence
-FROM rules ORDER BY confidence DESC, antecedent, consequent LIMIT 25
+SELECT antecedent, consequent, s_uv AS pair_support, conf_ppm
+FROM rules ORDER BY conf_ppm DESC, antecedent, consequent LIMIT 25
 """
 
 
@@ -4013,10 +4015,10 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col(ante).alias("antecedent"),
                 F.col(cons).alias("consequent"),
                 F.col("s_uv"),
-                (F.col("s_uv").cast("double") / F.col("s_a"))
-                .cast("decimal(18,6)")
-                .cast("double")
-                .alias("confidence"),
+                # exact integer ppm (floor division on positive
+                # BIGINTs): no double ratio, no decimal-grid rounding
+                F.expr("CAST(s_uv * 1000000L DIV s_a AS BIGINT)")
+                .alias("conf_ppm"),
             )
         )
 
@@ -4027,9 +4029,9 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "antecedent",
             "consequent",
             F.col("s_uv").alias("pair_support"),
-            "confidence",
+            "conf_ppm",
         )
-        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .orderBy(F.desc("conf_ppm"), "antecedent", "consequent")
         .limit(25)
     )
 
@@ -4046,14 +4048,17 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of integer counts.
 # ----------------------------------------------------------------------
 
-_BENFORD = {
-    "1": 0.30103, "2": 0.176091, "3": 0.124939, "4": 0.09691,
-    "5": 0.079181, "6": 0.066947, "7": 0.057992, "8": 0.051153,
-    "9": 0.045757,
+# Benford expected first-digit shares as exact integer ppm (the
+# canonical 6-dp table log10(1+1/d), precomputed once * 1e6 — no
+# engine log10 is ever evaluated).
+_BENFORD_PPM = {
+    "1": 301030, "2": 176091, "3": 124939, "4": 96910,
+    "5": 79181, "6": 66947, "7": 57992, "8": 51153,
+    "9": 45757,
 }
 
 _BENFORD_CASE_SQL = "CASE d " + " ".join(
-    f"WHEN '{d}' THEN {s}" for d, s in _BENFORD.items()
+    f"WHEN '{d}' THEN {s}" for d, s in _BENFORD_PPM.items()
 ) + " END"
 
 _BENFORD_ORACLE = f"""
@@ -4065,11 +4070,10 @@ WITH digits AS (
 c AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
 tot AS (SELECT SUM(n) AS t FROM c)
 SELECT d AS digit, n,
-       CAST(CAST(CAST(n AS DOUBLE) / t AS DECIMAL(18,6)) AS DOUBLE)
-         AS share,
-       CAST({_BENFORD_CASE_SQL} AS DOUBLE) AS benford_share,
-       CAST(CAST(abs(CAST(n AS DOUBLE) / t - ({_BENFORD_CASE_SQL}))
-                 AS DECIMAL(18,6)) AS DOUBLE) AS abs_dev
+       CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+       CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm,
+       CAST(abs(n * 1000000 // t - ({_BENFORD_CASE_SQL})) AS BIGINT)
+         AS abs_dev_ppm
 FROM c, tot ORDER BY d
 """
 
@@ -4092,23 +4096,22 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = c.agg(F.sum("n").alias("t"))
     expr = None
-    for dig, s in _BENFORD.items():
-        cond = F.when(F.col("d") == dig, F.lit(s))
+    for dig, s in _BENFORD_PPM.items():
+        cond = F.when(F.col("d") == dig, F.lit(s).cast("bigint"))
         expr = cond if expr is None else expr.when(
-            F.col("d") == dig, F.lit(s)
+            F.col("d") == dig, F.lit(s).cast("bigint")
         )
-    share = F.col("n").cast("double") / F.col("t")
+    # exact integer ppm share (positive BIGINT floor division): the
+    # observed/expected comparison never leaves integer space
+    share_ppm = F.expr("CAST(n * 1000000L DIV t AS BIGINT)")
     return (
         c.crossJoin(F.broadcast(tot))
         .select(
             F.col("d").alias("digit"),
             "n",
-            share.cast("decimal(18,6)").cast("double").alias("share"),
-            expr.alias("benford_share"),
-            F.abs(share - expr)
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("abs_dev"),
+            share_ppm.alias("share_ppm"),
+            expr.alias("benford_ppm"),
+            F.abs(share_ppm - expr).alias("abs_dev_ppm"),
         )
         .orderBy("digit")
     )
@@ -4122,8 +4125,8 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicate — pair volume is bounded by per-user activity in the
 # window, never cross-user; the per-purchase touch count comes from a
 # window over the paired frame (purchase-grain, bounded).  Credit =
-# value / n_touch on identical doubles both engines, decimal-cast
-# before the order-insensitive sum.
+# value / n_touch on identical doubles both engines, floored to
+# BIGINT micro-units before the exact order-insensitive integer sum.
 # ----------------------------------------------------------------------
 
 _ATTRIBUTION_ORACLE = """
@@ -4144,13 +4147,13 @@ pt AS (
 ),
 credited AS (
   SELECT touch_type, COUNT(*) AS n_credited,
-         CAST(SUM(CAST(value / n_touch AS DECIMAL(18,6))) AS DOUBLE)
-           AS credit
+         SUM(CAST(floor(value / n_touch * 1000000) AS BIGINT))
+           AS credit_micros
   FROM pt GROUP BY touch_type
 ),
 direct AS (
   SELECT 'direct' AS touch_type, COUNT(*) AS n_credited,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS credit
+         SUM(CAST(floor(value * 1000000) AS BIGINT)) AS credit_micros
   FROM purchases p
   WHERE NOT EXISTS (
     SELECT 1 FROM touches t
@@ -4189,11 +4192,13 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     credited = pt.groupBy("touch_type").agg(
         F.count(F.lit(1)).alias("n_credited"),
+        # credit as floor-micros: value/n_touch is the same IEEE double
+        # in both engines; floor(x*1e6) is bit-identical, and the
+        # BIGINT sum is exact and order-free (no decimal-grid rounding)
         F.sum(
-            (F.col("value") / F.col("n_touch")).cast("decimal(18,6)")
-        )
-        .cast("double")
-        .alias("credit"),
+            F.floor(F.col("value") / F.col("n_touch") * 1_000_000)
+            .cast("bigint")
+        ).alias("credit_micros"),
     )
     direct = (
         purchases.join(
@@ -4204,9 +4209,9 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit("direct").alias("touch_type"),
             F.count(F.lit(1)).alias("n_credited"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("credit"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000).cast("bigint")
+            ).alias("credit_micros"),
         )
         .filter(F.col("n_credited") > 0)
     )
@@ -4217,37 +4222,43 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM change-point statistic per event type: the cumulative sum of
 # deviations from the series mean peaks exactly where the level
 # shifts — the classic offline change-point locator, here fully
-# deterministic because deviations go through DECIMAL(18,6) before
-# the ordered cumulative window (exact arithmetic — no float
-# accumulation drift to disagree across engines), and the argmax
-# timestamp is selected via a composite sortable string (zero-padded
-# exact-integer micro-units of |cusum| + timestamp), so ties at the
-# peak resolve to the LATEST timestamp in both engines by plain MAX.
-# Per-key ordered windows only; the mean is a bounded per-type frame
-# broadcast back.
+# deterministic because it runs in EXACT INTEGER space: with v_i =
+# floor(value_i * 1e6) micro-units, n the series length and s = Σv,
+# the mean-deviation prefix sum scaled by n is
+#   cusum_k = n·Σ_{i<=k} v_i − k·s = Σ_{i<=k} (v_i·n − s)
+# — a BIGINT window sum (positive scaling per type preserves both
+# the argmax and the peak ordering).  The argmax timestamp is
+# selected via a composite sortable string (zero-padded |cusum| +
+# timestamp), so ties at the peak resolve to the LATEST timestamp in
+# both engines by plain MAX.  Per-key ordered windows only; (n, s)
+# is a bounded per-type frame broadcast back.
 # ----------------------------------------------------------------------
 
 _CUSUM_ORACLE = """
-WITH m AS (
-  SELECT event_type,
-         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
-  FROM events GROUP BY event_type
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM e GROUP BY event_type
 ),
 c AS (
   SELECT e.event_type, e.ts,
-         SUM(CAST(e.value - m.mu AS DECIMAL(18,6))) OVER (
+         SUM(e.v * m.n - m.s) OVER (
            PARTITION BY e.event_type ORDER BY e.ts, e.event_id
            ROWS UNBOUNDED PRECEDING) AS cusum
-  FROM events e JOIN m ON e.event_type = m.event_type
+  FROM e JOIN m ON e.event_type = m.event_type
 ),
 k AS (
   SELECT event_type, cusum,
-         lpad(CAST(CAST(abs(cusum) * 1000000 AS BIGINT) AS VARCHAR), 20, '0')
+         lpad(CAST(CAST(abs(cusum) AS BIGINT) AS VARCHAR), 20, '0')
            || strftime(ts, '%Y%m%d%H%M%S') AS pick
   FROM c
 )
 SELECT event_type,
-       CAST(MAX(abs(cusum)) AS DOUBLE) AS max_cusum,
+       CAST(MAX(abs(cusum)) AS BIGINT) AS max_cusum_scaled,
        substr(MAX(pick), 21) AS argmax_ts,
        COUNT(*) AS n
 FROM k GROUP BY event_type ORDER BY event_type
@@ -4256,33 +4267,31 @@ FROM k GROUP BY event_type ORDER BY event_type
 
 @query("cusum_change_point", _CUSUM_ORACLE)
 def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type CUSUM peak (magnitude + deterministic argmax
-    timestamp + series length) — exact-decimal cumulative deviations,
-    see section comment."""
+    """Per-event-type CUSUM peak (n-scaled integer magnitude +
+    deterministic argmax timestamp + series length) — exact BIGINT
+    cumulative deviations, see section comment."""
     (events,) = _t(spark, sf_dir, "events")
-    m = events.groupBy("event_type").agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mu")
+    e = events.withColumn(
+        "v", F.floor(F.col("value") * 1_000_000).cast("bigint")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
     )
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = events.join(F.broadcast(m), "event_type").select(
+    c = e.join(F.broadcast(m), "event_type").select(
         "event_type",
         "ts",
-        F.sum((F.col("value") - F.col("mu")).cast("decimal(18,6)"))
+        F.sum(F.col("v") * F.col("n") - F.col("s"))
         .over(w)
         .alias("cusum"),
     )
     pick = F.concat(
         F.lpad(
-            (F.abs(F.col("cusum")) * 1000000)
-            .cast("bigint")
-            .cast("string"),
+            F.abs(F.col("cusum")).cast("bigint").cast("string"),
             20,
             "0",
         ),
@@ -4292,7 +4301,9 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select("event_type", "cusum", pick.alias("pick"))
         .groupBy("event_type")
         .agg(
-            F.max(F.abs(F.col("cusum"))).cast("double").alias("max_cusum"),
+            F.max(F.abs(F.col("cusum")))
+            .cast("bigint")
+            .alias("max_cusum_scaled"),
             F.substring(F.max("pick"), 21, 14).alias("argmax_ts"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -4301,74 +4312,85 @@ def cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------------
-# Per-key linear trend (OLS slope/intercept from exact decimal
-# moments): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with every sum
-# through DECIMAL(18,6) — the one-pass closed form is mergeable
-# (partial+final agg, no window, no sort) and the engine-native
-# linear-regression aggregates it replaces are accumulation-order
-# dependent (can't value-hash).  x is days since 2024-01-01 from
-# epoch micros (the proven unix_micros/epoch_us parity).  The
-# trend-per-key shape is the monitoring primitive behind drift
+# Per-key linear trend (OLS slope/intercept from exact integer
+# moments): slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x the
+# INTEGER day index (epoch-days − 19723, i.e. days since 2024-01-01;
+# positive floor division before the shift, so DIV/// agree) and y
+# in BIGINT cents (floor(value*100)) — every moment is an exact
+# integer sum, the one-pass closed form is mergeable (partial+final
+# agg, no window, no sort), and the engine-native linear-regression
+# aggregates it replaces are accumulation-order dependent (can't
+# value-hash).  Slope/intercept derive from the integer moments via
+# identical IEEE double ops and are emitted as floor(v*1e6) BIGINTs
+# (units: cents/day and cents) — no decimal-grid rounding anywhere.
+# The trend-per-key shape is the monitoring primitive behind drift
 # detection at any number of keys.
 # ----------------------------------------------------------------------
 
 _TREND_ORACLE = """
 WITH b AS (
   SELECT event_type,
-         CAST(epoch_us(ts) - 1704067200000000 AS DOUBLE) / 86400000000 AS x,
-         value AS y
+         epoch_us(ts) // 86400000000 - 19723 AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
   FROM events
 ),
 s AS (
   SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
-              AS DOUBLE) AS sxx
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
   FROM b GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+         CAST(sxx AS DOUBLE) AS sxxd
+  FROM s
 )
 SELECT event_type, n,
-       CAST(CAST((n * sxy - sx * sy) / (n * sxx - sx * sx)
-                 AS DECIMAL(18,6)) AS DOUBLE) AS slope,
-       CAST(CAST((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-                 AS DECIMAL(18,6)) AS DOUBLE) AS intercept
-FROM s ORDER BY event_type
+       CAST(floor((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                  * 1000000) AS BIGINT) AS slope_micro,
+       CAST(floor((syd - (nd * sxyd - sxd * syd)
+                         / (nd * sxxd - sxd * sxd) * sxd) / nd
+                  * 1000000) AS BIGINT) AS intercept_micro
+FROM d ORDER BY event_type
 """
 
 
 @query("trend_slope_per_key", _TREND_ORACLE)
 def trend_slope_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS value-vs-time slope and intercept per event type from
-    exact decimal moments — one mergeable pass, see section
-    comment."""
+    exact integer moments (day index x cents), emitted as floor-micro
+    BIGINTs — one mergeable pass, see section comment."""
     (events,) = _t(spark, sf_dir, "events")
-    x = (
-        (F.unix_micros("ts") - F.lit(1704067200000000)).cast("double")
-        / 86400000000
-    )
-    xd = x.cast("decimal(18,6)")
-    yd = F.col("value").cast("decimal(18,6)")
-    s = events.select("event_type", xd.alias("xd"), yd.alias("yd")).groupBy(
+    x = F.expr("unix_micros(ts) DIV 86400000000L - 19723")
+    y = F.floor(F.col("value") * 100).cast("bigint")
+    s = events.select("event_type", x.alias("x"), y.alias("y")).groupBy(
         "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xd").cast("double").alias("sx"),
-        F.sum("yd").cast("double").alias("sy"),
-        F.sum(F.col("xd") * F.col("yd")).cast("double").alias("sxy"),
-        F.sum(F.col("xd") * F.col("xd")).cast("double").alias("sxx"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
-    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    intercept = (syd - slope * sxd) / nd
     return (
         s.select(
             "event_type",
             "n",
-            slope.cast("decimal(18,6)").cast("double").alias("slope"),
-            intercept.cast("decimal(18,6)").cast("double").alias("intercept"),
+            F.floor(slope * 1_000_000).cast("bigint").alias("slope_micro"),
+            F.floor(intercept * 1_000_000)
+            .cast("bigint")
+            .alias("intercept_micro"),
         )
         .orderBy("event_type")
     )
@@ -4428,53 +4450,65 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Seasonality profile: hour-of-day share and micro-averaged value per
 # event type — the periodic-pattern decomposition behind staffing /
 # anomaly baselines ("is 3am traffic low, or broken?").  One
-# partial-aggregated (type, hour) group-by; shares are ratios of
-# integer counts against a per-type window total on the REDUCED
-# 24-row-per-type frame; averages are the exact decimal micro-average
-# recipe.  The uniformity deviation (share - 1/24) is pinned per cell.
+# partial-aggregated (type, hour) group-by; shares are exact integer
+# ppm (floor division of counts) against a per-type window total on
+# the REDUCED 24-row-per-type frame; value mass is an exact BIGINT
+# micro-unit sum.  The uniformity deviation is pinned per cell as the
+# exact integer numerator 24*n - total.
 # ----------------------------------------------------------------------
 
 _SEASONALITY_ORACLE = """
 WITH c AS (
   SELECT event_type, EXTRACT(HOUR FROM ts) AS hod, COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS sv
+         SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sv
   FROM events GROUP BY 1, 2
 )
 SELECT event_type, CAST(hod AS BIGINT) AS hod, n,
-       CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)
-                 AS DECIMAL(18,6)) AS DOUBLE) AS share,
-       CAST(CAST(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY event_type)
-                 - 1.0 / 24 AS DECIMAL(18,6)) AS DOUBLE) AS dev_uniform,
-       CAST(sv AS DOUBLE) / n AS avg_value
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS share_ppm,
+       CAST(24 * n - SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         AS dev24,
+       CAST(sv AS BIGINT) AS sum_value_micros
 FROM c ORDER BY event_type, hod
 """
 
 
 @query("seasonality_profile", _SEASONALITY_ORACLE)
 def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day event share, deviation from uniform, and exact
-    micro-averaged value per event type — reduce-first, see section
-    comment."""
+    """Hour-of-day event share (integer ppm), exact deviation-from-
+    uniform numerator dev24 = 24*n - total (dev = dev24/(24*total)),
+    and the exact micro-unit value sum per (type, hour) cell —
+    reduce-first, fully integer gate values, see section comment."""
     (events,) = _t(spark, sf_dir, "events")
     c = events.groupBy(
         "event_type", F.hour("ts").cast("long").alias("hod")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        F.sum(
+            F.floor(F.col("value") * 1_000_000).cast("bigint")
+        ).alias("sv"),
     )
     tot = F.sum("n").over(Window.partitionBy("event_type"))
-    share = F.col("n").cast("double") / tot
     return (
         c.select(
             "event_type",
             "hod",
             "n",
-            share.cast("decimal(18,6)").cast("double").alias("share"),
-            (share - F.lit(1.0) / 24)
-            .cast("decimal(18,6)")
-            .cast("double")
-            .alias("dev_uniform"),
-            (F.col("sv").cast("double") / F.col("n")).alias("avg_value"),
+            (F.col("n") * 1_000_000)
+            .cast("bigint")
+            .alias("__num"),
+            tot.alias("__tot"),
+            "sv",
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.expr("CAST(__num DIV __tot AS BIGINT)").alias("share_ppm"),
+            (24 * F.col("n") - F.col("__tot"))
+            .cast("bigint")
+            .alias("dev24"),
+            F.col("sv").alias("sum_value_micros"),
         )
         .orderBy("event_type", "hod")
     )
@@ -4483,18 +4517,20 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # Gini concentration of customer spend per nation — the inequality /
 # concentration audit (is one buyer the whole market?).  The rank-
-# weighted form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n needs an ordered
-# rank per group (per-key window over the customer-grain REDUCED
-# spend frame, not orders), and the weighted sum Σ(i·x_i) is kept in
-# EXACT DECIMAL (bigint rank × decimal spend) — a double Σ(i·x)
-# would be accumulation-order dependent and unhashable.  Only the
-# final ratio is double.
+# weighted form G = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) needs an
+# ordered rank per group (per-key window over the customer-grain
+# REDUCED spend frame, not orders); with spend in BIGINT cents the
+# weighted sum Σ(i·x_i) and both Gini terms are EXACT integers — a
+# double Σ(i·x) would be accumulation-order dependent and
+# unhashable, and a rounded ratio would hit the decimal-grid trap.
+# The gate emits the exact (numerator, denominator) pair.
 # ----------------------------------------------------------------------
 
 _GINI_ORACLE = """
 WITH spend AS (
   SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
-         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS s
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
   GROUP BY 1, 2
 ),
@@ -4505,19 +4541,20 @@ r AS (
   FROM spend
 )
 SELECT nk AS nationkey, ANY_VALUE(n) AS n_customers,
-       CAST(ANY_VALUE(tot) AS DOUBLE) AS total_spend,
-       CAST(CAST(2.0 * CAST(SUM(i * s) AS DOUBLE)
-                 / (ANY_VALUE(n) * CAST(ANY_VALUE(tot) AS DOUBLE))
-                 - (ANY_VALUE(n) + 1.0) / ANY_VALUE(n)
-            AS DECIMAL(18,6)) AS DOUBLE) AS gini
+       CAST(ANY_VALUE(tot) AS BIGINT) AS total_spend_cents,
+       CAST(2 * SUM(i * s) - (ANY_VALUE(n) + 1) * ANY_VALUE(tot) AS BIGINT)
+         AS gini_num,
+       CAST(ANY_VALUE(n) * ANY_VALUE(tot) AS BIGINT) AS gini_den
 FROM r GROUP BY nk ORDER BY nk
 """
 
 
 @query("gini_concentration", _GINI_ORACLE)
 def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-nation Gini coefficient of customer spend (exact-decimal
-    rank-weighted sums; see section comment)."""
+    """Per-nation Gini of customer spend as the exact integer pair
+    (gini_num, gini_den): G = (2·Σi·s − (n+1)·T) / (n·T) with spend
+    in BIGINT cents — rank-weighted sums stay integers end-to-end
+    (see section comment)."""
     orders, customer = _t(spark, sf_dir, "orders", "customer")
     spend = (
         orders.join(
@@ -4528,7 +4565,10 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nk"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("bigint")
+            ).alias("s")
         )
     )
     w = Window.partitionBy("nk")
@@ -4539,24 +4579,27 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("s").over(w).alias("tot"),
     )
-    gini = (
-        F.lit(2.0)
-        * F.sum(F.col("i").cast("decimal(18,0)") * F.col("s")).cast("double")
-        / (F.first("n") * F.first("tot").cast("double"))
-        - (F.first("n") + F.lit(1.0)) / F.first("n")
-    )
     return (
         r.groupBy("nk")
         .agg(
             F.first("n").alias("n_customers"),
-            F.first("tot").cast("double").alias("total_spend"),
-            gini.cast("decimal(18,6)").cast("double").alias("gini"),
+            F.first("tot").cast("bigint").alias("total_spend_cents"),
+            (
+                2 * F.sum(F.col("i") * F.col("s"))
+                - (F.first("n") + 1) * F.first("tot")
+            )
+            .cast("bigint")
+            .alias("gini_num"),
+            (F.first("n") * F.first("tot"))
+            .cast("bigint")
+            .alias("gini_den"),
         )
         .select(
             F.col("nk").alias("nationkey"),
             "n_customers",
-            "total_spend",
-            "gini",
+            "total_spend_cents",
+            "gini_num",
+            "gini_den",
         )
         .orderBy("nationkey")
     )

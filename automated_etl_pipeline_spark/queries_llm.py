@@ -2809,8 +2809,9 @@ def _rproj_oracle() -> str:
     )
     SELECT label,
            COUNT(*) AS n_vecs,
-           CAST(SUM(CAST(list_sum(list_transform(proj, x -> x * x))
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm2
+           CAST(SUM(CAST(floor(list_sum(list_transform(proj, x -> x * x))
+                               * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_norm2_micro
     FROM p GROUP BY label ORDER BY label
     """
 
@@ -2832,12 +2833,18 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm2 = F.aggregate(
         F.col("proj"), F.lit(0.0), lambda acc, x: acc + x * x
     )
+    # floor(norm2 * 1e6): norm2 is the same left-fold of identical
+    # IEEE doubles in both engines, so the floored BIGINT micro value
+    # is bit-identical — no double->DECIMAL grid rounding in the gate
     return (
-        p.select("label", norm2.cast("decimal(18,6)").alias("n2"))
+        p.select(
+            "label",
+            F.floor(norm2 * 1_000_000).cast("bigint").alias("n2"),
+        )
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("n2").cast("double").alias("sum_norm2"),
+            F.sum("n2").alias("sum_norm2_micro"),
         )
         .orderBy("label")
     )
@@ -2922,11 +2929,11 @@ ranked AS (
   FROM cnt
 )
 SELECT lang,
-       COUNT(*) FILTER (WHERE cum - c < 0.9 * total) AS n_kept,
+       COUNT(*) FILTER (WHERE (cum - c) * 10 < 9 * total) AS n_kept,
        COUNT(*) AS vocab_size,
-       MIN(c) FILTER (WHERE cum - c < 0.9 * total) AS cutoff_cnt,
-       CAST(CAST(SUM(c) FILTER (WHERE cum - c < 0.9 * total) AS DOUBLE)
-            / ANY_VALUE(total) AS DECIMAL(18,6)) AS kept_mass
+       MIN(c) FILTER (WHERE (cum - c) * 10 < 9 * total) AS cutoff_cnt,
+       CAST(SUM(c) FILTER (WHERE (cum - c) * 10 < 9 * total) * 1000000
+            // ANY_VALUE(total) AS BIGINT) AS kept_mass_ppm
 FROM ranked GROUP BY lang ORDER BY lang
 """
 
@@ -2936,10 +2943,13 @@ def vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language nucleus vocabulary cutoff: the smallest
     count-ranked token prefix covering 90% of the language's token
     mass, with kept-set size, the count at the cutoff, and the mass
-    actually covered (first prefix to CROSS p, so kept_mass >= 0.9 by
-    construction — an in-query-checkable guarantee).  One (lang,
-    token) count shuffle; the ranking window and the aggregate run on
-    the reduced vocab frame only (see section comment)."""
+    actually covered in exact integer ppm (first prefix to CROSS p,
+    so kept_mass_ppm >= 900000 by construction — an in-query-
+    checkable guarantee).  The 0.9 cut itself is the integer
+    comparison (cum-c)*10 < 9*total, so neither the threshold nor
+    the mass ever touches a float.  One (lang, token) count shuffle;
+    the ranking window and the aggregate run on the reduced vocab
+    frame only (see section comment)."""
     (docs,) = _t(spark, sf_dir, "documents")
     tok = spread(docs).select(
         "lang", F.explode(F.split("text", " ")).alias("token")
@@ -2953,19 +2963,23 @@ def vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = cnt.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
         "total", F.sum("c").over(Window.partitionBy("lang"))
     )
-    kept = (F.col("cum") - F.col("c")) < F.lit(0.9) * F.col("total")
+    kept = (F.col("cum") - F.col("c")) * 10 < 9 * F.col("total")
     return (
         ranked.groupBy("lang")
         .agg(
             F.count(F.when(kept, 1)).alias("n_kept"),
             F.count(F.lit(1)).alias("vocab_size"),
             F.min(F.when(kept, F.col("c"))).alias("cutoff_cnt"),
-            (
-                F.sum(F.when(kept, F.col("c"))).cast("double")
-                / F.first("total")
-            )
-            .cast("decimal(18,6)")
-            .alias("kept_mass"),
+            F.sum(F.when(kept, F.col("c"))).alias("__kc"),
+            F.first("total").alias("__tot"),
+        )
+        .select(
+            "lang",
+            "n_kept",
+            "vocab_size",
+            "cutoff_cnt",
+            F.expr("CAST(__kc * 1000000L DIV __tot AS BIGINT)")
+            .alias("kept_mass_ppm"),
         )
         .orderBy("lang")
     )
@@ -3270,22 +3284,23 @@ def quota_stratified_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMPSON_ORACLE = """
 WITH s AS (
-  SELECT lang, ROUND(1.0 - (((CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)))), 6) AS simpson FROM documents
+  SELECT lang, CAST(floor((1.0 - (((CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'a', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'b', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'c', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'd', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'e', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'f', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'g', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'h', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'i', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'j', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'k', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'l', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'm', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'n', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'o', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'p', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'q', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'r', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 's', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 't', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'u', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'v', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'w', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'x', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'y', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, 'z', '')) AS DOUBLE) / len(text))) + ((CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text)) * (CAST(len(text) - len(replace(text, ' ', '')) AS DOUBLE) / len(text))))) * 1000000) AS BIGINT) AS simpson_micro FROM documents
 )
 SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(simpson AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
-         AS avg_simpson,
-       MIN(simpson) AS min_simpson,
-       MAX(simpson) AS max_simpson
+       CAST(SUM(simpson_micro) AS BIGINT) AS sum_simpson_micro,
+       MIN(simpson_micro) AS min_simpson_micro,
+       MAX(simpson_micro) AS max_simpson_micro
 FROM s GROUP BY lang ORDER BY lang
 """
 
 
 @query("char_diversity_quality", _SIMPSON_ORACLE)
 def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language Simpson char-diversity stats (doc count, micro-avg
-    via exact decimal sums, min/max at 6 dp) — see section comment for
-    why Simpson and not Shannon, and the zero-shuffle scan shape."""
+    """Per-language Simpson char-diversity stats (doc count, exact
+    BIGINT sum/min/max of per-doc floor(simpson*1e6) micro-units) —
+    see section comment for why Simpson and not Shannon; the per-doc
+    ratios are identical IEEE doubles in both engines, so the floored
+    micro value is bit-identical with no decimal-grid rounding."""
     (docs,) = _t(spark, sf_dir, "documents")
     n = F.length("text").cast("double")
     sq_sum = F.lit(0.0)
@@ -3293,18 +3308,17 @@ def char_diversity_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt = F.length("text") - F.length(F.translate("text", ch, ""))
         ratio = cnt.cast("double") / n
         sq_sum = sq_sum + ratio * ratio
-    simpson = F.round(F.lit(1.0) - sq_sum, 6)
-    s = spread(docs).select("lang", simpson.alias("simpson"))
+    simpson_micro = F.floor(
+        (F.lit(1.0) - sq_sum) * 1_000_000
+    ).cast("bigint")
+    s = spread(docs).select("lang", simpson_micro.alias("simpson_micro"))
     return (
         s.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            (
-                F.sum(F.col("simpson").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_simpson"),
-            F.min("simpson").alias("min_simpson"),
-            F.max("simpson").alias("max_simpson"),
+            F.sum("simpson_micro").alias("sum_simpson_micro"),
+            F.min("simpson_micro").alias("min_simpson_micro"),
+            F.max("simpson_micro").alias("max_simpson_micro"),
         )
         .orderBy("lang")
     )
@@ -3344,10 +3358,9 @@ scored AS (
   FROM bc WHERE c_xy >= 5
 )
 SELECT s.bg AS bigram, s.c_xy AS n_pair,
-       CAST(CAST(CAST(s.c_xy AS DOUBLE) * t.n / (ux.c * uy.c)
-                 AS DECIMAL(18,6)) AS DOUBLE) AS lift
+       CAST(s.c_xy * t.n * 1000000 // (ux.c * uy.c) AS BIGINT) AS lift_ppm
 FROM scored s JOIN uc ux ON s.x = ux.w JOIN uc uy ON s.y = uy.w, tot t
-ORDER BY lift DESC, bigram LIMIT 25
+ORDER BY lift_ppm DESC, bigram LIMIT 25
 """
 
 
@@ -3386,10 +3399,10 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ux = uc.select(F.col("w").alias("x"), F.col("c").alias("c_x"))
     uy = uc.select(F.col("w").alias("y"), F.col("c").alias("c_y"))
-    lift = (
-        F.col("c_xy").cast("double")
-        * F.col("n")
-        / (F.col("c_x") * F.col("c_y"))
+    # exact integer ppm lift (positive BIGINT floor division): no
+    # double ratio, no decimal-grid rounding in the gate value
+    lift_ppm = F.expr(
+        "CAST(c_xy * n * 1000000L DIV (c_x * c_y) AS BIGINT)"
     )
     return (
         scored.join(F.broadcast(ux), "x")
@@ -3398,9 +3411,9 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("bg").alias("bigram"),
             F.col("c_xy").alias("n_pair"),
-            lift.cast("decimal(18,6)").cast("double").alias("lift"),
+            lift_ppm.alias("lift_ppm"),
         )
-        .orderBy(F.desc("lift"), "bigram")
+        .orderBy(F.desc("lift_ppm"), "bigram")
         .limit(25)
     )
 

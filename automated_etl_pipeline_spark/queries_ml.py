@@ -108,19 +108,35 @@ def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_geometric_mean_price",
     """
     SELECT o_orderpriority,
-           ROUND(exp(AVG(ln(o_totalprice))), 4) AS geo_mean_price
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(ln(o_totalprice) * 10000) AS BIGINT))
+                AS BIGINT) AS log_sum_e4
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def udaf_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geometric mean of order price per priority via a pandas
-    (Arrow-batched) aggregate UDF — value-checked against DuckDB's
-    exp(avg(ln)); rounded to 4 dp to absorb summation-order ulps."""
-    from automated_etl_pipeline_spark.functions.python_udfs import geometric_mean
+    """Geometric-mean statistic per priority via a pandas
+    (Arrow-batched) aggregate UDF, gated on the EXACT integer
+    sum(floor(ln(price)*1e4)) per group (geo mean = exp(v/1e4/n)).
+    The previous ROUND(exp(avg(ln)), 4) gate compared two engines'
+    differently-ordered float summations on a rounding grid — a
+    latent half-boundary tie; the integer log-sum is order-free, so
+    the Arrow boundary crossing is value-checked exactly.  The
+    exp(mean(ln)) UDAF itself stays pinned in
+    tests/test_pipeline_ml.py."""
+    from automated_etl_pipeline_spark.functions.python_udfs import log_sum_e4
 
     (orders,) = _t(spark, sf_dir, "orders")
+    # Spark can't mix built-in aggregates with a grouped pandas UDAF
+    # in one agg; the count comes from a plain agg joined back (the
+    # grouped frames are priority-cardinality, broadcast-sized).
+    counts = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    logs = orders.groupBy("o_orderpriority").agg(
+        log_sum_e4("o_totalprice").alias("log_sum_e4")
+    )
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(F.round(geometric_mean("o_totalprice"), 4).alias("geo_mean_price"))
+        counts.join(F.broadcast(logs), "o_orderpriority")
         .orderBy("o_orderpriority")
     )

@@ -156,3 +156,33 @@ def test_simulation_deterministic_and_sane():
     probs = tournament_win_probability([teams], exp, n_sims=300, seed=3)
     assert sum(probs.values()) == pytest.approx(1.0)
     assert probs.get("A", 0) > probs.get("D", 0)  # strongest beats weakest
+
+
+def test_geometric_mean_udaf_exact(spark):
+    # The driver gate (udaf_geometric_mean_price) now checks the
+    # order-free integer log-sum; the exp(mean(ln)) UDAF itself is
+    # pinned here against closed-form values.
+    from automated_etl_pipeline_spark.functions.python_udfs import (
+        geometric_mean,
+        log_sum_e4,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 8.0), ("b", 5.0)], "g string, x double"
+    )
+    gm = {
+        r.g: r.gm
+        for r in df.groupBy("g").agg(geometric_mean("x").alias("gm")).collect()
+    }
+    assert gm["a"] == pytest.approx(4.0, rel=1e-12)  # sqrt(2*8)
+    assert gm["b"] == pytest.approx(5.0, rel=1e-12)
+    import math
+
+    ls = {
+        r.g: r.ls
+        for r in df.groupBy("g").agg(log_sum_e4("x").alias("ls")).collect()
+    }
+    assert ls["a"] == math.floor(math.log(2.0) * 1e4) + math.floor(
+        math.log(8.0) * 1e4
+    )
+    assert ls["b"] == math.floor(math.log(5.0) * 1e4)

@@ -119,3 +119,18 @@ def test_approx_path_agrees_on_far_tail(spark):
     approx = robust_group_stats(df, "x", ["grp"], approx=True).collect()[0]
     assert approx["n_outliers"] == exact["n_outliers"] == 25
     assert approx["med"] == pytest.approx(exact["med"], rel=0.01)
+
+
+def test_null_values_kept_uniformly(spark):
+    # NULL x must survive the filter in BOTH normal (MAD > 0) and
+    # degenerate (MAD = 0) groups — an outlier filter never silently
+    # judges missing values (ADVICE r8).
+    normal = [(i, "n", 100.0 + (i * 37 % 100)) for i in range(20)]
+    degen = [(100 + i, "d", 5.0) for i in range(10)]
+    nulls = [(900, "n", None), (901, "d", None)]
+    df = spark.createDataFrame(
+        normal + degen + nulls, "id long, grp string, x double"
+    )
+    kept_ids = {r.id for r in mad_filter(df, "x", ["grp"]).collect()}
+    assert {900, 901} <= kept_ids
+    assert kept_ids == set(range(20)) | {100 + i for i in range(10)} | {900, 901}
