@@ -78,7 +78,18 @@ def quota_stratified_sample(
     deterministic-sample recipe).  ``pretrim_cap``: any literal upper
     bound on max(quota) turns the first rank-filter into a
     WindowGroupLimit map-side pre-trim, so a billion-row group ships
-    cap x partitions rows, not a billion, through the exchange."""
+    cap x partitions rows, not a billion, through the exchange.
+    A cap below max(quota) would silently undersample, so it is
+    validated against the quotas frame (one cheap agg over the
+    group-cardinality quota frame) and fails loudly (ADVICE r8)."""
+    if pretrim_cap is not None:
+        max_quota = quotas.agg(F.max("quota")).collect()[0][0] or 0
+        if pretrim_cap < max_quota:
+            raise ValueError(
+                f"pretrim_cap={pretrim_cap} is below max(quota)="
+                f"{max_quota}: the pre-trim would silently undersample"
+                " groups whose quota exceeds the cap"
+            )
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     ranked = df.withColumn("__rk", F.row_number().over(w))

@@ -88,8 +88,9 @@ def fk_audit(
     label: str,
 ) -> DataFrame:
     """One-row referential-integrity audit of ``child.fk -> parent.pk``:
-    total child rows, distinct FK values, and orphan ROWS (child rows
-    whose key has no parent).
+    total child rows, distinct non-NULL FK values, orphan ROWS (child
+    rows whose key has no parent), and NULL-FK rows reported
+    separately.
 
     Scale shape: the child reduces to (fk, cnt) FIRST (map-side
     partial agg — the shuffle carries one row per distinct key, not
@@ -98,8 +99,12 @@ def fk_audit(
     recovered by summing cnt.  The child fact table is scanned once
     and never joined at row grain — at 100 TB this is the difference
     between auditing and re-running the pipeline.  NULL FKs count as
-    orphans (a NULL reference resolves to no parent); audits that
-    treat NULL as "intentionally absent" should filter first.
+    orphans (a NULL reference resolves to no parent) AND are broken
+    out in ``n_null_rows``; ``n_distinct_keys`` counts non-NULL keys
+    only, matching SQL ``COUNT(DISTINCT fk)`` semantics so the audit
+    and any SQL cross-check agree on tables containing NULL FKs
+    (ADVICE r8).  Audits that treat NULL as "intentionally absent"
+    should filter first.
     """
     counts = child.groupBy(F.col(fk_col).alias("__k")).agg(
         F.count(F.lit(1)).alias("__cnt")
@@ -109,10 +114,15 @@ def fk_audit(
     return joined.agg(
         F.lit(label).alias("fk"),
         F.sum("__cnt").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.count(F.when(F.col("__k").isNotNull(), 1)).alias(
+            "n_distinct_keys"
+        ),
         F.coalesce(
             F.sum(F.when(F.col("__hit").isNull(), F.col("__cnt"))), F.lit(0)
         ).alias("n_orphan_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__k").isNull(), F.col("__cnt"))), F.lit(0)
+        ).alias("n_null_rows"),
     )
 
 

@@ -197,7 +197,13 @@ def canonicalize_url(
     """
     url = F.col(url_col)
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
-    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    # strip userinfo (user:pass@) from the authority BEFORE the port
+    # strip, matching parse_url HOST semantics — credentials are not
+    # fetch identity, so user@example.com and example.com collapse
+    # (ADVICE r8)
+    auth = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("AUTHORITY"))), r"^[^@]*@", ""
+    )
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     host = F.regexp_replace(auth, r":\d+$", "")
     default_port = (

@@ -3366,37 +3366,45 @@ SELECT * FROM (
   SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS n_rows,
          COUNT(DISTINCT c_nationkey) AS n_distinct_keys,
          CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_orphan_rows
+           AS n_orphan_rows,
+         CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_rows
   FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
   UNION ALL
   SELECT 'lineitem.l_orderkey->orders', COUNT(*),
          COUNT(DISTINCT l_orderkey),
-         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
   UNION ALL
   SELECT 'lineitem.l_partkey->part', COUNT(*),
          COUNT(DISTINCT l_partkey),
-         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
   UNION ALL
   SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
          COUNT(DISTINCT l_suppkey),
-         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
   UNION ALL
   SELECT 'nation.n_regionkey->region', COUNT(*),
          COUNT(DISTINCT n_regionkey),
-         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN n.n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
   UNION ALL
   SELECT 'orders.o_custkey->customer', COUNT(*),
          COUNT(DISTINCT o_custkey),
-         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
   UNION ALL
   SELECT 'supplier.s_nationkey->nation', COUNT(*),
          COUNT(DISTINCT s_nationkey),
-         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN s.s_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
   FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
 ) ORDER BY fk
 """

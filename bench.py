@@ -231,10 +231,14 @@ def _chunked_sweep(
         got = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                got = json.loads(line)
-                break
+                cand = json.loads(line)
             except ValueError:
                 continue
+            # keep scanning past json-parseable noise (a bare number /
+            # string log line) until the actual payload dict appears
+            if isinstance(cand, dict) and "timings" in cand:
+                got = cand
+                break
         if not isinstance(got, dict) or "timings" not in got:
             msg = f"chunk subprocess failed (rc={proc.returncode}): " + (
                 proc.stderr.strip().splitlines() or ["no stderr"]

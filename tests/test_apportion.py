@@ -83,3 +83,15 @@ def test_pretrim_plan_uses_window_group_limit(spark):
         df, quotas, ["grp"], "id", pretrim_cap=50
     )._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_pretrim_cap_below_max_quota_fails_loudly(spark):
+    # a cap below max(quota) would silently undersample; the operator
+    # must reject it instead (ADVICE r8)
+    df = _frame(spark, {"a": 80, "b": 120}, {"a": 3.0, "b": 1.0})
+    quotas = largest_remainder_quotas(df, ["grp"], "w", 50)
+    max_q = max(r["quota"] for r in quotas.collect())
+    with pytest.raises(ValueError, match="undersample"):
+        quota_stratified_sample(
+            df, quotas, ["grp"], "id", pretrim_cap=max_q - 1
+        )

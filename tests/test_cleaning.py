@@ -90,8 +90,11 @@ def test_fk_audit_counts_planted_orphans(spark):
     row = fk_audit(child, "fk", parent, "pk", "t").collect()[0]
     assert row["fk"] == "t"
     assert row["n_rows"] == 11
-    assert row["n_distinct_keys"] == 5  # 1, 2, 9, 8, NULL
+    # COUNT(DISTINCT fk) semantics: NULL is not a key (ADVICE r8);
+    # NULL rows are broken out in n_null_rows instead
+    assert row["n_distinct_keys"] == 4  # 1, 2, 9, 8
     assert row["n_orphan_rows"] == 6  # 9,9,8,8 + the two NULLs
+    assert row["n_null_rows"] == 2
 
 
 def test_fk_audit_clean_relationship_zero_orphans(spark):
@@ -100,4 +103,9 @@ def test_fk_audit_clean_relationship_zero_orphans(spark):
     child = spark.createDataFrame([(i % 3,) for i in range(30)], "fk int")
     parent = spark.createDataFrame([(0,), (1,), (2,), (3,)], "pk int")
     row = fk_audit(child, "fk", parent, "pk", "clean").collect()[0]
-    assert (row["n_rows"], row["n_distinct_keys"], row["n_orphan_rows"]) == (30, 3, 0)
+    assert (
+        row["n_rows"],
+        row["n_distinct_keys"],
+        row["n_orphan_rows"],
+        row["n_null_rows"],
+    ) == (30, 3, 0, 0)

@@ -7,11 +7,27 @@ mismatches surface before the round gate does.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py [sf_dir] --json OUT.json
+       python tools/check_correctness.py [sf_dir] --vanilla [--tz ZONE] ...
 
 ``--json`` additionally writes per-query records in the driver's
 CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/
 spark_rows/oracle_rows/err) so a full local run can be committed as
 the round's registry-wide correctness record (VERDICT r4 ask #3).
+On a hash mismatch the record also carries ``first_diff`` — the first
+normalized (spark_row, oracle_row) pair that differs — so a red entry
+is diagnosable post-hoc without re-running (VERDICT r8 ask #3).
+
+``--vanilla`` runs the Spark side on a PLAIN untuned SparkSession
+(``local[8]``, default confs — the driver's shape) instead of the
+repo's tuned ``get_spark()``; ``--tz ZONE`` (e.g. ``--tz
+Asia/Kolkata``) additionally pins ``spark.sql.session.timeZone`` to a
+non-UTC zone, simulating a differently-zoned driver JVM.  Together
+they form the environment-skew matrix leg: a gate that is only green
+under the tuned session or only under UTC fails HERE before it fails
+on the driver (VERDICT r8 ask #3).  A second DuckDB version is not
+installable in this container (no pip), so oracle-side version skew
+stays uncovered; the integer-space gate-value discipline (r9) is the
+mitigation.
 """
 
 from __future__ import annotations
@@ -58,13 +74,33 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
     import __spark_entry__ as entry_mod
-    from automated_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark("check_correctness")
+    if vanilla or tz:
+        from pyspark.sql import SparkSession
+
+        builder = SparkSession.builder.appName(
+            "check_correctness_vanilla"
+        ).master("local[8]")
+        if tz:
+            builder = builder.config("spark.sql.session.timeZone", tz)
+        spark = builder.getOrCreate()
+        print(f"[matrix] vanilla session, tz={tz or 'jvm-default'}")
+    else:
+        from automated_etl_pipeline_spark.session import get_spark
+
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -129,6 +165,11 @@ def main() -> int:
             rec["hash_match"] = a == b
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                if diff:
+                    rec["first_diff"] = {
+                        "spark": list(diff[0][0]),
+                        "oracle": list(diff[0][1]),
+                    }
                 problems.append(f"values differ, first diffs: {diff}")
         else:
             rec["hash_match"] = False
