@@ -73,12 +73,22 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
       arithmetic: int64 nanos exceed 2^53, so a double round-trip would
       lose precision.
     - TIMESTAMP_NTZ (parquet µs with ``isAdjustedToUTC=false`` — the
-      pandas/pyarrow default): ``cast("timestamp")`` reinterprets the
-      wall-clock instant in the session timezone, which is pinned to
-      UTC (session.py), so the cast is a pure type change with zero
-      shift.  DuckDB reads the same parquet as naive timestamps, so
-      oracle hashes stay aligned.  NTZ-only expressions like
-      ``unix_micros`` then work everywhere downstream.
+      pandas/pyarrow default, and what Spark 4.1 reads TIMESTAMP(NANOS)
+      as natively in sessions built without ``nanosAsLong``, i.e. the
+      driver's): the wall value is interpreted AS UTC explicitly via
+      ``from_utc_timestamp(cast(c AS timestamp), current_timezone())``:
+      the cast yields instant wall-minus-session-offset, and
+      from_utc_timestamp adds the session offset back, so the
+      resulting instant is wall-as-UTC in every session timezone
+      (with a UTC session the whole expression is an identity, which
+      is why a bare cast was only correct under UTC).  A bare
+      ``cast("timestamp")`` reinterprets the wall clock in the SESSION
+      timezone — a silent instant shift on any non-UTC driver JVM that
+      moved epoch-arithmetic gates (unix_micros day indexes) under the
+      r9 timezone matrix leg; the explicit form is session-TZ-
+      independent and matches the int64-nanos branch bit-for-bit.
+      DuckDB reads the same parquet as naive timestamps (= wall as
+      UTC), so oracle hashes stay aligned in every session timezone.
     """
     from pyspark.sql import types as T
 
@@ -88,7 +98,13 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
         if isinstance(dt, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif isinstance(dt, T.TimestampNTZType):
-            df = df.withColumn(c, F.col(c).cast("timestamp"))
+            df = df.withColumn(
+                c,
+                F.from_utc_timestamp(
+                    F.col(c).cast("timestamp"),
+                    F.expr("current_timezone()"),
+                ),
+            )
     return df
 
 

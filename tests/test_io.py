@@ -109,3 +109,49 @@ def test_normalize_ntz_to_timestamp_matches_duckdb(spark, tmp_path):
         r[0] for r in duckdb.sql(f"SELECT epoch_us(ts) FROM '{path}'").fetchall()
     )
     assert got == want
+
+
+def test_normalize_ntz_is_session_timezone_independent(tmp_path):
+    """r9: a non-UTC session must read the SAME instants as UTC —
+    the bare NTZ->timestamp cast shifted them by the session offset
+    (caught by the --tz matrix leg); from_utc_timestamp(cast, session)
+    pins wall-as-UTC in every zone."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.io.sources import _normalize_nanos
+
+    vals = [
+        datetime.datetime(2024, 1, 1, 0, 0, 0),
+        datetime.datetime(2024, 6, 15, 12, 30, 45, 123456),
+    ]
+    tbl = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
+    path = str(tmp_path / "ntz_tz.parquet")
+    pq.write_table(tbl, path)
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[2]"
+    ).getOrCreate()
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        micros = {}
+        for tz in ("UTC", "Asia/Kolkata", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            sdf = _normalize_nanos(spark.read.parquet(path))
+            micros[tz] = sorted(
+                r.us for r in sdf.select(F.unix_micros("ts").alias("us")).collect()
+            )
+        assert micros["Asia/Kolkata"] == micros["UTC"]
+        assert micros["America/New_York"] == micros["UTC"]
+        # and the UTC reading is the wall-as-UTC contract
+        assert micros["UTC"][0] == int(
+            datetime.datetime(
+                2024, 1, 1, tzinfo=datetime.timezone.utc
+            ).timestamp() * 1_000_000
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

@@ -92,3 +92,22 @@ def test_matches_duckdb_oracle(name, spark, partsupp_path, oracle):
         "pass trivially — predicates must select rows at sf0.01)"
     )
     assert normalize(srows) == normalize(drows)
+
+
+def test_collision_region_7500_7600_pinned():
+    """VERDICT r8 ask #8: exercise the documented collision region
+    explicitly.  At S=100, dbgen's own step S//4 + p//S is ≡ 0 (mod S)
+    for every p ∈ [7500, 7600) (step = 25 + 75 = 100), so the naive
+    spread maps all four i to ONE supplier there; the bounded step
+    (tpch_partsupp.py:12) must keep all four distinct."""
+    S = 100
+    for p in range(7500, 7600):
+        naive_step = S // 4 + p // S
+        naive = {(p + i * naive_step) % S for i in range(SUPP_PER_PART)}
+        assert len(naive) == 1  # the documented dbgen collapse is real
+    rows = generate_partsupp(list(range(7500, 7600)), S, seed=7)
+    by_part: dict[int, set[int]] = {}
+    for p, s, _, _ in rows:
+        by_part.setdefault(p, set()).add(s)
+    assert set(by_part) == set(range(7500, 7600))
+    assert all(len(s) == SUPP_PER_PART for s in by_part.values())
