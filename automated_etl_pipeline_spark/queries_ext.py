@@ -3451,12 +3451,16 @@ def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum and sum-of-squares accumulate BIGINT cents (floor(value*100),
 # bit-identical in any engine build) inside the frame, so the
 # variance (s2 - s^2/n)/(n-1) is bit-identical across engines and
-# the z threshold cannot flicker.  Per-key RANGE windows in
-# event-time micros — no global sort, state bounded by each key's
-# 24h event density; the streaming twin would be a watermarked
-# sliding aggregate.  Guard rails: windows need n >= 5 and positive
-# variance before scoring (cold-start rows score NULL, counted as
-# non-anomalous).
+# the z threshold cannot flicker.  The trailing frame itself runs
+# through the event/expiry retraction union (operators/rolling.py):
+# Spark re-aggregates sliding RANGE frames per row, O(n*f) on a hot
+# key, while the retraction plan's unbounded-preceding running sums
+# are incremental — linear on hot keys, bit-identical integer sums
+# (measured 529 s -> seconds at 32 M rows, SCALE_SMOKE_r09.md).
+# Per-key ordered windows only — no global sort; the streaming twin
+# would be a watermarked sliding aggregate.  Guard rails: windows
+# need n >= 5 and positive variance before scoring (cold-start rows
+# score NULL, counted as non-anomalous).
 # ----------------------------------------------------------------------
 
 _ROLLING_ANOMALY_ORACLE = """
@@ -3498,12 +3502,11 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units) — the exact-integer window-moment construction makes
     an order-dependent statistic value-hashable (see section
     comment)."""
-    (events,) = _t(spark, sf_dir, "events")
-    win = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-86_400_000_000, 0)
+    from automated_etl_pipeline_spark.operators.rolling import (
+        trailing_integer_moments,
     )
+
+    (events,) = _t(spark, sf_dir, "events")
     # r9 determinism rework: window moments accumulate BIGINT cents
     # (floor(value*100) of the same IEEE double is bit-identical in any
     # engine build), so sums are exact integers with no decimal-grid
@@ -3511,17 +3514,21 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # up to the SAME deterministic double ops on both engines; the gate
     # value is floor(z*1e6) — required-IEEE ops only (mul/div/sqrt/abs/
     # floor), never a double->DECIMAL cast (the r8 driver-red construct).
+    #
+    # r9 scale rework: the trailing frame runs through the retraction
+    # union (operators/rolling.py) instead of a sliding RANGE frame —
+    # Spark re-aggregates sliding frames per row (O(n*f) on a hot key,
+    # measured 529 s at 32 M rows in SCALE_SMOKE_r09); the retraction
+    # plan is incremental (O(n)) and, because the moments are exact
+    # integers, produces bit-identical sums — same DuckDB oracle.
     xc = F.floor(F.col("value") * 100).cast("bigint")
-    w = events.select(
+    base = events.select(
         "user_id",
         xc.alias("xc"),
-        "ts",
-    ).select(
-        "user_id",
-        "xc",
-        F.sum("xc").over(win).alias("sc"),
-        F.sum(F.col("xc") * F.col("xc")).over(win).alias("s2c"),
-        F.count(F.lit(1)).over(win).alias("n"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = trailing_integer_moments(
+        base, "user_id", "us", "xc", window_us=86_400_000_000
     )
     sd = F.col("sc").cast("double")
     s2d = F.col("s2c").cast("double")

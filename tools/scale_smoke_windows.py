@@ -131,6 +131,38 @@ def rolling_shape(events):
     )
 
 
+def rolling_retract_shape(events):
+    """Same statistic as rolling_shape, via the linear retraction plan
+    (operators/rolling.py) — the measured fix for the hot-key
+    sliding-frame blowup."""
+    from automated_etl_pipeline_spark.operators.rolling import (
+        trailing_integer_moments,
+    )
+
+    base = events.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("xc"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = trailing_integer_moments(
+        base, "user_id", "us", "xc", window_us=86_400_000_000
+    )
+    sd, s2d = F.col("sc").cast("double"), F.col("s2c").cast("double")
+    var = (s2d - sd * sd / F.col("n")) / (F.col("n") - 1)
+    z = F.when(
+        (F.col("n") >= 5) & (var > 0),
+        F.abs(F.col("xc").cast("double") - sd / F.col("n")) / F.sqrt(var),
+    )
+    return (
+        w.select("user_id", z.alias("z"))
+        .groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("z") > 1.6, 1).otherwise(0)).alias("n_anom"),
+        )
+    )
+
+
 def cusum_shape(events):
     e = events.withColumn(
         "v", F.floor(F.col("value") * 1_000_000).cast("bigint")
@@ -153,8 +185,18 @@ def cusum_shape(events):
     )
 
 
-SHAPES = {"locf": locf_shape, "rolling": rolling_shape, "cusum": cusum_shape}
-KEYED_BY = {"locf": "user_id", "rolling": "user_id", "cusum": "event_type"}
+SHAPES = {
+    "locf": locf_shape,
+    "rolling": rolling_shape,
+    "retract": rolling_retract_shape,
+    "cusum": cusum_shape,
+}
+KEYED_BY = {
+    "locf": "user_id",
+    "rolling": "user_id",
+    "retract": "user_id",
+    "cusum": "event_type",
+}
 
 
 def assert_windows_keyed(df, key: str, shape: str) -> int:
@@ -173,8 +215,8 @@ def assert_windows_keyed(df, key: str, shape: str) -> int:
     return n_windows
 
 
-def run_size(n_rows: int) -> None:
-    for shape, fn in SHAPES.items():
+def run_size(n_rows: int, shapes: dict | None = None) -> None:
+    for shape, fn in (shapes or SHAPES).items():
         spark = get_spark(f"win-smoke-{shape}-{n_rows}")
         events = synth_events(spark, n_rows).localCheckpoint()
         out = fn(events)
@@ -194,9 +236,16 @@ def run_size(n_rows: int) -> None:
 
 
 def main() -> None:
-    sizes = [int(a) for a in sys.argv[1:]] or [2_000_000, 8_000_000, 32_000_000]
+    args = sys.argv[1:]
+    shapes = None
+    if "--shapes" in args:
+        i = args.index("--shapes")
+        names = args[i + 1].split(",")
+        del args[i : i + 2]
+        shapes = {n: SHAPES[n] for n in names}
+    sizes = [int(a) for a in args] or [2_000_000, 8_000_000, 32_000_000]
     for n in sizes:
-        run_size(n)
+        run_size(n, shapes)
 
 
 if __name__ == "__main__":
