@@ -4246,7 +4246,11 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # selected via a composite sortable string (zero-padded |cusum| +
 # timestamp), so ties at the peak resolve to the LATEST timestamp in
 # both engines by plain MAX.  Per-key ordered windows only; (n, s)
-# is a bounded per-type frame broadcast back.
+# is a bounded per-type frame broadcast back.  When one type's series
+# stops fitting a task, swap the window for the bucketed two-phase
+# prefix sum (operators/prefix.py — row-for-row equal, measured in
+# SCALE_SMOKE_r09.md); the plain keyed window is kept here because it
+# is the cheaper plan while a series fits.
 # ----------------------------------------------------------------------
 
 _CUSUM_ORACLE = """

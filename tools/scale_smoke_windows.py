@@ -185,17 +185,50 @@ def cusum_shape(events):
     )
 
 
+def cusum_twophase_shape(events):
+    """Same CUSUM statistic via the bucketed two-phase prefix sum
+    (operators/prefix.py) — the escape hatch for series that stop
+    fitting one task; within-bucket windows bound per-task state at
+    one day of one type."""
+    from automated_etl_pipeline_spark.operators.prefix import (
+        bucketed_prefix_sum,
+    )
+
+    e = events.withColumn(
+        "v", F.floor(F.col("value") * 1_000_000).cast("bigint")
+    )
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    dev = e.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        (F.col("v") * F.col("n") - F.col("s")).alias("d"),
+    )
+    c = bucketed_prefix_sum(
+        dev, "event_type", "us", "event_id", "d",
+        bucket_us=86_400_000_000, out_col="cusum",
+    )
+    return c.groupBy("event_type").agg(
+        F.max(F.abs(F.col("cusum"))).alias("peak"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 SHAPES = {
     "locf": locf_shape,
     "rolling": rolling_shape,
     "retract": rolling_retract_shape,
     "cusum": cusum_shape,
+    "cusum2p": cusum_twophase_shape,
 }
 KEYED_BY = {
     "locf": "user_id",
     "rolling": "user_id",
     "retract": "user_id",
     "cusum": "event_type",
+    "cusum2p": "event_type",
 }
 
 
