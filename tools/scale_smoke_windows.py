@@ -248,9 +248,13 @@ def assert_windows_keyed(df, key: str, shape: str) -> int:
     return n_windows
 
 
-def run_size(n_rows: int, shapes: dict | None = None) -> None:
+def run_size(
+    n_rows: int, shapes: dict | None = None, partitions: int | None = None
+) -> None:
     for shape, fn in (shapes or SHAPES).items():
-        spark = get_spark(f"win-smoke-{shape}-{n_rows}")
+        spark = get_spark(
+            f"win-smoke-{shape}-{n_rows}", shuffle_partitions=partitions
+        )
         events = synth_events(spark, n_rows).localCheckpoint()
         out = fn(events)
         t0 = time.perf_counter()
@@ -276,9 +280,14 @@ def main() -> None:
         names = args[i + 1].split(",")
         del args[i : i + 2]
         shapes = {n: SHAPES[n] for n in names}
+    partitions = None
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        partitions = int(args[i + 1])
+        del args[i : i + 2]
     sizes = [int(a) for a in args] or [2_000_000, 8_000_000, 32_000_000]
     for n in sizes:
-        run_size(n, shapes)
+        run_size(n, shapes, partitions)
 
 
 if __name__ == "__main__":
