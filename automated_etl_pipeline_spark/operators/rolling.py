@@ -42,20 +42,21 @@ from pyspark.sql.window import Window
 def trailing_integer_moments(
     df: DataFrame,
     key_col: str,
-    order_us_col: str,
+    order_col: str,
     x_col: str,
-    window_us: int,
+    window_span: int,
 ) -> DataFrame:
     """Append exact trailing-window integer moments to every row.
 
-    ``order_us_col``: BIGINT event-time micros; ``x_col``: BIGINT
-    measure.  Returns the input rows plus ``sc`` (sum of x over
-    [t - window_us, t]), ``s2c`` (sum of x^2) and ``n`` (count), with
-    frame semantics identical to
-    ``Window.partitionBy(key).orderBy(us).rangeBetween(-window_us, 0)``
+    ``order_col``: BIGINT event-time in ANY integer unit (micros,
+    days, ...); ``x_col``: BIGINT measure; ``window_span``: the frame
+    width in the same unit.  Returns the input rows plus ``sc`` (sum
+    of x over [t - window_span, t]), ``s2c`` (sum of x^2) and ``n``
+    (count), with frame semantics identical to
+    ``Window.partitionBy(key).orderBy(t).rangeBetween(-window_span, 0)``
     but linear cost on hot keys (module docstring).
     """
-    t = F.col(order_us_col)
+    t = F.col(order_col)
     x = F.col(x_col)
     ev = df.select(
         "*",
@@ -66,7 +67,7 @@ def trailing_integer_moments(
     )
     ex = df.select(
         "*",
-        ((t + F.lit(window_us)) * 2 + 1).alias("__k"),
+        ((t + F.lit(window_span)) * 2 + 1).alias("__k"),
         (-x).alias("__xs"),
         (-(x * x)).alias("__x2s"),
         F.lit(-1).cast("bigint").alias("__ns"),

@@ -1736,23 +1736,34 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     89 days before the current one, including same-day peers, exactly
     matching DuckDB's RANGE BETWEEN on the same integer day offset.
 
-    Scale: one hash-partition shuffle on o_custkey, per-partition sort,
-    single window pass — no global window, no driver state. DECIMAL
-    partial sums keep the oracle hash-stable."""
+    Scale: one hash-partition shuffle on o_custkey, then the
+    RETRACTION plan (operators/rolling.py) instead of a sliding RANGE
+    frame — Spark re-aggregates sliding frames per row (O(n*f) on a
+    hot customer; the 28x hazard measured in SCALE_SMOKE_r09.md), and
+    the retraction union's running sums are incremental.  Spend runs
+    in BIGINT cents, so the trailing sums are bit-identical to the
+    decimal sliding frame and the oracle is unchanged: max(cents)/100
+    and DuckDB's CAST(DECIMAL AS DOUBLE) are both the correctly-
+    rounded double of the same exact rational."""
+    from automated_etl_pipeline_spark.operators.rolling import (
+        trailing_integer_moments,
+    )
+
     (orders,) = _t(spark, sf_dir, "orders")
     day = F.datediff("o_orderdate", F.lit("1992-01-01").cast("date"))
     base = orders.select(
         "o_custkey",
-        day.alias("d"),
-        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        day.cast("bigint").alias("d"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p_c"),
     )
-    w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-89, 0)
+    tm = trailing_integer_moments(base, "o_custkey", "d", "p_c", 89)
     return (
-        base.select("o_custkey", F.sum("p").over(w).alias("roll"))
-        .groupBy("o_custkey")
+        tm.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.max("roll").cast("double").alias("peak_90d_spend"),
+            (F.max("sc").cast("double") / 100).alias("peak_90d_spend"),
         )
         .orderBy("o_custkey")
     )
@@ -3528,7 +3539,7 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("us"),
     )
     w = trailing_integer_moments(
-        base, "user_id", "us", "xc", window_us=86_400_000_000
+        base, "user_id", "us", "xc", window_span=86_400_000_000
     )
     sd = F.col("sc").cast("double")
     s2d = F.col("s2c").cast("double")

@@ -145,7 +145,7 @@ def rolling_retract_shape(events):
         F.unix_micros("ts").alias("us"),
     )
     w = trailing_integer_moments(
-        base, "user_id", "us", "xc", window_us=86_400_000_000
+        base, "user_id", "us", "xc", window_span=86_400_000_000
     )
     sd, s2d = F.col("sc").cast("double"), F.col("s2c").cast("double")
     var = (s2d - sd * sd / F.col("n")) / (F.col("n") - 1)
