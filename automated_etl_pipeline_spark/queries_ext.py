@@ -4261,7 +4261,12 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stops fitting a task, swap the window for the bucketed two-phase
 # prefix sum (operators/prefix.py — row-for-row equal, measured in
 # SCALE_SMOKE_r09.md); the plain keyed window is kept here because it
-# is the cheaper plan while a series fits.
+# is the cheaper plan while a series fits.  BIGINT headroom:
+# |cusum| <= n^2 * max(v) ~ 2e17 at sf0.1 — ample; toward sf1+ the
+# n-scaled form would overflow LOUDLY in both engines (ANSI/DuckDB
+# raise, never wrap), and the fix is DECIMAL(38,0) accumulation or
+# dropping the n-scaling in favor of per-type mean subtraction in
+# micro-units.
 # ----------------------------------------------------------------------
 
 _CUSUM_ORACLE = """
