@@ -34,14 +34,26 @@ def geometric_mean(v: pd.Series) -> float:
 
 @pandas_udf("long")
 def log_sum_e4(v: pd.Series) -> int:
-    """Grouped-aggregate pandas UDF returning the EXACT integer
+    """Grouped-aggregate pandas UDF returning the integer
     ``sum(floor(ln(x) * 1e4))`` per group.  The geometric mean derives
     as ``exp(log_sum_e4 / 1e4 / n)``, but unlike ``exp(avg(ln(x)))``
-    the gate value is an integer sum — summation order cannot move
-    it, so a SQL oracle can hash-match the Python path exactly
-    instead of within a rounding tolerance (the r9 determinism rule:
-    UDF boundary-crossing proofs use integer-valued statistics)."""
+    the gate value is an integer SUM — summation order cannot move it
+    (the r9 determinism rule: UDF boundary-crossing proofs use
+    integer-valued statistics).  Honest residual: ``ln`` is not a
+    correctly-rounded IEEE op, so numpy's log and a SQL engine's can
+    disagree by a few ulps; a per-row floor tie then needs ln(x)*1e4
+    within ~1e-11 of an integer (~1e-6 odds across the whole orders
+    table per run) — a 4-orders-of-magnitude improvement over the
+    ROUND(exp(avg(ln)),4) construct it replaced, not a proof.
+    Inputs must be finite and positive; anything else raises rather
+    than silently corrupting the sum (np.floor(NaN).astype(int64) is
+    undefined — r9 code review)."""
     x = v.to_numpy(dtype="float64")
+    if not np.all(np.isfinite(x)) or np.any(x <= 0):
+        raise ValueError(
+            "log_sum_e4 requires finite positive inputs (NULL/NaN/"
+            "non-positive values have no logarithm); filter first"
+        )
     return int(np.floor(np.log(x) * 1e4).astype(np.int64).sum())
 
 

@@ -75,20 +75,21 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
     - TIMESTAMP_NTZ (parquet µs with ``isAdjustedToUTC=false`` — the
       pandas/pyarrow default, and what Spark 4.1 reads TIMESTAMP(NANOS)
       as natively in sessions built without ``nanosAsLong``, i.e. the
-      driver's): the wall value is interpreted AS UTC explicitly via
-      ``from_utc_timestamp(cast(c AS timestamp), current_timezone())``:
-      the cast yields instant wall-minus-session-offset, and
-      from_utc_timestamp adds the session offset back, so the
-      resulting instant is wall-as-UTC in every session timezone
-      (with a UTC session the whole expression is an identity, which
-      is why a bare cast was only correct under UTC).  A bare
-      ``cast("timestamp")`` reinterprets the wall clock in the SESSION
-      timezone — a silent instant shift on any non-UTC driver JVM that
-      moved epoch-arithmetic gates (unix_micros day indexes) under the
-      r9 timezone matrix leg; the explicit form is session-TZ-
-      independent and matches the int64-nanos branch bit-for-bit.
-      DuckDB reads the same parquet as naive timestamps (= wall as
-      UTC), so oracle hashes stay aligned in every session timezone.
+      driver's): the wall value is converted to wall-as-UTC epoch
+      micros by PURE DATE ARITHMETIC on the NTZ value itself —
+      epoch-day * 86_400e6 + hour/minute/fractional-second micros —
+      then ``timestamp_micros``.  No timezone function touches the
+      value, so the conversion is session-TZ-independent BY
+      CONSTRUCTION and matches the int64-nanos branch bit-for-bit.
+      A bare ``cast("timestamp")`` reinterprets the wall clock in the
+      SESSION timezone (a silent instant shift on any non-UTC driver
+      JVM — caught by the r9 --tz matrix leg), and the intermediate
+      from_utc_timestamp(cast(...), current_timezone()) fix was still
+      wrong for wall times inside a DST spring-forward gap, where the
+      cast resolves the nonexistent local time forward before the
+      offset is undone (r9 code review).  DuckDB reads the same
+      parquet as naive timestamps (= wall as UTC), so oracle hashes
+      stay aligned in every session timezone, DST zones included.
     """
     from pyspark.sql import types as T
 
@@ -100,9 +101,13 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn(
                 c,
-                F.from_utc_timestamp(
-                    F.col(c).cast("timestamp"),
-                    F.expr("current_timezone()"),
+                F.expr(
+                    f"timestamp_micros("
+                    f"CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01')"
+                    f" AS BIGINT) * 86400000000"
+                    f" + CAST(date_part('HOUR', {c}) AS BIGINT) * 3600000000"
+                    f" + CAST(date_part('MINUTE', {c}) AS BIGINT) * 60000000"
+                    f" + CAST(date_part('SECOND', {c}) * 1000000 AS BIGINT))"
                 ),
             )
     return df

@@ -79,24 +79,30 @@ def quota_stratified_sample(
     bound on max(quota) turns the first rank-filter into a
     WindowGroupLimit map-side pre-trim, so a billion-row group ships
     cap x partitions rows, not a billion, through the exchange.
-    A cap below max(quota) would silently undersample, so it is
-    validated against the quotas frame (one cheap agg over the
-    group-cardinality quota frame) and fails loudly (ADVICE r8)."""
-    if pretrim_cap is not None:
-        max_quota = quotas.agg(F.max("quota")).collect()[0][0] or 0
-        if pretrim_cap < max_quota:
-            raise ValueError(
-                f"pretrim_cap={pretrim_cap} is below max(quota)="
-                f"{max_quota}: the pre-trim would silently undersample"
-                " groups whose quota exceeds the cap"
-            )
+    A cap below max(quota) would silently undersample, so the plan
+    carries a LAZY per-row guard (``assert_true`` on the already-
+    present broadcast quotas join) that fails the job loudly at
+    execution — no extra driver-side job, no eager recomputation of
+    the quotas lineage (ADVICE r8 + r9 code review)."""
     order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
     w = Window.partitionBy(*group_cols).orderBy(*order)
     ranked = df.withColumn("__rk", F.row_number().over(w))
     if pretrim_cap is not None:
         ranked = ranked.filter(F.col("__rk") <= pretrim_cap)
-    return (
-        ranked.join(F.broadcast(quotas), group_cols)
-        .filter(F.col("__rk") <= F.col("quota"))
-        .drop("__rk", "n_group", "quota")
-    )
+    joined = ranked.join(F.broadcast(quotas), group_cols)
+    keep = F.col("__rk") <= F.col("quota")
+    if pretrim_cap is not None:
+        # guard lives INSIDE the filter predicate so column pruning
+        # cannot eliminate it; assert_true returns NULL on success, so
+        # the conjunct is a no-op until a violating group appears —
+        # and every over-quota group has surviving pretrimmed rows
+        # (quota <= n_group), so the violation always reaches it
+        keep = keep & F.assert_true(
+            F.col("quota") <= F.lit(pretrim_cap),
+            F.concat(
+                F.lit(f"pretrim_cap={pretrim_cap} is below quota="),
+                F.col("quota").cast("string"),
+                F.lit(": the pre-trim would silently undersample"),
+            ),
+        ).isNull()
+    return joined.filter(keep).drop("__rk", "n_group", "quota")

@@ -50,6 +50,13 @@ def bucketed_prefix_sum(
     ``tiebreak_col``) — ROWS UNBOUNDED PRECEDING semantics — computed
     in two phases so no task ever holds more than one ``bucket_us``
     slice of one key's series."""
+    reserved = {"__b", "__ob", "__ok", "__off", "__bt", out_col}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bucketed_prefix_sum appends columns {sorted(reserved)};"
+            f" input already has {sorted(clash)} — rename them first"
+        )
     # floor division keeps buckets monotone in order_us for any sign
     b = F.floor(F.col(order_us_col) / F.lit(bucket_us)).cast("bigint")
     rows = df.withColumn("__b", b)
@@ -60,8 +67,8 @@ def bucketed_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        key_col,
-        "__b",
+        F.col(key_col).alias("__ok"),
+        F.col("__b").alias("__ob"),
         F.coalesce(F.sum("__bt").over(w_off), F.lit(0)).alias("__off"),
     )
     w_in = (
@@ -69,8 +76,16 @@ def bucketed_prefix_sum(
         .orderBy(order_us_col, tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # null-SAFE join keys: the single-window plan this operator must
+    # equal row-for-row keeps a NULL key as its own partition (and a
+    # NULL order value sorts first into a NULL bucket) — a plain
+    # equi-join would silently drop those rows (r9 code review)
     return (
-        rows.join(offsets, [key_col, "__b"])
+        rows.join(
+            offsets,
+            rows[key_col].eqNullSafe(F.col("__ok"))
+            & F.col("__b").eqNullSafe(F.col("__ob")),
+        )
         .withColumn(out_col, F.col("__off") + F.sum(x_col).over(w_in))
-        .drop("__b", "__off")
+        .drop("__b", "__ob", "__ok", "__off")
     )

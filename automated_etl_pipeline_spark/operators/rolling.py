@@ -56,6 +56,14 @@ def trailing_integer_moments(
     ``Window.partitionBy(key).orderBy(t).rangeBetween(-window_span, 0)``
     but linear cost on hot keys (module docstring).
     """
+    reserved = {"sc", "s2c", "n", "__k", "__xs", "__x2s", "__ns"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"trailing_integer_moments appends columns {sorted(reserved)};"
+            f" input already has {sorted(clash)} — rename them first so"
+            " the output is unambiguous"
+        )
     t = F.col(order_col)
     x = F.col(x_col)
     ev = df.select(

@@ -86,12 +86,15 @@ def test_pretrim_plan_uses_window_group_limit(spark):
 
 
 def test_pretrim_cap_below_max_quota_fails_loudly(spark):
-    # a cap below max(quota) would silently undersample; the operator
-    # must reject it instead (ADVICE r8)
+    # a cap below max(quota) would silently undersample; the plan's
+    # lazy in-filter assert must fail the job at execution instead
+    # (ADVICE r8; made lazy per r9 code review — no eager driver job,
+    # no double computation of the quotas lineage)
     df = _frame(spark, {"a": 80, "b": 120}, {"a": 3.0, "b": 1.0})
     quotas = largest_remainder_quotas(df, ["grp"], "w", 50)
     max_q = max(r["quota"] for r in quotas.collect())
-    with pytest.raises(ValueError, match="undersample"):
-        quota_stratified_sample(
-            df, quotas, ["grp"], "id", pretrim_cap=max_q - 1
-        )
+    bad = quota_stratified_sample(
+        df, quotas, ["grp"], "id", pretrim_cap=max_q - 1
+    )  # construction stays lazy — no error yet
+    with pytest.raises(Exception, match="undersample"):
+        bad.collect()

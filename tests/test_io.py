@@ -128,6 +128,13 @@ def test_normalize_ntz_is_session_timezone_independent(tmp_path):
     vals = [
         datetime.datetime(2024, 1, 1, 0, 0, 0),
         datetime.datetime(2024, 6, 15, 12, 30, 45, 123456),
+        # inside the US spring-forward gap: 02:30 local does not exist
+        # on 2024-03-10 in America/New_York — a cast-based conversion
+        # resolves it forward and shifts the instant (r9 code review);
+        # the pure-date-arithmetic path must not care
+        datetime.datetime(2024, 3, 10, 2, 30, 0),
+        # pre-epoch wall time: negative epoch day + positive intraday
+        datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
     ]
     tbl = pa.table({"ts": pa.array(vals, type=pa.timestamp("us"))})
     path = str(tmp_path / "ntz_tz.parquet")
@@ -147,11 +154,15 @@ def test_normalize_ntz_is_session_timezone_independent(tmp_path):
             )
         assert micros["Asia/Kolkata"] == micros["UTC"]
         assert micros["America/New_York"] == micros["UTC"]
-        # and the UTC reading is the wall-as-UTC contract
-        assert micros["UTC"][0] == int(
-            datetime.datetime(
-                2024, 1, 1, tzinfo=datetime.timezone.utc
-            ).timestamp() * 1_000_000
+        # and the UTC reading is the wall-as-UTC contract, gap and
+        # pre-epoch values included
+        want = sorted(
+            int(round(
+                v.replace(tzinfo=datetime.timezone.utc).timestamp()
+                * 1_000_000
+            ))
+            for v in vals
         )
+        assert micros["UTC"] == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

@@ -65,3 +65,37 @@ def test_hot_key_and_exact_boundary_values(spark):
 def test_negative_order_values(spark):
     rows = [(1, us, i, 1) for i, us in enumerate([-2500, -1000, -1, 0, 999, 1000])]
     _assert_equal(spark, rows, bucket_us=1_000)
+
+
+def test_null_key_and_null_order_rows_kept_like_single_window(spark):
+    # the single-window plan keeps NULL keys as their own partition and
+    # sorts NULL order values first; the null-safe join must preserve
+    # both (a plain equi-join silently dropped them — r9 code review)
+    rows = [
+        (None, 10, 1, 5),
+        (None, 20, 1, 7),
+        (1, None, 1, 3),
+        (1, 5, 1, 4),
+        (1, 2000, 1, 9),
+    ]
+    df = spark.createDataFrame(rows, "k long, us long, tb long, x long")
+    out = bucketed_prefix_sum(df, "k", "us", "tb", "x", 1_000)
+    got = {
+        (r.k, r.us): r.prefix for r in out.collect()
+    }
+    assert len(got) == 5  # nothing dropped
+    assert got[(None, 10)] == 5 and got[(None, 20)] == 12
+    # NULL order sorts first within its key, exactly like the window
+    assert got[(1, None)] == 3
+    assert got[(1, 5)] == 7
+    assert got[(1, 2000)] == 16
+    want = {(r.k, r.us): r.prefix for r in _naive(df).collect()}
+    assert got == want
+
+
+def test_reserved_output_name_clash_fails_loudly(spark):
+    df = spark.createDataFrame([(1, 1, 1, 1, 1)], "k long, us long, tb long, x long, prefix long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rename"):
+        bucketed_prefix_sum(df, "k", "us", "tb", "x", 10)

@@ -103,3 +103,13 @@ def test_hot_key_matches_too(spark):
     hot = [(0, i * 3, (i % 11) - 5) for i in range(2_000)]
     cold = [(k, 50 + k * 7, k) for k in range(1, 20)]
     _assert_equal(spark, hot + cold)
+
+
+def test_reserved_output_name_clash_fails_loudly(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1)], "user_id long, us long, xc long, n long"
+    )
+    with _pytest.raises(ValueError, match="rename"):
+        trailing_integer_moments(df, "user_id", "us", "xc", 10)
