@@ -3280,66 +3280,130 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key cartesian), per-key ordered window for the carry.  Everything
 # is keyed by user — no global sort, no unbounded state; a 100 TB
 # run partitions by user and each task fills its keys independently.
+#
+# r10 diagnosis-by-decomposition rework (VERDICT r9 asks #1-#3): the
+# gate was driver-red for two rounds while green on every local leg,
+# so both sides now avoid every construct on the suspect list —
+#   * time axis = the INTEGER hour index floor(epoch_us/3.6e9)
+#     everywhere (grouping, span, spine, carry order); no
+#     date_trunc('hour'), no session-TZ-parsed timestamp literal on
+#     either engine.  floor(us/3.6e9) via double division is exact:
+#     us < 2^53 is exactly representable, the true quotient is
+#     >= 1/3.6e9 ~ 2.8e-10 away from any integer it isn't equal to,
+#     and one rounding at magnitude ~5e5 moves the value < 6e-11.
+#   * the oracle's hourly reduce is a plain ROW_NUMBER() pick
+#     (deterministic: (user_id, ts) unique), not arg_max;
+#   * the oracle's spine is span JOIN a 10k-row ANSI digits-cross-
+#     join numbers table (events span 720 hours; 10k covers 416
+#     days), not range(timestamp)+unnest;
+#   * the oracle's carry is the two-window COUNT/MAX gap-fill trick
+#     (non-null-count defines a carry group; MAX over the group
+#     fetches the single non-null), not LAST_VALUE IGNORE NULLS.
+# The four locf_probe_* gates below re-emit one pipeline stage each
+# so a driver red localizes to hourly-reduce / spine / join / carry.
 # ----------------------------------------------------------------------
 
-_LOCF_ORACLE = """
-WITH hourly AS (
-  SELECT user_id, date_trunc('hour', ts) AS h, arg_max(value, ts) AS last_val
-  FROM events GROUP BY 1, 2
+_LOCF_NUMS = """
+digits AS (
+  SELECT 0 AS x UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
+  UNION ALL SELECT 4 UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL
+  SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
 ),
-span AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1),
-spine AS (
+nums AS (
+  SELECT CAST(d1.x * 1000 + d2.x * 100 + d3.x * 10 + d4.x AS BIGINT) AS i
+  FROM digits d1, digits d2, digits d3, digits d4
+)
+"""
+
+_LOCF_CORE = """
+e AS (
   SELECT user_id,
-         unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
-  FROM span
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hi,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+hourly AS (
+  SELECT user_id, hi, value AS last_val FROM (
+    SELECT user_id, hi, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, hi ORDER BY us DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+span AS (SELECT user_id, MIN(hi) AS h0, MAX(hi) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT s.user_id, s.h0 + n.i AS hi
+  FROM span s JOIN nums n ON n.i <= s.h1 - s.h0
 ),
 filled AS (
-  SELECT s.user_id, s.h, hr.last_val,
-         LAST_VALUE(hr.last_val IGNORE NULLS) OVER (
-           PARTITION BY s.user_id ORDER BY s.h
-           ROWS UNBOUNDED PRECEDING) AS locf
-  FROM spine s LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.h = hr.h
+  SELECT user_id, hi, last_val,
+         MAX(last_val) OVER (PARTITION BY user_id, grp) AS locf
+  FROM (
+    SELECT s.user_id, s.hi, hr.last_val,
+           COUNT(hr.last_val) OVER (
+             PARTITION BY s.user_id ORDER BY s.hi
+             ROWS UNBOUNDED PRECEDING) AS grp
+    FROM spine s
+    LEFT JOIN hourly hr ON s.user_id = hr.user_id AND s.hi = hr.hi
+  )
 )
+"""
+
+_LOCF_ORACLE = (
+    "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
 SELECT user_id % 50 AS bucket,
        COUNT(*) AS n_hours,
        SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
        SUM(CAST(floor(locf * 100) AS BIGINT)) AS sum_locf_cents
 FROM filled GROUP BY bucket ORDER BY bucket
 """
+)
+
+
+def _locf_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared LOCF pipeline: integer-hour reduce -> per-key spine ->
+    left join -> carry window (section comment has the determinism
+    contract; the gate and its probes all read this one frame)."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000.0))
+        .cast("bigint")
+        .alias("hi"),
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    hourly = base.groupBy("user_id", "hi").agg(
+        F.max_by("value", "us").alias("last_val")
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("hi").alias("h0"), F.max("hi").alias("h1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hi")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hi"], "left")
+        .withColumn("locf", F.last("last_val", ignorenulls=True).over(w))
+    )
 
 
 @query("locf_hourly_gap_fill", _LOCF_ORACLE)
 def locf_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense per-user hourly series with LOCF carry across empty
     hours, rolled up to 50 hash-bucket checksums (spine size, filled-
-    hour count, exact decimal sum of the carried series — any wrong
+    hour count, exact cent sum of the carried series — any wrong
     spine bound, missed carry, or off-by-one-hour shifts a checksum).
-    The last-event-in-hour reduce uses max_by(value, ts); (user_id,
-    ts) is unique in the events data model, so the reduce is
-    deterministic at every SF.  See section comment for the per-key
-    scale argument."""
-    (events,) = _t(spark, sf_dir, "events")
-    hourly = events.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.max_by("value", "ts").alias("last_val"))
-    span = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    spine = span.select(
-        "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("interval 1 hour"))
-        ).alias("h"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = (
-        spine.join(hourly, ["user_id", "h"], "left")
-        .withColumn("locf", F.last("last_val", ignorenulls=True).over(w))
-    )
+    Time axis is the integer hour index on BOTH engines and the
+    oracle is plain ANSI SQL end-to-end (section comment).  The
+    last-event-in-hour reduce uses max_by(value, us); (user_id, ts)
+    is unique in the events data model, so the reduce is
+    deterministic at every SF."""
+    filled = _locf_filled(spark, sf_dir)
     return (
         filled.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
         .agg(
@@ -3350,8 +3414,147 @@ def locf_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             # floor(x*100) of the SAME IEEE double is bit-identical in
             # every engine build (multiply + floor are required IEEE
             # ops); summing the resulting BIGINT cents is exact and
-            # order-free — no decimal-grid rounding anywhere (r9 fix
-            # for the r8 driver-red DECIMAL(18,6) construct).
+            # order-free — no decimal-grid rounding anywhere.
+            F.sum(
+                F.floor(F.col("locf") * 100).cast("bigint")
+            ).alias("sum_locf_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- locf probes (VERDICT r9 ask #1): one pipeline stage per gate, all
+# pure BIGINTs, so the r10 driver file localizes a red to a stage.
+
+_LOCF_PROBE_HOURLY_ORACLE = (
+    "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
+SELECT user_id % 50 AS bucket,
+       COUNT(*) AS n_hour_groups,
+       SUM(CAST(floor(last_val * 100) AS BIGINT)) AS sum_last_cents,
+       SUM(hi) AS sum_hi
+FROM hourly GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("locf_probe_hourly", _LOCF_PROBE_HOURLY_ORACLE)
+def locf_probe_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 1/4 for locf_hourly_gap_fill: ONLY the per-(user, hour)
+    last-value reduce — hour-index arithmetic + deterministic pick +
+    floor-cents conversion, no spine/join/carry.  Red here = the
+    divergence is in the reduce or the float->cent conversion."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000.0))
+        .cast("bigint")
+        .alias("hi"),
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+    hourly = base.groupBy("user_id", "hi").agg(
+        F.max_by("value", "us").alias("last_val")
+    )
+    return (
+        hourly.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hour_groups"),
+            F.sum(
+                F.floor(F.col("last_val") * 100).cast("bigint")
+            ).alias("sum_last_cents"),
+            F.sum("hi").alias("sum_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LOCF_PROBE_SPINE_ORACLE = (
+    "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
+SELECT user_id % 50 AS bucket,
+       COUNT(*) AS n_hours,
+       MIN(hi) AS min_hi, MAX(hi) AS max_hi
+FROM spine GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("locf_probe_spine", _LOCF_PROBE_SPINE_ORACLE)
+def locf_probe_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 2/4: ONLY the dense per-user hour spine (span bounds +
+    integer sequence / numbers-table explode).  Red here with probe
+    1/4 green = the spine generation diverges."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000.0))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    span = base.groupBy("user_id").agg(
+        F.min("hi").alias("h0"), F.max("hi").alias("h1")
+    )
+    spine = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hi")
+    )
+    return (
+        spine.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.min("hi").alias("min_hi"),
+            F.max("hi").alias("max_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LOCF_PROBE_FILL_ORACLE = (
+    "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
+SELECT user_id % 50 AS bucket,
+       SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
+       SUM(CASE WHEN last_val IS NOT NULL THEN 1 ELSE 0 END) AS n_observed
+FROM filled GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("locf_probe_fill", _LOCF_PROBE_FILL_ORACLE)
+def locf_probe_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 3/4: the spine LEFT JOIN hourly null/non-null split —
+    no carry values in the gate.  Red here with 1-2/4 green = the
+    join keying diverges."""
+    filled = _locf_filled(spark, sf_dir)
+    return (
+        filled.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
+        .agg(
+            F.sum(
+                F.when(F.col("last_val").isNull(), 1).otherwise(0)
+            ).alias("n_filled"),
+            F.sum(
+                F.when(F.col("last_val").isNotNull(), 1).otherwise(0)
+            ).alias("n_observed"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_LOCF_PROBE_SUM_ORACLE = (
+    "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
+SELECT user_id % 50 AS bucket,
+       SUM(CAST(floor(locf * 100) AS BIGINT)) AS sum_locf_cents
+FROM filled GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("locf_probe_sum", _LOCF_PROBE_SUM_ORACLE)
+def locf_probe_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 4/4: ONLY the carried-series cent sum (the full carry
+    window).  Red here with 1-3/4 green = the LOCF carry itself
+    diverges between the engines' gap-fill constructions."""
+    filled = _locf_filled(spark, sf_dir)
+    return (
+        filled.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
+        .agg(
             F.sum(
                 F.floor(F.col("locf") * 100).cast("bigint")
             ).alias("sum_locf_cents"),
@@ -3474,9 +3677,11 @@ def fk_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # score NULL, counted as non-anomalous).
 # ----------------------------------------------------------------------
 
-_ROLLING_ANOMALY_ORACLE = """
-WITH e AS (
-  SELECT user_id, ts, CAST(floor(value * 100) AS BIGINT) AS xc FROM events
+_ROLLING_ANOMALY_CORE = """
+e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS xc
+  FROM events
 ),
 w AS (
   SELECT user_id, xc,
@@ -3484,81 +3689,207 @@ w AS (
          SUM(xc * xc) OVER win AS s2c,
          COUNT(*) OVER win AS n
   FROM e
-  WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+  WINDOW win AS (PARTITION BY user_id ORDER BY us
                  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 ),
-z AS (
-  SELECT user_id,
-         CASE WHEN n >= 5 AND
-                   (CAST(s2c AS DOUBLE)
-                    - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n) / (n - 1)
-                   > 0
-              THEN abs(CAST(xc AS DOUBLE) - CAST(sc AS DOUBLE) / n)
-                   / sqrt((CAST(s2c AS DOUBLE)
-                           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / n)
-                          / (n - 1)) END AS zscore
+scored AS (
+  SELECT user_id, n,
+         n * xc - sc AS dnum,
+         n * s2c - sc * sc AS vnum
   FROM w
 )
-SELECT user_id % 20 AS bucket, COUNT(*) AS n_events,
-       SUM(CASE WHEN zscore > 1.6 THEN 1 ELSE 0 END) AS n_anomalies,
-       MAX(CAST(floor(zscore * 1000000) AS BIGINT)) AS max_z_micro
-FROM z GROUP BY bucket ORDER BY bucket
 """
 
+_ROLLING_ANOMALY_ORACLE = (
+    "WITH " + _ROLLING_ANOMALY_CORE + """
+SELECT user_id % 20 AS bucket, COUNT(*) AS n_events,
+       SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END) AS n_scored,
+       SUM(CASE WHEN n >= 5 AND vnum > 0
+                 AND 25 * dnum * dnum * (n - 1) > 64 * n * vnum
+                THEN 1 ELSE 0 END) AS n_anomalies,
+       SUM(CASE WHEN n >= 5 AND vnum > 0
+                 AND dnum * dnum * (n - 1) > 4 * n * vnum
+                THEN 1 ELSE 0 END) AS n_z2,
+       CAST(SUM(abs(dnum)) AS BIGINT) AS sum_absdnum
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+)
 
-@query("rolling_anomaly_zscores", _ROLLING_ANOMALY_ORACLE)
-def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-24h per-user z-score anomalies rolled up to 20 hash
-    buckets (event count, anomaly count at z > 1.6, max z in floored
-    micro-units) — the exact-integer window-moment construction makes
-    an order-dependent statistic value-hashable (see section
-    comment)."""
+
+def _rolling_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trailing-24h integer-moment frame for the rolling gate
+    and its probes: BIGINT cents through the retraction union
+    (operators/rolling.py), then the exact per-row pair
+    dnum = n*x - s (n times the deviation from the window mean) and
+    vnum = n*s2 - s^2 (n*(n-1) times the window variance) — both
+    exact integers, so every downstream threshold comparison is
+    integer arithmetic on both engines."""
     from automated_etl_pipeline_spark.operators.rolling import (
         trailing_integer_moments,
     )
 
     (events,) = _t(spark, sf_dir, "events")
-    # r9 determinism rework: window moments accumulate BIGINT cents
-    # (floor(value*100) of the same IEEE double is bit-identical in any
-    # engine build), so sums are exact integers with no decimal-grid
-    # rounding; z is scale-invariant, so cent-space z == dollar-space z
-    # up to the SAME deterministic double ops on both engines; the gate
-    # value is floor(z*1e6) — required-IEEE ops only (mul/div/sqrt/abs/
-    # floor), never a double->DECIMAL cast (the r8 driver-red construct).
-    #
-    # r9 scale rework: the trailing frame runs through the retraction
-    # union (operators/rolling.py) instead of a sliding RANGE frame —
-    # Spark re-aggregates sliding frames per row (O(n*f) on a hot key,
-    # measured 529 s at 32 M rows in SCALE_SMOKE_r09); the retraction
-    # plan is incremental (O(n)) and, because the moments are exact
-    # integers, produces bit-identical sums — same DuckDB oracle.
-    xc = F.floor(F.col("value") * 100).cast("bigint")
     base = events.select(
         "user_id",
-        xc.alias("xc"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("xc"),
         F.unix_micros("ts").alias("us"),
     )
     w = trailing_integer_moments(
         base, "user_id", "us", "xc", window_span=86_400_000_000
     )
-    sd = F.col("sc").cast("double")
-    s2d = F.col("s2c").cast("double")
-    var = (s2d - sd * sd / F.col("n")) / (F.col("n") - 1)
-    z = F.when(
-        (F.col("n") >= 5) & (var > 0),
-        F.abs(F.col("xc").cast("double") - sd / F.col("n")) / F.sqrt(var),
+    return w.select(
+        "user_id",
+        "n",
+        "sc",
+        "s2c",
+        (F.col("n") * F.col("xc") - F.col("sc")).alias("dnum"),
+        (F.col("n") * F.col("s2c") - F.col("sc") * F.col("sc")).alias(
+            "vnum"
+        ),
     )
-    scored = w.select("user_id", z.alias("zscore"))
+
+
+@query("rolling_anomaly_zscores", _ROLLING_ANOMALY_ORACLE)
+def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user z-score anomalies rolled up to 20 hash
+    buckets — r10 rework (VERDICT r9 ask #4): NO double sqrt/division
+    feeds any gate value.  z > k on the trailing frame (mean m = s/n,
+    sample variance v = (n*s2 - s^2)/(n*(n-1))) is equivalent to
+    (n*x - s)^2 * (n-1) > k^2 * n * (n*s2 - s^2) — with BIGINT-cent
+    moments both sides are exact integers, so the comparison is
+    bit-identical on any engine/build.  Gate values: event count,
+    scored count (n >= 5, positive variance), anomaly counts at
+    z > 1.6 (25*dnum^2*(n-1) > 64*n*vnum) and z > 2.0, plus
+    sum|dnum| which pins the window moments themselves.  Spark side
+    computes the cross-products in DECIMAL(38,0) (headroom: at
+    xc <= 1e6 cents and n <= 1e8 rows per frame the largest product
+    is 25*n^3*xc^2 ~ 2.5e37 < 1e38); DuckDB promotes to HUGEINT.
+    The trailing frame runs through the retraction union
+    (operators/rolling.py) — linear on hot keys vs Spark's O(n*f)
+    sliding-frame re-aggregation, measured 510 s -> 18.1 s at 32 M
+    rows (SCALE_SMOKE_r09.md)."""
+    s = _rolling_scored(spark, sf_dir)
+    d38 = F.col("dnum").cast("decimal(38,0)")
+    lhs = d38 * F.col("dnum") * (F.col("n") - 1)
+    rhs_base = F.col("vnum").cast("decimal(38,0)") * F.col("n")
+    ok = (F.col("n") >= 5) & (F.col("vnum") > 0)
     return (
-        scored.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
+        s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_scored"),
             F.sum(
-                F.when(F.col("zscore") > 1.6, 1).otherwise(0)
+                F.when(ok & (lhs * 25 > rhs_base * 64), 1).otherwise(0)
             ).alias("n_anomalies"),
-            F.max(
-                F.floor(F.col("zscore") * 1_000_000).cast("bigint")
-            ).alias("max_z_micro"),
+            F.sum(
+                F.when(ok & (lhs > rhs_base * 4), 1).otherwise(0)
+            ).alias("n_z2"),
+            F.sum(F.abs(F.col("dnum"))).cast("bigint").alias(
+                "sum_absdnum"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- rolling probes (VERDICT r9 ask #1): input conversion alone, then
+# window moments alone, so a driver red localizes to cents / window /
+# threshold arithmetic.
+
+_ROLLING_PROBE_INPUT_ORACLE = """
+SELECT user_id % 20 AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_xc,
+       CAST(SUM(CAST(floor(value * 100) AS BIGINT)
+                * CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_xc2
+FROM events GROUP BY bucket ORDER BY bucket
+"""
+
+
+@query("rolling_probe_input", _ROLLING_PROBE_INPUT_ORACLE)
+def rolling_probe_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 1/3 for rolling_anomaly_zscores: ONLY the floor-cents
+    conversion of events.value (no window at all).  Red here = the
+    double->BIGINT conversion itself diverges between engines (would
+    also explain locf_probe_hourly and the incr probes)."""
+    (events,) = _t(spark, sf_dir, "events")
+    xc = F.floor(F.col("value") * 100).cast("bigint")
+    return (
+        events.select(
+            F.pmod("user_id", F.lit(20)).alias("bucket"), xc.alias("xc")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("xc").alias("sum_xc"),
+            F.sum(F.col("xc") * F.col("xc")).alias("sum_xc2"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ROLLING_PROBE_MOMENTS_ORACLE = (
+    "WITH " + _ROLLING_ANOMALY_CORE + """
+SELECT user_id % 20 AS bucket,
+       CAST(SUM(n) AS BIGINT) AS sum_n,
+       CAST(SUM(dnum * dnum) AS BIGINT) AS sum_dnum2,
+       CAST(SUM(vnum) AS BIGINT) AS sum_vnum
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("rolling_probe_moments", _ROLLING_PROBE_MOMENTS_ORACLE)
+def rolling_probe_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 2/3: the trailing-window moments themselves (checksums
+    of n, dnum^2, vnum per bucket) — pins the retraction union
+    against DuckDB's sliding RANGE frame with no thresholds.  Red
+    here with 1/3 green = the 24h frame membership diverges.
+    Bounds at the tested SFs: n <= 11 per frame, xc <= 6e4, so
+    dnum^2 <= (11*6e4)^2 ~ 4.4e11 and the bucket sums stay far
+    inside BIGINT."""
+    s = _rolling_scored(spark, sf_dir)
+    return (
+        s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
+        .agg(
+            F.sum("n").alias("sum_n"),
+            F.sum(F.col("dnum") * F.col("dnum")).alias("sum_dnum2"),
+            F.sum("vnum").alias("sum_vnum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ROLLING_PROBE_FLAGS_ORACLE = (
+    "WITH " + _ROLLING_ANOMALY_CORE + """
+SELECT user_id % 20 AS bucket,
+       SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END) AS n_scored,
+       SUM(CASE WHEN n >= 5 AND vnum > 0
+                 AND 25 * dnum * dnum * (n - 1) > 64 * n * vnum
+                THEN 1 ELSE 0 END) AS n_anomalies
+FROM scored GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@query("rolling_probe_flags", _ROLLING_PROBE_FLAGS_ORACLE)
+def rolling_probe_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 3/3: ONLY the guard + z > 1.6 threshold counts.  Red
+    here with 2/3 green = the exact-integer comparison arithmetic
+    diverges (which the integer construction should make
+    impossible)."""
+    s = _rolling_scored(spark, sf_dir)
+    d38 = F.col("dnum").cast("decimal(38,0)")
+    lhs = d38 * F.col("dnum") * (F.col("n") - 1)
+    rhs_base = F.col("vnum").cast("decimal(38,0)") * F.col("n")
+    ok = (F.col("n") >= 5) & (F.col("vnum") > 0)
+    return (
+        s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
+        .agg(
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_scored"),
+            F.sum(
+                F.when(ok & (lhs * 25 > rhs_base * 64), 1).otherwise(0)
+            ).alias("n_anomalies"),
         )
         .orderBy("bucket")
     )
@@ -3644,65 +3975,71 @@ def fd_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # greatest), so partials from any partitioning of history combine to
 # the exact full answer.  The gate PROVES the merge identity
 # in-query: it computes merged(old-partials, new-batch) AND the
-# full-history recompute, emits both sums and the equality booleans —
-# a non-mergeable component (e.g. avg stored as avg) would break the
-# hash immediately.  BIGINT micro-unit sums keep merge order
-# irrelevant (exact integer addition — the determinism rule doing
-# double duty as IVM correctness).
+# full-history recompute, and emits the merged sums plus the BIGINT
+# count of state components that agree (0..4) — a non-mergeable
+# component (e.g. avg stored as avg) would break the hash
+# immediately.  BIGINT micro-unit sums keep merge order irrelevant
+# (exact integer addition — the determinism rule doing double duty
+# as IVM correctness).  The three incr_probe_* gates split the
+# cutoff / sum / extrema components for driver-side localization.
 # ----------------------------------------------------------------------
 
-_INCR_MERGE_ORACLE = """
-WITH e AS (
-  SELECT event_type, ts, value,
+_INCR_CORE = """
+e AS (
+  SELECT event_type, epoch_us(ts) AS us, value,
          CAST(floor(value * 1000000) AS BIGINT) AS v_mic
   FROM events
 ),
 old_part AS (
-  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v_mic) AS BIGINT) AS s,
          MIN(value) AS mn, MAX(value) AS mx
-  FROM e WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+  FROM e WHERE us < 1706140800000000 GROUP BY event_type
 ),
 new_batch AS (
-  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v_mic) AS BIGINT) AS s,
          MIN(value) AS mn, MAX(value) AS mx
-  FROM e WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' GROUP BY event_type
+  FROM e WHERE us >= 1706140800000000 GROUP BY event_type
 ),
 merged AS (
-  SELECT event_type, SUM(n) AS n, CAST(SUM(s) AS BIGINT) AS s,
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS s,
          MIN(mn) AS mn, MAX(mx) AS mx
   FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_batch)
   GROUP BY event_type
 ),
 full_recompute AS (
-  SELECT event_type, COUNT(*) AS n, SUM(v_mic) AS s,
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(v_mic) AS BIGINT) AS s,
          MIN(value) AS mn, MAX(value) AS mx
   FROM e GROUP BY event_type
 )
+"""
+
+_INCR_MERGE_ORACLE = (
+    "WITH " + _INCR_CORE + """
 SELECT m.event_type, m.n AS n_merged,
        m.s AS sum_merged_micros,
-       (m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx)
-         AS merge_equals_full
+       CAST(CASE WHEN m.n = f.n THEN 1 ELSE 0 END
+            + CASE WHEN m.s = f.s THEN 1 ELSE 0 END
+            + CASE WHEN m.mn = f.mn THEN 1 ELSE 0 END
+            + CASE WHEN m.mx = f.mx THEN 1 ELSE 0 END AS BIGINT)
+         AS n_components_equal
 FROM merged m JOIN full_recompute f ON m.event_type = f.event_type
 ORDER BY m.event_type
 """
+)
 
 
-@query("incremental_agg_merge", _INCR_MERGE_ORACLE)
-def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge stored pre-2024-01-25 per-event-type partials with the
-    newer raw slice and prove, in-query, that the merge equals the
-    full-history recompute (see section comment for why the state
-    vector is mergeable and what that buys at 100 TB)."""
+def _incr_frames(spark: SparkSession, sf_dir: str):
+    """Shared frames for the incremental-merge gate and probes: the
+    pre/post-cutoff partials, their merge, and the full recompute.
+    The cutoff is a BIGINT epoch-micros literal compared against
+    unix_micros(ts) on the Spark side and epoch_us(ts) on the DuckDB
+    side (2024-01-25T00:00:00Z = 1706140800000000) — no timestamp
+    literal is ever parsed in a session zone (VERDICT r9 ask #3)."""
     (events,) = _t(spark, sf_dir, "events")
-    cutoff = F.lit("2024-01-25 00:00:00").cast("timestamp")
-    # r9 determinism rework: the mergeable sum accumulates BIGINT
-    # micro-units floor(value*1e6) — bit-identical per row in any
-    # engine build — instead of a per-row double->DECIMAL cast (the
-    # r8 driver-red construct).  Integer sums stay associative/
-    # order-free, so the merge-identity proof is unchanged.
     events = events.withColumn(
         "v_mic", F.floor(F.col("value") * 1_000_000).cast("bigint")
-    )
+    ).withColumn("us", F.unix_micros("ts"))
 
     def partials(df):
         return df.groupBy("event_type").agg(
@@ -3712,8 +4049,9 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("mx"),
         )
 
-    old_part = partials(events.filter(F.col("ts") < cutoff))
-    new_batch = partials(events.filter(F.col("ts") >= cutoff))
+    cut = F.lit(1_706_140_800_000_000)
+    old_part = partials(events.filter(F.col("us") < cut))
+    new_batch = partials(events.filter(F.col("us") >= cut))
     merged = (
         old_part.unionByName(new_batch)
         .groupBy("event_type")
@@ -3724,28 +4062,121 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("mx"),
         )
     )
-    full = partials(events).select(
+    full = partials(events)
+    return old_part, new_batch, merged, full
+
+
+@query("incremental_agg_merge", _INCR_MERGE_ORACLE)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge stored pre-2024-01-25 per-event-type partials with the
+    newer raw slice and prove, in-query, that the merge equals the
+    full-history recompute (see section comment for why the state
+    vector is mergeable and what that buys at 100 TB).  r10 rework
+    (VERDICT r9 asks #2-#3): the cutoff is a BIGINT epoch-micros
+    compare on both engines (no session-TZ literal parse), the
+    mergeable sum accumulates BIGINT micro-units floor(value*1e6)
+    (bit-identical per row in any engine build, order-free integer
+    addition), and the proof emits the BIGINT count of equal state
+    components (0..4) instead of a boolean."""
+    _, _, merged, full = _incr_frames(spark, sf_dir)
+    full = full.select(
         F.col("event_type"),
         F.col("n").alias("fn"),
         F.col("s").alias("fs"),
         F.col("mn").alias("fmn"),
         F.col("mx").alias("fmx"),
     )
+
+    def eq(a, b):
+        return F.when(F.col(a) == F.col(b), 1).otherwise(0)
+
     return (
         merged.join(full, "event_type")
         .select(
             "event_type",
             F.col("n").alias("n_merged"),
             F.col("s").alias("sum_merged_micros"),
-            (
-                (F.col("n") == F.col("fn"))
-                & (F.col("s") == F.col("fs"))
-                & (F.col("mn") == F.col("fmn"))
-                & (F.col("mx") == F.col("fmx"))
-            ).alias("merge_equals_full"),
+            (eq("n", "fn") + eq("s", "fs") + eq("mn", "fmn")
+             + eq("mx", "fmx")).cast("bigint").alias("n_components_equal"),
         )
         .orderBy("event_type")
     )
+
+
+# --- incr probes (VERDICT r9 ask #1): cutoff split, per-side sums,
+# per-side extrema — one state component per gate.
+
+_INCR_PROBE_SPLIT_ORACLE = (
+    "WITH " + _INCR_CORE + """
+SELECT o.event_type, o.n AS n_old, nb.n AS n_new
+FROM old_part o JOIN new_batch nb ON o.event_type = nb.event_type
+ORDER BY o.event_type
+"""
+)
+
+
+@query("incr_probe_split", _INCR_PROBE_SPLIT_ORACLE)
+def incr_probe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 1/3 for incremental_agg_merge: ONLY the epoch-micros
+    cutoff row split (counts per side).  Red here = the cutoff
+    comparison itself diverges (timestamp decode skew)."""
+    old_part, new_batch, _, _ = _incr_frames(spark, sf_dir)
+    return (
+        old_part.select("event_type", F.col("n").alias("n_old"))
+        .join(
+            new_batch.select("event_type", F.col("n").alias("n_new")),
+            "event_type",
+        )
+        .orderBy("event_type")
+    )
+
+
+_INCR_PROBE_SUMS_ORACLE = (
+    "WITH " + _INCR_CORE + """
+SELECT o.event_type, o.s AS s_old, nb.s AS s_new
+FROM old_part o JOIN new_batch nb ON o.event_type = nb.event_type
+ORDER BY o.event_type
+"""
+)
+
+
+@query("incr_probe_sums", _INCR_PROBE_SUMS_ORACLE)
+def incr_probe_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 2/3: the per-side BIGINT micro-unit sums.  Red here with
+    1/3 green = the floor(value*1e6) conversion diverges (compare
+    rolling_probe_input, which pins the same class on cents)."""
+    old_part, new_batch, _, _ = _incr_frames(spark, sf_dir)
+    return (
+        old_part.select("event_type", F.col("s").alias("s_old"))
+        .join(
+            new_batch.select("event_type", F.col("s").alias("s_new")),
+            "event_type",
+        )
+        .orderBy("event_type")
+    )
+
+
+_INCR_PROBE_MINMAX_ORACLE = (
+    "WITH " + _INCR_CORE + """
+SELECT event_type,
+       CAST(floor(mn * 1000000) AS BIGINT) AS mn_mic,
+       CAST(floor(mx * 1000000) AS BIGINT) AS mx_mic
+FROM full_recompute ORDER BY event_type
+"""
+)
+
+
+@query("incr_probe_minmax", _INCR_PROBE_MINMAX_ORACLE)
+def incr_probe_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 3/3: the extrema state components as floored BIGINT
+    micros over the full history.  Red here with 1-2/3 green = the
+    min/max component (double comparison semantics) diverges."""
+    _, _, _, full = _incr_frames(spark, sf_dir)
+    return full.select(
+        "event_type",
+        F.floor(F.col("mn") * 1_000_000).cast("bigint").alias("mn_mic"),
+        F.floor(F.col("mx") * 1_000_000).cast("bigint").alias("mx_mic"),
+    ).orderBy("event_type")
 
 
 # ----------------------------------------------------------------------
@@ -4729,54 +5160,88 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ratios of integers end-to-end.
 # ----------------------------------------------------------------------
 
-_KS_DRIFT_ORACLE = """
-WITH a AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000
-    AS bin
-  FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'
-),
-b AS (
-  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 50000
-    AS bin
-  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+def _epoch_us_col(df: DataFrame, c: str) -> F.Column:
+    """BIGINT epoch-micros of a timestamp column, session-TZ-free for
+    BOTH physical types the testdata ships: TIMESTAMP_NTZ columns
+    (orders.o_orderdate — parquet µs, isAdjustedToUTC=false) convert
+    wall-as-UTC by the loader's PURE DATE ARITHMETIC (io/sources.py
+    _normalize_nanos: epoch-day * 86400e6 + intraday micros — no
+    timezone function ever touches the value), and loader-normalized
+    TIMESTAMP columns (events.ts) use unix_micros directly.  DuckDB's
+    epoch_us on the same parquet reads the identical naive wall value
+    as UTC, so the BIGINT agrees on both engines in every session
+    zone."""
+    from pyspark.sql import types as T
+
+    dt = {f.name: f.dataType for f in df.schema.fields}[c]
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(
+            f"CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01')"
+            f" AS BIGINT) * 86400000000"
+            f" + CAST(date_part('HOUR', {c}) AS BIGINT) * 3600000000"
+            f" + CAST(date_part('MINUTE', {c}) AS BIGINT) * 60000000"
+            f" + CAST(date_part('SECOND', {c}) * 1000000 AS BIGINT)"
+        )
+    return F.unix_micros(F.col(c))
+
+
+_KS_CORE = """
+t AS (
+  SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+              / 50000.0) AS BIGINT) AS bin,
+         CASE WHEN epoch_us(o_orderdate) < 865123200000000
+              THEN 1 ELSE 0 END AS ca,
+         CASE WHEN epoch_us(o_orderdate) < 865123200000000
+              THEN 0 ELSE 1 END AS cb
+  FROM orders
 ),
 bins AS (
-  SELECT bin, SUM(ca) AS ca, SUM(cb) AS cb FROM (
-    SELECT bin, 1 AS ca, 0 AS cb FROM a
-    UNION ALL SELECT bin, 0, 1 FROM b) GROUP BY bin
+  SELECT bin, CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+  FROM t GROUP BY bin
 ),
 cum AS (
   SELECT bin,
-         SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cna,
-         SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cnb,
-         SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+         CAST(SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cna,
+         CAST(SUM(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cnb,
+         CAST(SUM(ca) OVER () AS BIGINT) AS na,
+         CAST(SUM(cb) OVER () AS BIGINT) AS nb
   FROM bins
 )
+"""
+
+_KS_DRIFT_ORACLE = (
+    "WITH " + _KS_CORE + """
 SELECT CAST(MAX(abs(cna * nb - cnb * na)) AS BIGINT) AS ks_num,
-       ANY_VALUE(na) AS n_before, ANY_VALUE(nb) AS n_after,
+       MAX(na) AS n_before, MAX(nb) AS n_after,
        COUNT(*) AS n_bins
 FROM cum
 """
+)
 
 
-@query("ks_drift_statistic", _KS_DRIFT_ORACLE)
-def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binned two-sample KS statistic between pre/post-1997-06 price
-    distributions, emitted as the exact integer numerator
-    max|cna*nb - cnb*na| plus the two sample sizes (KS = ks_num /
-    (n_before*n_after)) and bin count — log-free, float-free drift
-    detection over a bounded CDF frame (see section comment)."""
+def _ks_cum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared binned-CDF frame for the KS gate and probes.  r10
+    determinism rework (VERDICT r9 asks #2-#3): the pre/post split
+    compares unix_micros(o_orderdate) against the BIGINT literal
+    865123200000000 (1997-06-01T00:00:00Z) on both engines — no
+    session-TZ timestamp-literal parse and no DATE-vs-TIMESTAMP
+    comparison; the $500 bin is floor(cents / 50000.0) via double
+    division on both engines — exact, because cents <= 5e7 is exactly
+    representable, the true quotient is either an integer (both
+    operands exact => exact result) or >= 1/50000 away from one while
+    one rounding moves the value < 1e-13; and the oracle uses only
+    plain ANSI windows (no hugeint //, no FILTER, no ANY_VALUE)."""
     (orders,) = _t(spark, sf_dir, "orders")
-    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    pre = _epoch_us_col(orders, "o_orderdate") < F.lit(865_123_200_000_000)
     tagged = orders.select(
-        F.floor(
-            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
-                "bigint"
-            )
-            / 50000
-        ).alias("bin"),
-        F.when(F.col("o_orderdate") < cutoff, 1).otherwise(0).alias("ca"),
-        F.when(F.col("o_orderdate") >= cutoff, 1).otherwise(0).alias("cb"),
+        F.floor(cents / F.lit(50_000.0)).cast("bigint").alias("bin"),
+        F.when(pre, 1).otherwise(0).alias("ca"),
+        F.when(pre, 0).otherwise(1).alias("cb"),
     )
     bins = tagged.groupBy("bin").agg(
         F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
@@ -4785,24 +5250,117 @@ def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     wall = Window.partitionBy()
-    cum = bins.select(
+    return bins.select(
         "bin",
         F.sum("ca").over(wcum).alias("cna"),
         F.sum("cb").over(wcum).alias("cnb"),
         F.sum("ca").over(wall).alias("na"),
         F.sum("cb").over(wall).alias("nb"),
     )
+
+
+@query("ks_drift_statistic", _KS_DRIFT_ORACLE)
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic between pre/post-1997-06 price
+    distributions, emitted as the exact integer numerator
+    max|cna*nb - cnb*na| plus the two sample sizes (KS = ks_num /
+    (n_before*n_after)) and bin count — log-free, float-free drift
+    detection over a bounded CDF frame (section comment and
+    _ks_cum docstring carry the r10 determinism contract)."""
+    cum = _ks_cum(spark, sf_dir)
     # |CDF_a - CDF_b| maximized as the integer cross-product
     # |cna*nb - cnb*na| (same argmax since na*nb > 0 is constant):
-    # the gate is pure BIGINT arithmetic end-to-end — no double ratio,
-    # no decimal-grid rounding (r9 fix for the r8 driver-red cast).
-    # ks_stat itself is ks_num / (n_before*n_after), derivable exactly.
+    # pure BIGINT arithmetic end-to-end — no double ratio, no
+    # decimal-grid rounding.
     diff = F.abs(
         F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na")
     )
     return cum.agg(
         F.max(diff).cast("bigint").alias("ks_num"),
-        F.first("na").alias("n_before"),
-        F.first("nb").alias("n_after"),
+        F.max("na").alias("n_before"),
+        F.max("nb").alias("n_after"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+# --- ks probes (VERDICT r9 ask #1): cutoff split, bin histogram,
+# numerator — one component per gate.
+
+_KS_PROBE_SPLIT_ORACLE = (
+    "WITH " + _KS_CORE + """
+SELECT CAST(SUM(ca) AS BIGINT) AS n_before,
+       CAST(SUM(cb) AS BIGINT) AS n_after
+FROM t
+"""
+)
+
+
+@query("ks_probe_split", _KS_PROBE_SPLIT_ORACLE)
+def ks_probe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 1/3 for ks_drift_statistic: ONLY the epoch-micros date
+    cutoff split.  Red here = the o_orderdate decode or the BIGINT
+    compare diverges."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    pre = _epoch_us_col(orders, "o_orderdate") < F.lit(865_123_200_000_000)
+    return orders.agg(
+        F.sum(F.when(pre, 1).otherwise(0)).alias("n_before"),
+        F.sum(F.when(pre, 0).otherwise(1)).alias("n_after"),
+    )
+
+
+_KS_PROBE_BINS_ORACLE = (
+    "WITH " + _KS_CORE + """
+SELECT COUNT(*) AS n_bins,
+       MIN(bin) AS min_bin, MAX(bin) AS max_bin,
+       CAST(SUM(bin * ca) AS BIGINT) AS sum_bin_ca,
+       CAST(SUM(bin * cb) AS BIGINT) AS sum_bin_cb
+FROM bins
+"""
+)
+
+
+@query("ks_probe_bins", _KS_PROBE_BINS_ORACLE)
+def ks_probe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 2/3: the $500 binning histogram (bin count, extremes,
+    bin-weighted count checksums per side).  Red here with 1/3 green
+    = the cents conversion or the floor-division binning diverges."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("bigint")
+    pre = _epoch_us_col(orders, "o_orderdate") < F.lit(865_123_200_000_000)
+    tagged = orders.select(
+        F.floor(cents / F.lit(50_000.0)).cast("bigint").alias("bin"),
+        F.when(pre, 1).otherwise(0).alias("ca"),
+        F.when(pre, 0).otherwise(1).alias("cb"),
+    )
+    bins = tagged.groupBy("bin").agg(
+        F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+    )
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.min("bin").alias("min_bin"),
+        F.max("bin").alias("max_bin"),
+        F.sum(F.col("bin") * F.col("ca")).alias("sum_bin_ca"),
+        F.sum(F.col("bin") * F.col("cb")).alias("sum_bin_cb"),
+    )
+
+
+_KS_PROBE_NUM_ORACLE = (
+    "WITH " + _KS_CORE + """
+SELECT CAST(MAX(abs(cna * nb - cnb * na)) AS BIGINT) AS ks_num
+FROM cum
+"""
+)
+
+
+@query("ks_probe_num", _KS_PROBE_NUM_ORACLE)
+def ks_probe_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 3/3: ONLY the KS integer numerator (the cumulative
+    window + cross-product max).  Red here with 1-2/3 green = the
+    CDF accumulation diverges."""
+    cum = _ks_cum(spark, sf_dir)
+    diff = F.abs(
+        F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na")
+    )
+    return cum.agg(F.max(diff).cast("bigint").alias("ks_num"))

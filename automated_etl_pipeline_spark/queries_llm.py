@@ -2854,52 +2854,165 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Robust (median/MAD) outlier statistics (operators/robust.py)
 # ----------------------------------------------------------------------
 
-_MAD_ORACLE = """
-WITH med AS (
-  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
-  FROM documents GROUP BY source
+_MAD_CORE = """
+x AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+r AS (
+  SELECT source, v,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM x
+),
+med AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                       THEN v ELSE 0 END)
+              + SUM(CASE WHEN rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+                         THEN v ELSE 0 END) AS BIGINT) AS med2
+  FROM r GROUP BY source
 ),
 dev AS (
-  SELECT d.source, CAST(d.n_chars AS DOUBLE) AS x, m.med,
-         abs(CAST(d.n_chars AS DOUBLE) - m.med) AS adev
-  FROM documents d JOIN med m USING (source)
+  SELECT x.source, x.v, m.med2, abs(2 * x.v - m.med2) AS adev2
+  FROM x JOIN med m ON x.source = m.source
 ),
-mad AS (SELECT source, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY source)
-SELECT v.source,
-       COUNT(*) AS n_rows,
-       ANY_VALUE(v.med) AS med,
-       ANY_VALUE(t.mad) AS mad,
-       SUM(CASE WHEN v.adev / (1.4826 * t.mad) > 3.0 THEN 1 ELSE 0 END)
-         AS n_outliers,
-       MAX(CAST(floor(v.adev / (1.4826 * t.mad) * 1000000) AS BIGINT))
-         AS max_z_micro
-FROM dev v JOIN mad t USING (source)
-GROUP BY v.source ORDER BY v.source
+dr AS (
+  SELECT source, adev2,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY adev2) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM dev
+),
+mad AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+                       THEN adev2 ELSE 0 END)
+              + SUM(CASE WHEN rn = CAST(floor(n / 2.0) AS BIGINT) + 1
+                         THEN adev2 ELSE 0 END) AS BIGINT) AS mad4
+  FROM dr GROUP BY source
+)
 """
+
+_MAD_ORACLE = (
+    "WITH " + _MAD_CORE + """
+SELECT d.source,
+       COUNT(*) AS n_rows,
+       MAX(d.med2) AS med2,
+       MAX(t.mad4) AS mad4,
+       SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 44478 * t.mad4
+                THEN 1 ELSE 0 END) AS n_outliers,
+       SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 29652 * t.mad4
+                THEN 1 ELSE 0 END) AS n_mild
+FROM dev d JOIN mad t ON d.source = t.source
+GROUP BY d.source ORDER BY d.source
+"""
+)
 
 
 @query("quality_mad_outliers", _MAD_ORACLE)
 def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust outlier statistics on doc length
-    (operators/robust.py): median + MAD + robust-z cut at 3.0, the
-    50%-breakdown filter a curation pipeline runs on quality scores
-    before mean/stddev stats are trustworthy.  The gate hashes the
-    FULL stats vector (median, MAD, outlier count, max robust z per
-    source), so the two-level exact-percentile plan is value-checked
-    end-to-end even though this uniform synthetic corpus has no
-    3-sigma-equivalent tail (n_outliers is legitimately 0 here; the
-    catch-the-planted-tail behavior is pinned on a contaminated frame
-    in tests/test_robust.py, where mean/stddev provably misses what
-    MAD catches).  Scale: exact per-group percentile twice (per-group
-    value shuffle) with bounded group frames broadcast back; the
-    100 TB swap is approx=True -> single-pass mergeable GK partials,
-    same operator (see module docstring)."""
-    from automated_etl_pipeline_spark.operators.robust import robust_group_stats
+    (operators/robust.py): median + MAD + robust-z cuts at 2.0/3.0,
+    the 50%-breakdown filter a curation pipeline runs on quality
+    scores before mean/stddev stats are trustworthy.  r10 rework
+    (VERDICT r9 asks #2/#4): every emitted value is a BIGINT in
+    doubled/quadrupled units — med2 = 2*median and mad4 = 4*MAD by
+    exact rank-midpoint over the integer n_chars (no quantile_cont /
+    percentile in the gate), and the z cuts are the integer
+    comparisons 20000*adev2 > {44478,29652}*mad4 (1.4826 = 14826/1e4
+    multiplied through), so no double division feeds any gate value.
+    This uniform synthetic corpus has no 3-sigma-equivalent tail
+    (n_outliers legitimately 0 here); catch-the-planted-tail behavior
+    is pinned on a contaminated frame in tests/test_robust.py, where
+    mean/stddev provably misses what MAD catches.  Scale: two exact
+    per-group sort windows with bounded group frames broadcast back;
+    the 100 TB swap is robust_group_stats(approx=True) -> single-pass
+    mergeable GK partials (module docstring)."""
+    from automated_etl_pipeline_spark.operators.robust import (
+        robust_group_stats_int,
+    )
 
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        robust_group_stats(spread(docs), "n_chars", ["source"], z_cut=3.0)
+        robust_group_stats_int(spread(docs), "n_chars", ["source"])
         .orderBy("source")
+    )
+
+
+# --- mad probes (VERDICT r9 ask #1): input, median, MAD — one
+# statistic per gate so a driver red localizes.
+
+_MAD_PROBE_COUNTS_ORACLE = """
+SELECT source, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_v,
+       CAST(MIN(n_chars) AS BIGINT) AS min_v,
+       CAST(MAX(n_chars) AS BIGINT) AS max_v
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+@query("mad_probe_counts", _MAD_PROBE_COUNTS_ORACLE)
+def mad_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 1/3 for quality_mad_outliers: ONLY the integer input
+    column per group (count/sum/min/max of n_chars).  Red here = the
+    engines disagree before any statistic is computed."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    v = F.col("n_chars").cast("bigint")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+        )
+        .orderBy("source")
+    )
+
+
+_MAD_PROBE_MEDIAN_ORACLE = (
+    "WITH " + _MAD_CORE + """
+SELECT source, med2 FROM med ORDER BY source
+"""
+)
+
+
+@query("mad_probe_median", _MAD_PROBE_MEDIAN_ORACLE)
+def mad_probe_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 2/3: ONLY the doubled rank-midpoint median.  Red here
+    with 1/3 green = the rank/window construction diverges."""
+    from automated_etl_pipeline_spark.operators.robust import (
+        int_group_median2,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    return int_group_median2(
+        docs.select("source", "n_chars"), "n_chars", ["source"]
+    ).orderBy("source")
+
+
+_MAD_PROBE_MAD_ORACLE = (
+    "WITH " + _MAD_CORE + """
+SELECT source, mad4 FROM mad ORDER BY source
+"""
+)
+
+
+@query("mad_probe_mad", _MAD_PROBE_MAD_ORACLE)
+def mad_probe_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe 3/3: ONLY the quadrupled MAD.  Red here with 1-2/3 green
+    = the deviation pass diverges."""
+    from automated_etl_pipeline_spark.operators.robust import (
+        int_group_median2,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    x2 = docs.select(
+        "source", F.col("n_chars").cast("bigint").alias("__x")
+    )
+    med = int_group_median2(x2, "__x", ["source"], out="med2")
+    dev = x2.join(F.broadcast(med), ["source"]).withColumn(
+        "__adev2", F.abs(2 * F.col("__x") - F.col("med2"))
+    )
+    return int_group_median2(dev, "__adev2", ["source"], out="mad4").orderBy(
+        "source"
     )
 
 
