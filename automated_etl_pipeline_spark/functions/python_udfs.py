@@ -57,6 +57,44 @@ def log_sum_e4(v: pd.Series) -> int:
     return int(np.floor(np.log(x) * 1e4).astype(np.int64).sum())
 
 
+@pandas_udf("long")
+def cents_sum(v: pd.Series) -> int:
+    """Grouped-aggregate pandas UDF: exact ``sum(floor(x * 100))``
+    per group as int64 — the transcendental-free Arrow
+    boundary-crossing proof (r10 ADVICE: ln is not correctly rounded,
+    so a floor(ln(x)*1e4) gate could flip one row's term on an engine
+    whose libm differs by an ulp at a floor boundary; floor(x*100) of
+    the same IEEE double uses only required-IEEE mul/floor and is
+    bit-identical everywhere).  The float->int conversion happens
+    INSIDE Python/numpy, so a lossy Arrow crossing (truncated batch,
+    wrong column, row reordering feeding a stateful accumulator)
+    still breaks the oracle hash."""
+    x = v.to_numpy(dtype="float64")
+    if not np.all(np.isfinite(x)):
+        raise ValueError(
+            "cents_sum requires finite inputs; filter NULL/NaN first"
+        )
+    return int(np.floor(x * 100).astype(np.int64).sum())
+
+
+@pandas_udf("long")
+def cents_sq_mod_sum(v: pd.Series) -> int:
+    """Grouped-aggregate pandas UDF: ``sum((floor(x*100))^2 mod 1e9)``
+    per group — a second, quadratic integer moment so the UDAF gate is
+    sensitive to individual values, not just their linear sum (two
+    rows swapping mass keep cents_sum but move this).  The mod bounds
+    the sum: per-row < 1e9, so ~9e9 group rows fit int64; squares
+    themselves stay < 2.5e15 for prices < $5e5 (int64-exact)."""
+    x = v.to_numpy(dtype="float64")
+    if not np.all(np.isfinite(x)):
+        raise ValueError(
+            "cents_sq_mod_sum requires finite inputs; filter NULL/NaN"
+            " first"
+        )
+    c = np.floor(x * 100).astype(np.int64)
+    return int(((c * c) % 1_000_000_000).sum())
+
+
 @udtf(returnType="sentence_idx int, sentence string")
 class SplitSentences:
     """UDTF: one document row -> one row per '.'-delimited sentence.
@@ -74,3 +112,5 @@ def register_all(spark) -> None:
     spark.udtf.register("split_sentences", SplitSentences)
     spark.udf.register("geometric_mean", geometric_mean)
     spark.udf.register("log_sum_e4", log_sum_e4)
+    spark.udf.register("cents_sum", cents_sum)
+    spark.udf.register("cents_sq_mod_sum", cents_sq_mod_sum)

@@ -3185,6 +3185,13 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-integer share: est_rows*1e6 DIV total (floor division on
     # BIGINTs, bit-identical in any engine build) — never a double
     # ratio rounded onto a DECIMAL grid (the r8 driver-red construct).
+    # Overflow headroom (r9 ADVICE): est_rows*1e6 needs
+    # |L_k|*|R_k| < 9.2e12, i.e. ~3e6 rows on EACH side of one key
+    # (~3e8 customers x ~4e6 suppliers per nation at this 25-key
+    # profile) before the int64 product trips ANSI overflow — 4
+    # orders of magnitude above sf100 (~1.5e7 customers TOTAL).  If a
+    # profiled join ever approaches that, promote est_rows to
+    # DECIMAL(38,0) on both sides; the share arithmetic is unchanged.
     return (
         j.withColumn("total_rows", F.sum("est_rows").over(total))
         .withColumn(
@@ -4831,7 +4838,18 @@ def trend_slope_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer moments (day index x cents), emitted as floor-micro
     BIGINTs — one mergeable pass, see section comment."""
     (events,) = _t(spark, sf_dir, "events")
-    x = F.expr("unix_micros(ts) DIV 86400000000L - 19723")
+    # Floor semantics to match the oracle's `//` for ANY sign: Spark
+    # DIV truncates toward zero, so a pre-1970 timestamp would land
+    # one day late on the Spark side only (r9 ADVICE).  The double
+    # division is exact here: |unix_micros| < 2^53 and a day index is
+    # >= 1/86400e6 ~ 1.2e-11 from any integer it isn't, while one
+    # rounding at day-index magnitude (~2e4) moves < 4e-12.
+    x = (
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast(
+            "bigint"
+        )
+        - 19723
+    )
     y = F.floor(F.col("value") * 100).cast("bigint")
     s = events.select("event_type", x.alias("x"), y.alias("y")).groupBy(
         "event_type"

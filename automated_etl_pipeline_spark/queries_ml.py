@@ -148,22 +148,33 @@ def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(floor(ln(o_totalprice) * 10000) AS BIGINT))
-                AS BIGINT) AS log_sum_e4
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(SUM((CAST(floor(o_totalprice * 100) AS BIGINT)
+                     * CAST(floor(o_totalprice * 100) AS BIGINT))
+                    % 1000000000) AS BIGINT) AS sum_sq_mod
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def udaf_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geometric-mean statistic per priority via a pandas
-    (Arrow-batched) aggregate UDF, gated on the EXACT integer
-    sum(floor(ln(price)*1e4)) per group (geo mean = exp(v/1e4/n)).
-    The previous ROUND(exp(avg(ln)), 4) gate compared two engines'
-    differently-ordered float summations on a rounding grid — a
-    latent half-boundary tie; the integer log-sum is order-free, so
-    the Arrow boundary crossing is value-checked exactly.  The
-    exp(mean(ln)) UDAF itself stays pinned in
-    tests/test_pipeline_ml.py."""
-    from automated_etl_pipeline_spark.functions.python_udfs import log_sum_e4
+    """The M1 grouped-aggregate (Arrow-batched) pandas-UDAF surface,
+    gated on TWO transcendental-free exact integer moments computed
+    inside Python per group: sum(floor(price*100)) and the quadratic
+    checksum sum((floor(price*100))^2 mod 1e9).  A lossy Arrow
+    boundary crossing (dropped/duplicated batch rows, wrong column
+    binding, dtype truncation) moves one of them; nothing in the gate
+    depends on a non-correctly-rounded libm function, closing the r9
+    ADVICE flake where numpy log and the oracle engine's ln could
+    disagree by an ulp exactly at a floor(ln(x)*1e4) boundary
+    (~1e-6/run odds — now 0 by construction: mul/floor/mod are
+    exact).  The geometric-mean UDAF itself (exp(mean(ln)) — the
+    user-facing statistic this query serves) remains on the operator
+    surface and is pinned same-engine in tests/test_pipeline_ml.py,
+    where a tolerance is expressible."""
+    from automated_etl_pipeline_spark.functions.python_udfs import (
+        cents_sq_mod_sum,
+        cents_sum,
+    )
 
     (orders,) = _t(spark, sf_dir, "orders")
     # Spark can't mix built-in aggregates with a grouped pandas UDAF
@@ -172,10 +183,11 @@ def udaf_geometric_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = orders.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
-    logs = orders.groupBy("o_orderpriority").agg(
-        log_sum_e4("o_totalprice").alias("log_sum_e4")
+    moments = orders.groupBy("o_orderpriority").agg(
+        cents_sum("o_totalprice").alias("sum_cents"),
+        cents_sq_mod_sum("o_totalprice").alias("sum_sq_mod"),
     )
     return (
-        counts.join(F.broadcast(logs), "o_orderpriority")
+        counts.join(F.broadcast(moments), "o_orderpriority")
         .orderBy("o_orderpriority")
     )

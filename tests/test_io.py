@@ -114,8 +114,13 @@ def test_normalize_ntz_to_timestamp_matches_duckdb(spark, tmp_path):
 def test_normalize_ntz_is_session_timezone_independent(tmp_path):
     """r9: a non-UTC session must read the SAME instants as UTC —
     the bare NTZ->timestamp cast shifted them by the session offset
-    (caught by the --tz matrix leg); from_utc_timestamp(cast, session)
-    pins wall-as-UTC in every zone."""
+    (caught by the --tz matrix leg).  The loader pins wall-as-UTC by
+    PURE DATE ARITHMETIC on the NTZ value (epoch-day*86400e6 +
+    intraday micros -> timestamp_micros; io/sources._normalize_nanos)
+    — NOT via from_utc_timestamp(cast, session), which is still wrong
+    for wall times inside a DST spring-forward gap, where the cast
+    resolves the nonexistent local time forward before the offset is
+    undone; the gap value in this frame pins that too."""
     import datetime
 
     import pyarrow as pa

@@ -159,9 +159,12 @@ def test_simulation_deterministic_and_sane():
 
 
 def test_geometric_mean_udaf_exact(spark):
-    # The driver gate (udaf_geometric_mean_price) now checks the
-    # order-free integer log-sum; the exp(mean(ln)) UDAF itself is
-    # pinned here against closed-form values.
+    # The driver gate (udaf_geometric_mean_price) checks
+    # transcendental-free integer cent moments (r10 — numpy log vs
+    # oracle ln can differ by an ulp at a floor boundary, so ln-based
+    # values are pinned HERE, same-engine, where tolerance and
+    # closed-form checks are expressible, and kept out of the
+    # cross-engine hash entirely).
     from automated_etl_pipeline_spark.functions.python_udfs import (
         geometric_mean,
         log_sum_e4,
@@ -186,3 +189,40 @@ def test_geometric_mean_udaf_exact(spark):
         math.log(8.0) * 1e4
     )
     assert ls["b"] == math.floor(math.log(5.0) * 1e4)
+
+
+def test_cents_moment_udafs_exact(spark):
+    # r10 gate UDAFs: exact integer cent moments through the Arrow
+    # grouped-agg boundary — mul/floor/mod only, closed-form pinned.
+    from automated_etl_pipeline_spark.functions.python_udfs import (
+        cents_sq_mod_sum,
+        cents_sum,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 123.45), ("a", 0.07), ("b", 499978.59)], "g string, x double"
+    )
+    got = {
+        r.g: (r.s, r.q)
+        for r in df.groupBy("g")
+        .agg(cents_sum("x").alias("s"), cents_sq_mod_sum("x").alias("q"))
+        .collect()
+    }
+    import math
+
+    exp = {}
+    for g, xs in {"a": [123.45, 0.07], "b": [499978.59]}.items():
+        cs = [math.floor(x * 100) for x in xs]
+        exp[g] = (sum(cs), sum((c * c) % 1_000_000_000 for c in cs))
+    assert got == exp
+
+
+def test_cents_moment_udafs_reject_nonfinite(spark):
+    from automated_etl_pipeline_spark.functions.python_udfs import cents_sum
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame(
+        [("a", float("nan"))], "g string, x double"
+    )
+    with pytest.raises(PythonException, match="finite"):
+        df.groupBy("g").agg(cents_sum("x").alias("s")).collect()

@@ -34,6 +34,7 @@ metrics via the SQLMetrics walker (tools/metrics_report.py).
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 from pathlib import Path
@@ -232,18 +233,28 @@ KEYED_BY = {
 }
 
 
+_WINDOW_NODE = re.compile(
+    r"\b(Window|WindowGroupLimit|RunningWindowFunction)\b"
+)
+
+
 def assert_windows_keyed(df, key: str, shape: str) -> int:
     """Every Window node in the executed plan must carry the shape's
-    partition key in its text; returns the number of Window nodes."""
+    partition key in its text; returns the number of Window nodes.
+
+    Node detection is a word-boundary regex, NOT prefix-stripping:
+    ``lstrip("+-: *")`` stops at the first character outside its set,
+    so a codegen-tagged line like ``*(3) WindowGroupLimit ...`` kept
+    its ``(3) `` prefix and silently escaped the startswith check —
+    exactly the nodes this assertion exists to audit (r9 ADVICE)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_windows = 0
     for line in plan.splitlines():
-        stripped = line.lstrip("+-: *")
-        if stripped.startswith(("Window ", "WindowGroupLimit ", "RunningWindowFunction")):
+        if _WINDOW_NODE.search(line):
             n_windows += 1
-            assert key in stripped, (
+            assert key in line, (
                 f"{shape}: unkeyed Window operator (single-partition "
-                f"hazard): {stripped[:200]}"
+                f"hazard): {line.strip()[:200]}"
             )
     return n_windows
 
