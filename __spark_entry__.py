@@ -26,10 +26,34 @@ from automated_etl_pipeline_spark import queries_ml  # noqa: F401  (registers)
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Gate-contract changes: a driver-green record only verifies the
+# contract (oracle SQL + emitted columns) that existed when it was
+# recorded.  When a gate's contract changes in round N, records from
+# rounds < N are STALE and must not keep the gate out of the rotation —
+# list name -> N here; the entry self-expires once the driver re-greens
+# the gate at round >= N.
+_CONTRACT_CHANGED: dict[str, int] = {
+    # r7 sample was under the no-oracle contract; SQL oracle added later
+    # (VERDICT r9 minor note: never driver-confirmed against it).
+    "hll_distinct_rollup": 8,
+    # r10 rewrites (VERDICT r9 asks #2-#4): LCD ANSI oracles + new
+    # integer gate columns — prior greens verified the old contract.
+    "locf_hourly_gap_fill": 10,
+    "rolling_anomaly_zscores": 10,
+    "incremental_agg_merge": 10,
+    "ks_drift_statistic": 10,
+    "quality_mad_outliers": 10,
+    # r10 advice fix: transcendental-free cent-moment gate values.
+    "udaf_geometric_mean_price": 10,
+}
+
+
 def _last_green_round() -> dict[str, int]:
     """For each query, the latest round whose driver correctness file has
     it green on ALL three axes (rows/schema/hash — a hash mismatch means
-    ordering/float drift and must NOT count as verified).
+    ordering/float drift and must NOT count as verified).  Green records
+    older than the gate's last contract change (_CONTRACT_CHANGED) are
+    ignored: they verified a different oracle/column set.
 
     The driver checks queries in registration order under a budget (~50
     entries/round), so ordering by least-recently-verified bounds any
@@ -58,7 +82,9 @@ def _last_green_round() -> dict[str, int]:
             rows_only_green = (
                 res.get("err") == "no_oracle" and res.get("spark_rows") is not None
             )
-            if all_green or rows_only_green:
+            if (all_green or rows_only_green) and rnd >= _CONTRACT_CHANGED.get(
+                name, 0
+            ):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 
