@@ -54,9 +54,21 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 # End-of-word sentinel appended to each word's final symbol so merges
-# can distinguish word-final from word-internal contexts ("est</w>" in
-# "lowest" vs "est" in "estimate") — the standard Sennrich construction.
-EOW = "</w>"
+# can distinguish word-final from word-internal contexts (word-final
+# "est" in "lowest" vs word-internal "est" in "estimate") — the
+# standard Sennrich construction.  The marker must be OUT OF BAND or
+# decoding is ambiguous: a corpus word containing the literal marker
+# string would round-trip corrupted (the textbook "</w>" has exactly
+# this flaw for text that mentions "</w>").  A private-use-area
+# codepoint keeps the marker out of any natural corpus; input that
+# nevertheless contains it is rejected loudly (ValueError) rather
+# than silently corrupted — the same reject-don't-corrupt contract as
+# the cent-moment UDAFs.  Because the marker can only ever be
+# APPENDED to a word-final symbol, and a word-final symbol is never
+# the left element of a merge (it has no right neighbor), every
+# token contains the marker at most once, token-final — so decoding
+# by replace(marker, " ") is unambiguous.
+EOW = "\ue000"
 
 # Driver-side training operates on the REDUCED word-frequency table;
 # this cap turns "the reduce didn't reduce" into a loud error instead
@@ -77,7 +89,13 @@ def word_freq(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _word_symbols(word: str) -> tuple[str, ...]:
-    """Initial symbol sequence: characters, last one carrying EOW."""
+    """Initial symbol sequence: characters, last one carrying EOW.
+    Rejects words containing the reserved marker (module comment)."""
+    if EOW in word:
+        raise ValueError(
+            "tokenize: input contains the reserved end-of-word marker"
+            " U+E000 (private use area); strip or remap it upstream"
+        )
     chars = list(word)
     chars[-1] = chars[-1] + EOW
     return tuple(chars)

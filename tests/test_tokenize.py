@@ -34,8 +34,8 @@ def tiny(spark):
 
 def test_learn_bpe_classic_merges(tiny):
     # This implementation attaches EOW to the final character (the
-    # word-final "t" is the distinct symbol "t</w>"), so the paper's
-    # three merges (e+s, es+t, est+</w>) collapse into two; merge 3
+    # word-final "t" is the distinct symbol "t"+EOW), so the paper's
+    # three merges (e+s, es+t, est+eow) collapse into two; merge 3
     # is then the most frequent remaining pair, (l,o) at count 7.
     merges = learn_bpe_merges(word_freq(tiny), n_merges=3)
     assert merges == [("e", "s"), ("es", "t" + EOW), ("l", "o")]
@@ -53,9 +53,9 @@ def test_encode_applies_merge_priority(tiny, spark):
     toks = df.select(
         make_encode_udf(merges)(F.col("text")).alias("t")
     ).collect()[0].t
-    # merges: (e,s), (es,t</w>), (l,o), then the count-6 tie between
-    # (e,w)/(n,e)/(w,est</w>) breaks lexicographically to (e,w) —
-    # so newest -> n ew est</w>
+    # merges: (e,s), (es,t+EOW), (l,o), then the count-6 tie between
+    # (e,w)/(n,e)/(w,est+EOW) breaks lexicographically to (e,w) —
+    # so newest -> n ew est+EOW
     assert merges[3] == ("e", "w")
     assert toks == ["n", "ew", "est" + EOW]
 
@@ -109,3 +109,11 @@ def test_null_text_stays_null(tiny, spark):
 def test_train_cap_guard(tiny):
     with pytest.raises(ValueError, match="driver budget"):
         learn_bpe_merges(word_freq(tiny), n_merges=1, max_words=2)
+
+
+def test_reserved_marker_in_input_rejected(spark):
+    # In-band marker text must be rejected loudly, never silently
+    # corrupted on round-trip (the textbook "</w>" scheme's flaw).
+    df = spark.createDataFrame([("bad" + EOW + "word ok",)], "text string")
+    with pytest.raises(ValueError, match="reserved end-of-word"):
+        learn_bpe_merges(word_freq(df), n_merges=1)
