@@ -45,6 +45,11 @@ _CONTRACT_CHANGED: dict[str, int] = {
     "quality_mad_outliers": 10,
     # r10 advice fix: transcendental-free cent-moment gate values.
     "udaf_geometric_mean_price": 10,
+    # r10 root-cause fix (VERIFY.md HUGEINT section): their r9 integer
+    # conversions introduced uncast HUGEINT SUM outputs that have
+    # never been driver-sampled; now cast to BIGINT.
+    "multi_touch_attribution": 10,
+    "salted_skew_agg": 10,
 }
 
 

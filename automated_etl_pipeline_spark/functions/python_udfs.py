@@ -74,6 +74,14 @@ def cents_sum(v: pd.Series) -> int:
         raise ValueError(
             "cents_sum requires finite inputs; filter NULL/NaN first"
         )
+    # magnitude guard (r10 review): astype(int64) WRAPS silently on
+    # overflow — reject-don't-corrupt, like the finiteness check.
+    # |x| < 9e13 keeps floor(x*100) exact in double and inside int64.
+    if np.any(np.abs(x) >= 9e13):
+        raise ValueError(
+            "cents_sum requires |x| < 9e13 (int64 cent range);"
+            " larger magnitudes would wrap silently"
+        )
     return int(np.floor(x * 100).astype(np.int64).sum())
 
 
@@ -82,17 +90,25 @@ def cents_sq_mod_sum(v: pd.Series) -> int:
     """Grouped-aggregate pandas UDF: ``sum((floor(x*100))^2 mod 1e9)``
     per group — a second, quadratic integer moment so the UDAF gate is
     sensitive to individual values, not just their linear sum (two
-    rows swapping mass keep cents_sum but move this).  The mod bounds
-    the sum: per-row < 1e9, so ~9e9 group rows fit int64; squares
-    themselves stay < 2.5e15 for prices < $5e5 (int64-exact)."""
+    rows swapping mass keep cents_sum but move this).  The square is
+    computed on the REDUCED residue ((c mod 1e9)^2 mod 1e9 == c^2 mod
+    1e9), so the intermediate stays < 1e18 — no int64 wrap at any
+    allowed magnitude (r10 review); the summed residues (< 1e9 each)
+    fit ~9e9 group rows in int64."""
     x = v.to_numpy(dtype="float64")
     if not np.all(np.isfinite(x)):
         raise ValueError(
             "cents_sq_mod_sum requires finite inputs; filter NULL/NaN"
             " first"
         )
+    if np.any(np.abs(x) >= 9e13):
+        raise ValueError(
+            "cents_sq_mod_sum requires |x| < 9e13 (int64 cent range);"
+            " larger magnitudes would wrap silently"
+        )
     c = np.floor(x * 100).astype(np.int64)
-    return int(((c * c) % 1_000_000_000).sum())
+    cm = c % 1_000_000_000
+    return int(((cm * cm) % 1_000_000_000).sum())
 
 
 @udtf(returnType="sentence_idx int, sentence string")

@@ -121,9 +121,8 @@ def learn_bpe_merges(
         )
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
-        vocab[_word_symbols(r["word"])] = (
-            vocab.get(_word_symbols(r["word"]), 0) + r["freq"]
-        )
+        k = _word_symbols(r["word"])
+        vocab[k] = vocab.get(k, 0) + r["freq"]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pair_counts: dict[tuple[str, str], int] = {}
@@ -234,15 +233,24 @@ def fidelity_report(
     merges: list[tuple[str, str]],
     text_col: str = "text",
 ) -> DataFrame:
-    """One row: n_docs, n_roundtrip_ok (docs whose decode(encode(x))
-    equals whitespace-normalized x), n_tokens, n_words — the in-query
-    fidelity invariant (n_roundtrip_ok must equal n_docs; n_tokens >=
-    n_words since merges never cross word boundaries).  This is the
-    shape an r11 oracle gate would hash."""
+    """One row: n_docs (non-null texts), n_null_docs, n_roundtrip_ok
+    (docs whose decode(encode(x)) equals whitespace-normalized x),
+    n_tokens, n_words — the in-query fidelity invariant
+    (n_roundtrip_ok must equal n_docs; n_tokens >= n_words since
+    merges never cross word boundaries).  NULL texts are counted
+    separately, NOT as round-trip failures: NULL == NULL is NULL in
+    SQL, so folding them into n_docs would make the invariant
+    unachievable on any corpus with a missing document while nothing
+    was actually corrupted (r10 review).  This is the shape an r11
+    oracle gate would hash."""
+    n_null = F.sum(
+        F.when(F.col(text_col).isNull(), 1).otherwise(0)
+    ).alias("n_null_docs")
     norm = F.array_join(
         F.filter(F.split(F.col(text_col), " "), lambda w: w != ""), " "
     )
     t = tokenize_documents(docs, merges, text_col).select(
+        F.col(text_col),
         norm.alias("norm"),
         detokenize_expr("tokens").alias("back"),
         F.size("tokens").alias("n_tok"),
@@ -251,7 +259,10 @@ def fidelity_report(
         ).alias("n_words"),
     )
     return t.agg(
-        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col(text_col).isNotNull(), 1).otherwise(0)
+        ).alias("n_docs"),
+        n_null,
         F.sum(
             F.when(F.col("back") == F.col("norm"), 1).otherwise(0)
         ).alias("n_roundtrip_ok"),

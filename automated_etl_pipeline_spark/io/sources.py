@@ -57,6 +57,25 @@ def read_parquet(
     return df.select(*columns) if columns else df
 
 
+def ntz_epoch_us_sql(col: str) -> str:
+    """SQL expression: BIGINT epoch-micros of a TIMESTAMP_NTZ column's
+    WALL value read as UTC, by pure date arithmetic (epoch-day *
+    86400e6 + intraday micros).  No timezone function touches the
+    value, so it is session-TZ-independent by construction and safe
+    inside DST spring-forward gaps where cast-based conversions
+    resolve nonexistent local times (see _normalize_nanos docstring).
+    Single source of truth for this arithmetic — the loader and the
+    query layer's _epoch_us_col both use it (r10 review: two
+    hand-maintained copies of session-TZ-critical code drift)."""
+    return (
+        f"CAST(datediff(CAST({col} AS DATE), DATE '1970-01-01')"
+        f" AS BIGINT) * 86400000000"
+        f" + CAST(date_part('HOUR', {col}) AS BIGINT) * 3600000000"
+        f" + CAST(date_part('MINUTE', {col}) AS BIGINT) * 60000000"
+        f" + CAST(date_part('SECOND', {col}) * 1000000 AS BIGINT)"
+    )
+
+
 def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFrame:
     """Normalize every physical timestamp encoding the testdata has
     shipped to ONE canonical Spark ``TIMESTAMP`` type, so no consumer
@@ -100,15 +119,7 @@ def _normalize_nanos(df: DataFrame, ts_cols: Sequence[str] = ("ts",)) -> DataFra
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn(
-                c,
-                F.expr(
-                    f"timestamp_micros("
-                    f"CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01')"
-                    f" AS BIGINT) * 86400000000"
-                    f" + CAST(date_part('HOUR', {c}) AS BIGINT) * 3600000000"
-                    f" + CAST(date_part('MINUTE', {c}) AS BIGINT) * 60000000"
-                    f" + CAST(date_part('SECOND', {c}) * 1000000 AS BIGINT))"
-                ),
+                c, F.expr(f"timestamp_micros({ntz_epoch_us_sql(c)})")
             )
     return df
 

@@ -112,11 +112,20 @@ def int_group_median2(
     (VERDICT r9 ask #2: exact rank-midpoint instead of
     quantile_cont/percentile in oracle-gated values).
 
+    NULLs are dropped BEFORE ranking (median of the non-null values;
+    an all-null group emits no row).  This is explicit because
+    engine-default null ordering diverges — Spark sorts NULLS FIRST
+    ascending, DuckDB NULLS LAST — so a NULL reaching the rank window
+    would silently shift every rank differently per engine (r10 code
+    review); percentile/quantile_cont ignore NULLs and this operator
+    matches that contract.
+
     Plan: one per-group sort window (same cost class as the exact
     percentile it replaces) + one partial-aggregated group-by.
     """
     from pyspark.sql import Window
 
+    df = df.filter(F.col(value_col).isNotNull())
     wsort = Window.partitionBy(*group_cols).orderBy(value_col)
     wall = Window.partitionBy(*group_cols)
     r = df.select(
@@ -155,14 +164,17 @@ def robust_group_stats_int(
     any emitted value (VERDICT r9 ask #4).  Emits per group:
     ``n_rows``, ``med2``, ``mad4``, ``n_outliers`` (z > 3),
     ``n_mild`` (z > 2).  Degenerate groups (MAD = 0) count zero
-    outliers, matching robust_group_stats's NULL-z semantics.
+    outliers, matching robust_group_stats's NULL-z semantics; NULL
+    values are dropped up-front (``n_rows`` counts non-null rows —
+    the percentile-family contract, and the only cross-engine-safe
+    one given divergent default NULL ordering).
 
     Plan: two per-group sort windows (median, MAD) + broadcast joins
     of the one-row-per-group frames — same shape and 100 TB story as
     the exact path of :func:`robust_group_stats` (approx=True GK
     partials remain the at-scale swap, on the float path).
     """
-    x2 = df.select(
+    x2 = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols, F.col(value_col).cast("bigint").alias("__x")
     )
     med = int_group_median2(x2, "__x", group_cols, out="med2")

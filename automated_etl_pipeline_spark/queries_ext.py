@@ -1327,7 +1327,8 @@ def jsonl_scan_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS sum_value_micros
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_value_micros
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -3310,6 +3311,13 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so a driver red localizes to hourly-reduce / spine / join / carry.
 # ----------------------------------------------------------------------
 
+# 5 digit positions => hour offsets 0..99999 (~11.4 years of hourly
+# spine per user — far beyond any event-stream horizon; the events
+# testdata spans 720 hours).  The cap is not silent: a longer span
+# trips the Spark-side assert_true in _locf_filled BEFORE the two
+# engines could quietly diverge (r10 code review).  nums_needed
+# pre-filters to the corpus's actual max span so the per-user spine
+# join touches max-span rows, not 1e5, per user.
 _LOCF_NUMS = """
 digits AS (
   SELECT 0 AS x UNION ALL SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3
@@ -3317,8 +3325,9 @@ digits AS (
   SELECT 7 UNION ALL SELECT 8 UNION ALL SELECT 9
 ),
 nums AS (
-  SELECT CAST(d1.x * 1000 + d2.x * 100 + d3.x * 10 + d4.x AS BIGINT) AS i
-  FROM digits d1, digits d2, digits d3, digits d4
+  SELECT CAST(d1.x * 10000 + d2.x * 1000 + d3.x * 100 + d4.x * 10 + d5.x
+              AS BIGINT) AS i
+  FROM digits d1, digits d2, digits d3, digits d4, digits d5
 )
 """
 
@@ -3337,9 +3346,12 @@ hourly AS (
   ) WHERE rn = 1
 ),
 span AS (SELECT user_id, MIN(hi) AS h0, MAX(hi) AS h1 FROM hourly GROUP BY 1),
+nums_needed AS (
+  SELECT i FROM nums WHERE i <= (SELECT MAX(h1 - h0) FROM span)
+),
 spine AS (
   SELECT s.user_id, s.h0 + n.i AS hi
-  FROM span s JOIN nums n ON n.i <= s.h1 - s.h0
+  FROM span s JOIN nums_needed n ON n.i <= s.h1 - s.h0
 ),
 filled AS (
   SELECT user_id, hi, last_val,
@@ -3359,8 +3371,10 @@ _LOCF_ORACLE = (
     "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
 SELECT user_id % 50 AS bucket,
        COUNT(*) AS n_hours,
-       SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
-       SUM(CAST(floor(locf * 100) AS BIGINT)) AS sum_locf_cents
+       CAST(SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled,
+       CAST(SUM(CAST(floor(locf * 100) AS BIGINT)) AS BIGINT)
+         AS sum_locf_cents
 FROM filled GROUP BY bucket ORDER BY bucket
 """
 )
@@ -3385,9 +3399,18 @@ def _locf_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = hourly.groupBy("user_id").agg(
         F.min("hi").alias("h0"), F.max("hi").alias("h1")
     )
+    # Lazy guard (no extra action): the ORACLE's ANSI numbers-table
+    # spine covers offsets 0..99999; a user spanning more hours would
+    # otherwise silently truncate the oracle side only.  assert_true
+    # raises inside the same job instead (r10 code review).
     spine = span.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hi")
-    )
+        "user_id",
+        F.explode(F.sequence("h0", "h1")).alias("hi"),
+        F.assert_true(
+            F.col("h1") - F.col("h0") < 100000,
+            F.lit("locf spine span exceeds the oracle numbers table"),
+        ).alias("__span_ok"),
+    ).drop("__span_ok")
     w = (
         Window.partitionBy("user_id")
         .orderBy("hi")
@@ -3437,8 +3460,9 @@ _LOCF_PROBE_HOURLY_ORACLE = (
     "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
 SELECT user_id % 50 AS bucket,
        COUNT(*) AS n_hour_groups,
-       SUM(CAST(floor(last_val * 100) AS BIGINT)) AS sum_last_cents,
-       SUM(hi) AS sum_hi
+       CAST(SUM(CAST(floor(last_val * 100) AS BIGINT)) AS BIGINT)
+         AS sum_last_cents,
+       CAST(SUM(hi) AS BIGINT) AS sum_hi
 FROM hourly GROUP BY bucket ORDER BY bucket
 """
 )
@@ -3501,8 +3525,13 @@ def locf_probe_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hi").alias("h0"), F.max("hi").alias("h1")
     )
     spine = span.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hi")
-    )
+        "user_id",
+        F.explode(F.sequence("h0", "h1")).alias("hi"),
+        F.assert_true(
+            F.col("h1") - F.col("h0") < 100000,
+            F.lit("locf spine span exceeds the oracle numbers table"),
+        ).alias("__span_ok"),
+    ).drop("__span_ok")
     return (
         spine.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
         .agg(
@@ -3517,8 +3546,10 @@ def locf_probe_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOCF_PROBE_FILL_ORACLE = (
     "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
 SELECT user_id % 50 AS bucket,
-       SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS n_filled,
-       SUM(CASE WHEN last_val IS NOT NULL THEN 1 ELSE 0 END) AS n_observed
+       CAST(SUM(CASE WHEN last_val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filled,
+       CAST(SUM(CASE WHEN last_val IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_observed
 FROM filled GROUP BY bucket ORDER BY bucket
 """
 )
@@ -3547,7 +3578,8 @@ def locf_probe_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOCF_PROBE_SUM_ORACLE = (
     "WITH " + _LOCF_NUMS + "," + _LOCF_CORE + """
 SELECT user_id % 50 AS bucket,
-       SUM(CAST(floor(locf * 100) AS BIGINT)) AS sum_locf_cents
+       CAST(SUM(CAST(floor(locf * 100) AS BIGINT)) AS BIGINT)
+         AS sum_locf_cents
 FROM filled GROUP BY bucket ORDER BY bucket
 """
 )
@@ -3701,8 +3733,8 @@ w AS (
 ),
 scored AS (
   SELECT user_id, n,
-         n * xc - sc AS dnum,
-         n * s2c - sc * sc AS vnum
+         CAST(n AS HUGEINT) * xc - sc AS dnum,
+         CAST(n AS HUGEINT) * s2c - CAST(sc AS HUGEINT) * sc AS vnum
   FROM w
 )
 """
@@ -3710,13 +3742,14 @@ scored AS (
 _ROLLING_ANOMALY_ORACLE = (
     "WITH " + _ROLLING_ANOMALY_CORE + """
 SELECT user_id % 20 AS bucket, COUNT(*) AS n_events,
-       SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END) AS n_scored,
-       SUM(CASE WHEN n >= 5 AND vnum > 0
+       CAST(SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN n >= 5 AND vnum > 0
                  AND 25 * dnum * dnum * (n - 1) > 64 * n * vnum
-                THEN 1 ELSE 0 END) AS n_anomalies,
-       SUM(CASE WHEN n >= 5 AND vnum > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       CAST(SUM(CASE WHEN n >= 5 AND vnum > 0
                  AND dnum * dnum * (n - 1) > 4 * n * vnum
-                THEN 1 ELSE 0 END) AS n_z2,
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_z2,
        CAST(SUM(abs(dnum)) AS BIGINT) AS sum_absdnum
 FROM scored GROUP BY bucket ORDER BY bucket
 """
@@ -3744,15 +3777,24 @@ def _rolling_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = trailing_integer_moments(
         base, "user_id", "us", "xc", window_span=86_400_000_000
     )
+    # 128-bit intermediates (r10 review): n*s2c and sc*sc reach
+    # n^2*xc^2, which exceeds int64 already at ~3100 rows per 24h
+    # frame with xc ~ 1e6 cents — ANSI Spark would error the whole
+    # gate.  DECIMAL(38,0) matches the oracle's HUGEINT promotion and
+    # keeps every comparison exact; dnum (<= 2*n*xc) stays far inside
+    # int64 for any physical window but is cast up once so downstream
+    # products start 128-bit.
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     return w.select(
         "user_id",
         "n",
         "sc",
         "s2c",
-        (F.col("n") * F.col("xc") - F.col("sc")).alias("dnum"),
-        (F.col("n") * F.col("s2c") - F.col("sc") * F.col("sc")).alias(
-            "vnum"
-        ),
+        (d38(F.col("n")) * F.col("xc") - F.col("sc")).alias("dnum"),
+        (
+            d38(F.col("n")) * F.col("s2c")
+            - d38(F.col("sc")) * F.col("sc")
+        ).alias("vnum"),
     )
 
 
@@ -3768,29 +3810,33 @@ def rolling_anomaly_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored count (n >= 5, positive variance), anomaly counts at
     z > 1.6 (25*dnum^2*(n-1) > 64*n*vnum) and z > 2.0, plus
     sum|dnum| which pins the window moments themselves.  Spark side
-    computes the cross-products in DECIMAL(38,0) (headroom: at
-    xc <= 1e6 cents and n <= 1e8 rows per frame the largest product
-    is 25*n^3*xc^2 ~ 2.5e37 < 1e38); DuckDB promotes to HUGEINT.
+    computes dnum/vnum and the cross-products in DECIMAL(38,0)
+    (the int64 bound n^2*xc^2 < 9.2e18 would already fail at ~3100
+    rows per frame with xc ~ 1e6 cents); headroom: with |dnum| <=
+    2*n*xc the largest product 25*dnum^2*(n-1) <= 100*n^3*xc^2 stays
+    under 1e38 for n <= 4e7 rows per frame at xc <= 1e6 — beyond any
+    physical 24h window.  DuckDB promotes to HUGEINT explicitly.
     The trailing frame runs through the retraction union
     (operators/rolling.py) — linear on hot keys vs Spark's O(n*f)
     sliding-frame re-aggregation, measured 510 s -> 18.1 s at 32 M
     rows (SCALE_SMOKE_r09.md)."""
     s = _rolling_scored(spark, sf_dir)
-    d38 = F.col("dnum").cast("decimal(38,0)")
-    lhs = d38 * F.col("dnum") * (F.col("n") - 1)
-    rhs_base = F.col("vnum").cast("decimal(38,0)") * F.col("n")
+    lhs = F.col("dnum") * F.col("dnum") * (F.col("n") - 1)
+    rhs_base = F.col("vnum") * F.col("n")
     ok = (F.col("n") >= 5) & (F.col("vnum") > 0)
     return (
         s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.when(ok, 1).otherwise(0)).alias("n_scored"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias(
+                "n_scored"
+            ),
             F.sum(
                 F.when(ok & (lhs * 25 > rhs_base * 64), 1).otherwise(0)
-            ).alias("n_anomalies"),
+            ).cast("bigint").alias("n_anomalies"),
             F.sum(
                 F.when(ok & (lhs > rhs_base * 4), 1).otherwise(0)
-            ).alias("n_z2"),
+            ).cast("bigint").alias("n_z2"),
             F.sum(F.abs(F.col("dnum"))).cast("bigint").alias(
                 "sum_absdnum"
             ),
@@ -3860,8 +3906,10 @@ def rolling_probe_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
         .agg(
             F.sum("n").alias("sum_n"),
-            F.sum(F.col("dnum") * F.col("dnum")).alias("sum_dnum2"),
-            F.sum("vnum").alias("sum_vnum"),
+            F.sum(F.col("dnum") * F.col("dnum"))
+            .cast("bigint")
+            .alias("sum_dnum2"),
+            F.sum("vnum").cast("bigint").alias("sum_vnum"),
         )
         .orderBy("bucket")
     )
@@ -3870,10 +3918,11 @@ def rolling_probe_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROLLING_PROBE_FLAGS_ORACLE = (
     "WITH " + _ROLLING_ANOMALY_CORE + """
 SELECT user_id % 20 AS bucket,
-       SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END) AS n_scored,
-       SUM(CASE WHEN n >= 5 AND vnum > 0
+       CAST(SUM(CASE WHEN n >= 5 AND vnum > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN n >= 5 AND vnum > 0
                  AND 25 * dnum * dnum * (n - 1) > 64 * n * vnum
-                THEN 1 ELSE 0 END) AS n_anomalies
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
 FROM scored GROUP BY bucket ORDER BY bucket
 """
 )
@@ -3886,17 +3935,18 @@ def rolling_probe_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges (which the integer construction should make
     impossible)."""
     s = _rolling_scored(spark, sf_dir)
-    d38 = F.col("dnum").cast("decimal(38,0)")
-    lhs = d38 * F.col("dnum") * (F.col("n") - 1)
-    rhs_base = F.col("vnum").cast("decimal(38,0)") * F.col("n")
+    lhs = F.col("dnum") * F.col("dnum") * (F.col("n") - 1)
+    rhs_base = F.col("vnum") * F.col("n")
     ok = (F.col("n") >= 5) & (F.col("vnum") > 0)
     return (
         s.groupBy(F.pmod("user_id", F.lit(20)).alias("bucket"))
         .agg(
-            F.sum(F.when(ok, 1).otherwise(0)).alias("n_scored"),
+            F.sum(F.when(ok, 1).otherwise(0)).cast("bigint").alias(
+                "n_scored"
+            ),
             F.sum(
                 F.when(ok & (lhs * 25 > rhs_base * 64), 1).otherwise(0)
-            ).alias("n_anomalies"),
+            ).cast("bigint").alias("n_anomalies"),
         )
         .orderBy("bucket")
     )
@@ -4611,13 +4661,14 @@ pt AS (
 ),
 credited AS (
   SELECT touch_type, COUNT(*) AS n_credited,
-         SUM(CAST(floor(value / n_touch * 1000000) AS BIGINT))
-           AS credit_micros
+         CAST(SUM(CAST(floor(value / n_touch * 1000000) AS BIGINT))
+              AS BIGINT) AS credit_micros
   FROM pt GROUP BY touch_type
 ),
 direct AS (
   SELECT 'direct' AS touch_type, COUNT(*) AS n_credited,
-         SUM(CAST(floor(value * 1000000) AS BIGINT)) AS credit_micros
+         CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS credit_micros
   FROM purchases p
   WHERE NOT EXISTS (
     SELECT 1 FROM touches t
@@ -5182,24 +5233,21 @@ def _epoch_us_col(df: DataFrame, c: str) -> F.Column:
     """BIGINT epoch-micros of a timestamp column, session-TZ-free for
     BOTH physical types the testdata ships: TIMESTAMP_NTZ columns
     (orders.o_orderdate — parquet µs, isAdjustedToUTC=false) convert
-    wall-as-UTC by the loader's PURE DATE ARITHMETIC (io/sources.py
-    _normalize_nanos: epoch-day * 86400e6 + intraday micros — no
-    timezone function ever touches the value), and loader-normalized
-    TIMESTAMP columns (events.ts) use unix_micros directly.  DuckDB's
-    epoch_us on the same parquet reads the identical naive wall value
-    as UTC, so the BIGINT agrees on both engines in every session
-    zone."""
+    wall-as-UTC via io/sources.ntz_epoch_us_sql — the SAME pure date
+    arithmetic the loader uses, one source of truth (r10 review) —
+    and loader-normalized TIMESTAMP columns (events.ts) use
+    unix_micros directly (the TIMESTAMP branch assumes the loader's
+    wall-as-UTC normalization already ran; all _t() tables satisfy
+    that by construction).  DuckDB's epoch_us on the same parquet
+    reads the identical naive wall value as UTC, so the BIGINT agrees
+    on both engines in every session zone."""
     from pyspark.sql import types as T
+
+    from automated_etl_pipeline_spark.io.sources import ntz_epoch_us_sql
 
     dt = {f.name: f.dataType for f in df.schema.fields}[c]
     if isinstance(dt, T.TimestampNTZType):
-        return F.expr(
-            f"CAST(datediff(CAST({c} AS DATE), DATE '1970-01-01')"
-            f" AS BIGINT) * 86400000000"
-            f" + CAST(date_part('HOUR', {c}) AS BIGINT) * 3600000000"
-            f" + CAST(date_part('MINUTE', {c}) AS BIGINT) * 60000000"
-            f" + CAST(date_part('SECOND', {c}) * 1000000 AS BIGINT)"
-        )
+        return F.expr(ntz_epoch_us_sql(c))
     return F.unix_micros(F.col(c))
 
 

@@ -2896,10 +2896,10 @@ SELECT d.source,
        COUNT(*) AS n_rows,
        MAX(d.med2) AS med2,
        MAX(t.mad4) AS mad4,
-       SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 44478 * t.mad4
-                THEN 1 ELSE 0 END) AS n_outliers,
-       SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 29652 * t.mad4
-                THEN 1 ELSE 0 END) AS n_mild
+       CAST(SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 44478 * t.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN t.mad4 > 0 AND 20000 * d.adev2 > 29652 * t.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mild
 FROM dev d JOIN mad t ON d.source = t.source
 GROUP BY d.source ORDER BY d.source
 """

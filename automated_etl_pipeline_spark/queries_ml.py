@@ -150,8 +150,10 @@ def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT))
                 AS BIGINT) AS sum_cents,
-           CAST(SUM((CAST(floor(o_totalprice * 100) AS BIGINT)
-                     * CAST(floor(o_totalprice * 100) AS BIGINT))
+           CAST(SUM(((CAST(floor(o_totalprice * 100) AS BIGINT)
+                      % 1000000000)
+                     * (CAST(floor(o_totalprice * 100) AS BIGINT)
+                        % 1000000000))
                     % 1000000000) AS BIGINT) AS sum_sq_mod
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,

@@ -134,3 +134,26 @@ def test_null_values_kept_uniformly(spark):
     kept_ids = {r.id for r in mad_filter(df, "x", ["grp"]).collect()}
     assert {900, 901} <= kept_ids
     assert kept_ids == set(range(20)) | {100 + i for i in range(10)} | {900, 901}
+
+
+def test_int_median_and_stats_ignore_nulls(spark):
+    """r10 review: engine-default NULL ordering diverges (Spark NULLS
+    FIRST vs DuckDB NULLS LAST ascending), so the integer median path
+    must drop NULLs before ranking — median of non-nulls, n_rows =
+    non-null count, all-null groups emit no row."""
+    from automated_etl_pipeline_spark.operators.robust import (
+        int_group_median2,
+        robust_group_stats_int,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 10), ("a", 20), ("b", None), ("b", None)],
+        "g string, v int",
+    )
+    med = {
+        r.g: r.med2
+        for r in int_group_median2(df, "v", ["g"]).collect()
+    }
+    assert med == {"a": 30}  # (10+20); group b (all-null) absent
+    stats = robust_group_stats_int(df, "v", ["g"]).collect()
+    assert len(stats) == 1 and stats[0].g == "a" and stats[0].n_rows == 2
