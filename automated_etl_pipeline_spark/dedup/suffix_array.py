@@ -1,0 +1,367 @@
+"""Variable-length exact-substring dedup via a distributed suffix
+array (prefix doubling).
+
+`dedup/spans.py` finds FIXED-width (W-token) duplicated windows — the
+Spark-native stand-in for the suffix-array signal of Lee et al.,
+"Deduplicating Training Data Makes Language Models Better"
+(arXiv:2107.06499).  This module builds the real thing: for every
+token position in the corpus, the length of the LONGEST substring
+starting there that also occurs anywhere else (any other position in
+any document, the same document included).  That exact per-position
+match length is what the paper's suffix array provides and what a
+fixed window cannot: spans are maximal and variable-length, so a
+1000-token verbatim copy is one span, not 1000-W+1 overlapping
+window hits.
+
+Reference parity note: the reference pipeline
+(nareshpendyala/Automated-ETL-Pipeline) has no dedup surface at all —
+this operator belongs to the engine's LLM-training-data extension
+family, alongside dedup/minhash.py and dedup/spans.py.
+
+Algorithm — all DataFrame ops, sized for a corpus that fits no task:
+
+1. **Global positions.**  Tokens explode to one row per (doc, pos).
+   Each doc's block gets a contiguous global id range ``gid``
+   computed from exclusive prefix sums of block lengths
+   (operators/prefix.bucketed_prefix_sum — no global window).  One
+   SENTINEL row per document terminates its block with a rank unique
+   to the doc, so no comparison ever runs past a document boundary:
+   any window containing a sentinel is globally unique.
+
+2. **Prefix doubling** (Manber-Myers).  ``rank_k[gid]`` names the
+   2^k-token window at ``gid``; each round self-joins the rank frame
+   shifted by 2^k and re-densifies ``(rank, rank_shift)`` pairs.
+   Rounds needed: ceil(log2(longest doc + 1)) — sentinels make every
+   suffix distinct within that horizon, NOT log2(corpus).  Ranks are
+   re-densified by ``_dense_ranks`` (below); every frame is
+   localCheckpoint-ed so lineage stays flat across rounds.
+
+3. **Neighbor LCPs.**  With all suffixes distinct, the final rank IS
+   the suffix-array position; adjacent ranks give the n-1 candidate
+   pairs.  Exact LCP per pair descends the stored rank levels
+   greedily (h += 2^k whenever rank_k matches at offset h) — the
+   classic O(log n)-per-pair sparse-table walk, expressed as one
+   equi-join per level over the pair frame.  Kasai's O(n) LCP scan is
+   inherently sequential and is NOT used.
+
+4. **Match lengths.**  The longest match of suffix i against the
+   whole corpus equals its max LCP with its two suffix-array
+   neighbors (standard SA property), so a union + max-by-gid
+   finishes the job.
+
+Scale shape: O(log Lmax) rounds, each one equi-join + one
+re-densify; the only driver-side materializations are
+per-shuffle-partition count rows (``_dense_ranks`` offsets, bounded
+by spark.sql.shuffle.partitions) and prefix.py's bounded bucket
+frames.  No global windows: the only windows are per-pid local
+ranks (keyed by partition id over a checkpointed frame) and the
+per-document islands merge (doc-length bounded, same contract as
+spans.py).  Memory: the stored levels hold O(n log Lmax) rows across
+the round frames — the price of a distributable LCP; at 100 TB,
+persist levels to executor-local disk (localCheckpoint already does)
+and raise shuffle partitions with corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from automated_etl_pipeline_spark.operators.prefix import bucketed_prefix_sum
+
+_MISSING_RANK = -1  # gid past corpus end in a shifted join
+
+
+def _dense_ranks(df: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
+    """Global dense rank (0-based) of the distinct ``key_cols`` tuples
+    under their natural sort order, without a single-partition window.
+
+    Range-repartition the distinct keys, take the partition id on the
+    MATERIALIZED frame (localCheckpoint first — spark_partition_id is
+    only stable on a materialized frame; plan branches may otherwise
+    recompute different placements), local-rank within each pid by a
+    keyed window, and add per-pid exclusive offsets computed from the
+    bounded pid-count frame (one row per shuffle partition).
+    """
+    spark = df.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keys = (
+        df.select(*key_cols)
+        .distinct()
+        .repartitionByRange(p, *[F.col(c) for c in key_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = keys.groupBy("__pid").count().orderBy("__pid").collect()
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid int, __off long",
+    )
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    return (
+        keys.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - F.lit(1) + F.col("__off")).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def corpus_positions(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(gid, doc_id, pos, rank, is_sent): one row per real token plus
+    one sentinel row per document, gids contiguous per doc block in
+    ``id_col`` order.  ``rank`` is the level-0 rank: dense over the
+    vocabulary for tokens (>= 0), ``-offset-2`` for sentinels
+    (unique per doc, < _MISSING_RANK).  Empty/whitespace-only docs
+    contribute just their sentinel."""
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("t"),
+    )
+    lens = toks.select(
+        "doc_id", (F.size("t") + F.lit(1)).alias("block_len"), F.lit(0).alias("__k")
+    )
+    offs = bucketed_prefix_sum(
+        lens, "__k", "doc_id", "doc_id", "block_len", bucket_us=1 << 16
+    ).select(
+        "doc_id",
+        "block_len",
+        (F.col("prefix") - F.col("block_len")).cast("long").alias("offset"),
+    )
+    base = toks.join(offs, "doc_id")
+    real = base.select(
+        "doc_id",
+        "offset",
+        F.posexplode("t").alias("pos", "token"),
+    ).select(
+        (F.col("offset") + F.col("pos")).alias("gid"),
+        "doc_id",
+        "pos",
+        "token",
+        F.lit(False).alias("is_sent"),
+    )
+    vocab = _dense_ranks(real.select("token"), ["token"], "rank")
+    real_ranked = real.join(vocab, "token").drop("token")
+    sent = offs.select(
+        (F.col("offset") + F.col("block_len") - 1).alias("gid"),
+        "doc_id",
+        (F.col("block_len") - 1).alias("pos"),
+        (-F.col("offset") - F.lit(2)).cast("long").alias("rank"),
+        F.lit(True).alias("is_sent"),
+    )
+    return real_ranked.unionByName(sent)
+
+
+def suffix_ranks(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Run prefix doubling to completion.
+
+    Returns ``(final, levels)``: ``final`` is (gid, doc_id, pos,
+    is_sent, rank) with all ranks distinct (rank == suffix-array
+    position); ``levels`` is [(prefix_len, (gid, rank))...] for every
+    doubling level including level 1, for the LCP descent."""
+    pos = corpus_positions(docs, id_col, text_col).localCheckpoint(eager=True)
+    n = pos.count()
+    if n == 0:
+        return pos.withColumn("rank", F.col("rank")), []
+    max_block = pos.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
+    # level-0 token ranks are not yet corpus-dense (sentinels are
+    # negative) — densify so every level has the same rank space
+    r0 = _dense_ranks(pos.select("rank"), ["rank"], "__d")
+    cur = (
+        pos.join(r0, "rank")
+        .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    levels: list[tuple[int, DataFrame]] = [(1, cur.select("gid", "rank"))]
+    k = 1
+    while k < max_block:
+        shifted = cur.select(
+            (F.col("gid") - F.lit(k)).alias("gid"), F.col("rank").alias("__r2")
+        )
+        paired = (
+            cur.join(shifted, "gid", "left")
+            .fillna({"__r2": _MISSING_RANK})
+        )
+        remap = _dense_ranks(paired.select("rank", "__r2"), ["rank", "__r2"], "__d")
+        cur = (
+            paired.join(remap, ["rank", "__r2"])
+            .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+        k *= 2
+        levels.append((k, cur.select("gid", "rank")))
+        if cur.agg(F.max("rank")).collect()[0][0] == n - 1:
+            break
+    return cur, levels
+
+
+def neighbor_lcps(
+    final: DataFrame, levels: list[tuple[int, DataFrame]]
+) -> DataFrame:
+    """(i, j, lcp): exact longest-common-prefix in tokens for each
+    adjacent pair in suffix-array order (i at rank r, j at rank r-1).
+    Sentinel rows participate (their LCPs are 0 by construction —
+    sentinel ranks are unique at level 1)."""
+    a = final.select(F.col("rank"), F.col("gid").alias("i"))
+    b = final.select((F.col("rank") - 1).alias("rank"), F.col("gid").alias("j"))
+    pairs = a.join(b, "rank").select("i", "j").withColumn("h", F.lit(0).cast("long"))
+    for plen, lvl in reversed(levels):
+        la = lvl.select(F.col("gid").alias("__ga"), F.col("rank").alias("__ra"))
+        lb = lvl.select(F.col("gid").alias("__gb"), F.col("rank").alias("__rb"))
+        pairs = (
+            pairs.withColumn("__ga", F.col("i") + F.col("h"))
+            .withColumn("__gb", F.col("j") + F.col("h"))
+            .join(la, "__ga", "left")
+            .join(lb, "__gb", "left")
+            .withColumn(
+                "h",
+                F.col("h")
+                + F.when(
+                    F.col("__ra").isNotNull() & (F.col("__ra") == F.col("__rb")),
+                    F.lit(plen),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("__ga", "__gb", "__ra", "__rb")
+            .localCheckpoint(eager=True)
+        )
+    return pairs.select("i", "j", F.col("h").alias("lcp"))
+
+
+def match_lengths(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, match_len): for every real token position, the
+    length in tokens of the longest substring starting there that
+    occurs at any OTHER position in the corpus (same doc included,
+    Lee et al. semantics).  0 = the suffix starting here shares no
+    first token with any other suffix."""
+    final, levels = suffix_ranks(docs, id_col, text_col)
+    if not levels:
+        return final.select("doc_id", "pos", F.lit(0).cast("long").alias("match_len")).limit(0)
+    lcps = neighbor_lcps(final, levels)
+    per_gid = (
+        lcps.select(F.col("i").alias("gid"), "lcp")
+        .unionByName(lcps.select(F.col("j").alias("gid"), "lcp"))
+        .groupBy("gid")
+        .agg(F.max("lcp").alias("match_len"))
+    )
+    return (
+        final.filter(~F.col("is_sent"))
+        .join(per_gid, "gid", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("match_len"), F.lit(0)).cast("long").alias("match_len"),
+        )
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_len): maximal per-document
+    spans covered by duplicated substrings of >= ``min_len`` tokens.
+    A start position p with match_len >= min_len covers
+    [p, p+match_len-1]; overlapping/adjacent covers merge via
+    gaps-and-islands with a running max end (per-doc window, doc-length
+    bounded — spans.py's contract)."""
+    ml = match_lengths(docs, id_col, text_col).filter(
+        F.col("match_len") >= F.lit(min_len)
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ml.withColumn(
+        "new_island",
+        F.when(
+            F.col("pos")
+            > F.coalesce(
+                F.max(F.col("pos") + F.col("match_len") - 1).over(w),
+                F.lit(-2).cast("long"),
+            )
+            + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    w2 = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w2))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + F.col("match_len") - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def longest_repeat(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row: the longest substring occurring >= 2 times in the
+    corpus — (length, doc_id, pos, other_doc_id, other_pos, phrase).
+    Ties broken by (doc_id, pos) of the i side for determinism."""
+    final, levels = suffix_ranks(docs, id_col, text_col)
+    if not levels:
+        return docs.sparkSession.createDataFrame(
+            [],
+            "length long, doc_id long, pos long, other_doc_id long,"
+            " other_pos long, phrase string",
+        )
+    lcps = neighbor_lcps(final, levels)
+    meta = final.select("gid", "doc_id", "pos")
+    top = (
+        lcps.join(meta.withColumnsRenamed({"gid": "i", "doc_id": "di", "pos": "pi"}), "i")
+        .join(
+            meta.withColumnsRenamed(
+                {"gid": "j", "doc_id": "dj", "pos": "pj"}
+            ),
+            "j",
+        )
+        .orderBy(F.desc("lcp"), F.asc("di"), F.asc("pi"))
+        .limit(1)
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("di"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__t"),
+    )
+    return (
+        top.join(toks, "di")
+        .select(
+            F.col("lcp").alias("length"),
+            F.col("di").alias("doc_id"),
+            F.col("pi").alias("pos"),
+            F.col("dj").alias("other_doc_id"),
+            F.col("pj").alias("other_pos"),
+            F.when(
+                F.col("lcp") > 0,
+                F.concat_ws(
+                    " ", F.slice(F.col("__t"), F.col("pi") + 1, F.col("lcp"))
+                ),
+            ).alias("phrase"),
+        )
+    )

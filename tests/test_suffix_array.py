@@ -1,0 +1,175 @@
+"""Differential tests for the distributed suffix-array operator
+(dedup/suffix_array.py) against brute-force pure-Python oracles.
+
+The oracles re-derive, per corpus:
+- the suffix-array ORDER, emulating the operator's exact key space
+  (dense token ranks >= 0, per-doc sentinel rank = -offset-2);
+- per-position longest-match lengths by the O(n^2 L) all-pairs scan
+  (Lee et al. semantics: any other position, same doc included);
+- merged duplicated spans by interval union.
+
+Corpora stay tiny (tens of tokens) — each case is a full
+prefix-doubling run, so the cost is Spark jobs, not data.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from automated_etl_pipeline_spark.dedup.suffix_array import (
+    duplicated_spans,
+    longest_repeat,
+    match_lengths,
+    suffix_ranks,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def py_match_lengths(docs: dict[int, str]) -> dict[tuple[int, int], int]:
+    toks = {d: _toks(t) for d, t in docs.items()}
+    positions = [(d, p) for d in sorted(toks) for p in range(len(toks[d]))]
+
+    def common(a, b):
+        (da, pa), (db, pb) = a, b
+        ta, tb = toks[da], toks[db]
+        h = 0
+        while pa + h < len(ta) and pb + h < len(tb) and ta[pa + h] == tb[pb + h]:
+            h += 1
+        return h
+
+    return {
+        x: max((common(x, y) for y in positions if y != x), default=0)
+        for x in positions
+    }
+
+
+def py_suffix_order(docs: dict[int, str]) -> list[tuple[int, int]]:
+    """Expected (doc_id, pos) sequence in suffix-array order,
+    including sentinel rows (pos = len(tokens)), emulating the
+    operator's key space exactly."""
+    toks = {d: _toks(t) for d, t in docs.items()}
+    vocab = {t: i for i, t in enumerate(sorted({t for ts in toks.values() for t in ts}))}
+    offsets, acc = {}, 0
+    for d in sorted(toks):
+        offsets[d] = acc
+        acc += len(toks[d]) + 1
+    keys = []
+    for d in sorted(toks):
+        ranked = [vocab[t] for t in toks[d]] + [-offsets[d] - 2]
+        for p in range(len(ranked)):
+            keys.append((tuple(ranked[p:]), (d, p)))
+    keys.sort()
+    return [pos for _, pos in keys]
+
+
+def _df(spark, docs: dict[int, str]):
+    return spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+
+
+CRAFTED = {
+    0: "the cat sat on the mat",
+    1: "the cat sat on a hat",
+    2: "completely different tokens here",
+    3: "the cat sat on the mat",  # full duplicate of doc 0
+    4: "x",
+    5: "",
+}
+
+
+def test_match_lengths_crafted(spark):
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, CRAFTED)).collect()
+    }
+    assert got == py_match_lengths(CRAFTED)
+
+
+def test_suffix_order_crafted(spark):
+    final, levels = suffix_ranks(_df(spark, CRAFTED))
+    rows = final.orderBy("rank").select("doc_id", "pos", "rank").collect()
+    n = len(rows)
+    assert [r["rank"] for r in rows] == list(range(n)), "ranks must be a dense total order"
+    # sentinel rows carry pos = len(tokens); real rows keep their pos
+    assert [(r["doc_id"], r["pos"]) for r in rows] == py_suffix_order(CRAFTED)
+
+
+def test_duplicated_spans_crafted(spark):
+    # min_len 3: "the cat sat on" x3 and "the mat" tail of docs 0/3
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"])
+        for r in duplicated_spans(_df(spark, CRAFTED), min_len=3).collect()
+    }
+    ml = py_match_lengths(CRAFTED)
+    covered: dict[int, set[int]] = {}
+    for (d, p), l in ml.items():
+        if l >= 3:
+            covered.setdefault(d, set()).update(range(p, p + l))
+    expected = set()
+    for d, ps in covered.items():
+        run: list[int] = []
+        for p in sorted(ps) + [max(ps) + 2]:
+            if run and p > run[-1] + 1:
+                expected.add((d, run[0], run[-1], run[-1] - run[0] + 1))
+                run = []
+            if p <= max(ps):
+                run.append(p)
+    assert spans == expected
+
+
+def test_longest_repeat_crafted(spark):
+    row = longest_repeat(_df(spark, CRAFTED)).collect()[0]
+    # the maximal repeat is the full 6-token doc 0 == doc 3
+    assert row["length"] == 6
+    assert row["phrase"] == "the cat sat on the mat"
+    assert {row["doc_id"], row["other_doc_id"]} == {0, 3}
+
+
+def test_no_repeats_corpus(spark):
+    docs = {0: "a b c", 1: "d e f"}
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, docs)).collect()
+    }
+    assert set(got.values()) == {0}
+    assert duplicated_spans(_df(spark, docs), min_len=1).count() == 0
+    assert longest_repeat(_df(spark, docs)).collect()[0]["length"] == 0
+
+
+def test_single_doc_internal_repeat(spark):
+    # "a b a b a" — suffix 0 vs suffix 2 share "a b a"
+    docs = {7: "a b a b a"}
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, docs)).collect()
+    }
+    assert got == py_match_lengths(docs)
+    assert got[(7, 0)] == 3
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_match_lengths_property(spark, texts):
+    docs = dict(enumerate(texts))
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, docs)).collect()
+    }
+    assert got == py_match_lengths(docs)
