@@ -124,7 +124,11 @@ def corpus_positions(
     contribute just their sentinel."""
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("t"),
+        # NULL text behaves as an empty doc (size(NULL) would poison
+        # the offset arithmetic with -1/NULL otherwise)
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+        ).alias("t"),
     )
     lens = toks.select(
         "doc_id", (F.size("t") + F.lit(1)).alias("block_len"), F.lit(0).alias("__k")

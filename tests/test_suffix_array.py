@@ -147,6 +147,17 @@ def test_no_repeats_corpus(spark):
     assert longest_repeat(_df(spark, docs)).collect()[0]["length"] == 0
 
 
+def test_null_text_is_empty_doc(spark):
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, None), (2, "a b")], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(df).collect()
+    }
+    assert got == {(0, 0): 2, (0, 1): 1, (2, 0): 2, (2, 1): 1}
+
+
 def test_single_doc_internal_repeat(spark):
     # "a b a b a" — suffix 0 vs suffix 2 share "a b a"
     docs = {7: "a b a b a"}
