@@ -22,8 +22,9 @@ Algorithm — all DataFrame ops, sized for a corpus that fits no task:
 
 1. **Global positions.**  Tokens explode to one row per (doc, pos).
    Each doc's block gets a contiguous global id range ``gid``
-   computed from exclusive prefix sums of block lengths
-   (operators/prefix.bucketed_prefix_sum — no global window).  One
+   computed from exclusive prefix sums of block lengths (two-phase:
+   range repartition + per-pid keyed running sums + bounded offset
+   collect — no global window).  One
    SENTINEL row per document terminates its block with a rank unique
    to the doc, so no comparison ever runs past a document boundary:
    any window containing a sentinel is globally unique.
@@ -68,8 +69,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from automated_etl_pipeline_spark.operators.prefix import bucketed_prefix_sum
-
 _MISSING_RANK = -1  # gid past corpus end in a shifted join
 
 
@@ -113,6 +112,48 @@ def _dense_ranks(df: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
     )
 
 
+def _block_offsets(lens: DataFrame) -> DataFrame:
+    """(doc_id, block_len, offset): EXCLUSIVE running sum of
+    ``block_len`` in ``doc_id`` order — the two-phase shape of
+    ``_dense_ranks`` (range repartition + per-pid keyed running sum +
+    bounded per-pid offset collect), NOT a constant-key global window
+    (Catalyst constant-folds a literal partition key into an empty
+    partition spec = single-partition WindowExec)."""
+    spark = lens.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = (
+        lens.repartitionByRange(p, F.col("doc_id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        parts.groupBy("__pid").agg(F.sum("block_len").alias("__t")).orderBy("__pid")
+    ).collect()
+    offsets, acc = {}, 0
+    for row in totals:
+        offsets[row["__pid"]] = acc
+        acc += row["__t"]
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in offsets.items()],
+        "__pid int, __poff long",
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            "offset",
+            (F.coalesce(F.sum("block_len").over(w), F.lit(0)) + F.col("__poff")).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__poff")
+    )
+
+
 def corpus_positions(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -130,16 +171,8 @@ def corpus_positions(
             F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
         ).alias("t"),
     )
-    lens = toks.select(
-        "doc_id", (F.size("t") + F.lit(1)).alias("block_len"), F.lit(0).alias("__k")
-    )
-    offs = bucketed_prefix_sum(
-        lens, "__k", "doc_id", "doc_id", "block_len", bucket_us=1 << 16
-    ).select(
-        "doc_id",
-        "block_len",
-        (F.col("prefix") - F.col("block_len")).cast("long").alias("offset"),
-    )
+    lens = toks.select("doc_id", (F.size("t") + F.lit(1)).alias("block_len"))
+    offs = _block_offsets(lens)
     base = toks.join(offs, "doc_id")
     real = base.select(
         "doc_id",
