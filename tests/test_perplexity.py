@@ -1,0 +1,148 @@
+"""Differential tests for the CCNet perplexity partitioner
+(functions/perplexity.py).
+
+Same protocol as test_dsir.py: the hashing (xxhash64 -> bucket) is
+taken as ground truth from the Spark side; the smoothing, the
+cross-entropy, and the rank-third cuts are recomputed in pure Python
+and compared exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from automated_etl_pipeline_spark.functions.dsir import hashed_ngram_counts
+from automated_etl_pipeline_spark.functions.perplexity import (
+    ccnet_partition,
+    doc_cross_entropy,
+)
+
+B = 64
+N = 2
+
+TARGET = {
+    100: "the cat sat on the mat",
+    101: "the cat ate the fish",
+    102: "a cat and the mat",
+}
+RAW = {
+    0: "the cat sat on the mat again",   # in-domain
+    1: "the cat sat quietly",            # in-domain-ish
+    2: "quantum flux capacitor array",   # off-domain
+    3: "flux array of quantum fields",   # off-domain
+    4: "x",                              # too short for a bigram
+    5: "",                               # empty
+    6: "the mat and the cat sat",        # in-domain
+}
+
+
+def _df(spark, docs):
+    return spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+
+
+def _counts(spark, docs):
+    rows = hashed_ngram_counts(_df(spark, docs), n=N, buckets=B).collect()
+    out: dict[int, dict[int, int]] = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], {})[r["bucket"]] = r["cnt"]
+    return out
+
+
+def _py_h(spark):
+    """Pure-python per-doc cross-entropy from the Spark-side bags."""
+    tgt_bags = _counts(spark, TARGET)
+    totals: dict[int, int] = {}
+    for bags in tgt_bags.values():
+        for b, c in bags.items():
+            totals[b] = totals.get(b, 0) + c
+    tot = sum(totals.values())
+    logp = {b: math.log((totals.get(b, 0) + 1) / (tot + B)) for b in range(B)}
+    raw_bags = _counts(spark, RAW)
+    out: dict[int, float | None] = {}
+    for d in RAW:
+        bag = raw_bags.get(d, {})
+        m = sum(bag.values())
+        out[d] = None if m == 0 else -sum(c * logp[b] for b, c in bag.items()) / m
+    return out
+
+
+def test_cross_entropy_differential(spark):
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["h"])
+        for r in doc_cross_entropy(
+            _df(spark, RAW), _df(spark, TARGET), n=N, buckets=B
+        ).collect()
+    }
+    expect = _py_h(spark)
+    assert set(got) == set(RAW)
+    for d, eh in expect.items():
+        if eh is None:
+            assert got[d] == (0, None), d
+        else:
+            assert abs(got[d][1] - eh) < 1e-12, d
+    # directional: in-domain docs score lower cross-entropy than
+    # off-domain docs
+    assert max(got[0][1], got[1][1], got[6][1]) < min(got[2][1], got[3][1])
+
+
+def test_ccnet_partition_matches_python_cuts(spark):
+    rows = ccnet_partition(
+        _df(spark, RAW), _df(spark, TARGET), n=N, buckets=B
+    ).collect()
+    got = {r["doc_id"]: r["part"] for r in rows}
+    expect_h = _py_h(spark)
+    scored = sorted(
+        (h, d) for d, h in expect_h.items() if h is not None
+    )
+    total = len(scored)
+    cut_head = math.ceil(total / 3)
+    cut_mid = math.ceil(total * 2 / 3)
+    for rank, (_, d) in enumerate(scored):
+        part = "head" if rank < cut_head else "middle" if rank < cut_mid else "tail"
+        assert got[d] == part, d
+    for d, h in expect_h.items():
+        if h is None:
+            assert got[d] == "empty", d
+    assert len(rows) == len(RAW)
+
+
+def test_ccnet_partition_is_ordered_and_deterministic(spark):
+    run = lambda: ccnet_partition(  # noqa: E731
+        _df(spark, RAW), _df(spark, TARGET), n=N, buckets=B
+    ).collect()
+    rows = run()
+    by_part: dict[str, list[float]] = {}
+    for r in rows:
+        if r["h"] is not None:
+            by_part.setdefault(r["part"], []).append(r["h"])
+    # every head score <= every middle score <= every tail score
+    if "head" in by_part and "middle" in by_part:
+        assert max(by_part["head"]) <= min(by_part["middle"])
+    if "middle" in by_part and "tail" in by_part:
+        assert max(by_part["middle"]) <= min(by_part["tail"])
+    again = run()
+    assert sorted((r["doc_id"], r["part"]) for r in rows) == sorted(
+        (r["doc_id"], r["part"]) for r in again
+    )
+
+
+def test_custom_fracs(spark):
+    rows = ccnet_partition(
+        _df(spark, RAW),
+        _df(spark, TARGET),
+        head_frac=0.2,
+        middle_frac=0.4,
+        n=N,
+        buckets=B,
+    ).collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        counts[r["part"]] = counts.get(r["part"], 0) + 1
+    total = sum(v for k, v in counts.items() if k != "empty")
+    assert counts.get("head", 0) == math.ceil(total * 0.2)
+    # mirror the documented cut formula exactly: ceil(N * (hf + mf))
+    # evaluates on the FLOAT SUM (0.2 + 0.4 = 0.6000000000000001 ->
+    # ceil(5 * that) = 4), not on a re-derived 0.6 literal
+    assert counts.get("head", 0) + counts.get("middle", 0) == math.ceil(
+        total * (0.2 + 0.4)
+    )
