@@ -144,3 +144,19 @@ def test_dsir_select_matches_python_gumbel(spark):
         ).collect()
     ]
     assert again == [d for d, _ in got]
+
+
+def test_dsir_plan_shape(spark):
+    """Scale contract: the LM joins are explicit broadcasts, selection
+    is TakeOrderedAndProject (per-partition heaps, no global sort),
+    and nothing row-wise Python appears anywhere."""
+    from automated_etl_pipeline_spark.plans.explain import (
+        executed_plan,
+        uses_python_udf,
+    )
+
+    df = dsir_select(_df(spark, RAW), _df(spark, TARGET), k=3, n=N, buckets=B)
+    plan = executed_plan(df)
+    assert not uses_python_udf(plan)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # target + raw LM joins

@@ -146,3 +146,17 @@ def test_custom_fracs(spark):
     assert counts.get("head", 0) + counts.get("middle", 0) == math.ceil(
         total * (0.2 + 0.4)
     )
+
+
+def test_perplexity_plan_shape(spark):
+    """Scale contract: the target-LM join is an explicit broadcast and
+    the scoring pipeline is JVM-only (no row-wise Python)."""
+    from automated_etl_pipeline_spark.plans.explain import (
+        executed_plan,
+        uses_python_udf,
+    )
+
+    df = doc_cross_entropy(_df(spark, RAW), _df(spark, TARGET), n=N, buckets=B)
+    plan = executed_plan(df)
+    assert not uses_python_udf(plan)
+    assert "BroadcastHashJoin" in plan
