@@ -82,7 +82,18 @@ def cents_sum(v: pd.Series) -> int:
             "cents_sum requires |x| < 9e13 (int64 cent range);"
             " larger magnitudes would wrap silently"
         )
-    return int(np.floor(x * 100).astype(np.int64).sum())
+    # the GROUP sum needs its own guard: ~1e3 near-bound elements
+    # wrap an int64 .sum() silently even though every element passed
+    # the per-element check (r10 review #2).  Sum in Python ints
+    # (exact at any width) and reject a total outside int64 — the
+    # declared 'long' return type cannot carry it.
+    total = int(np.floor(x * 100).astype(np.int64).astype(object).sum())
+    if not -(2**63) <= total < 2**63:
+        raise ValueError(
+            "cents_sum group total overflows int64; split the group"
+            " or reduce magnitudes"
+        )
+    return total
 
 
 @pandas_udf("long")

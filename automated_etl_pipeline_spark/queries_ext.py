@@ -3405,12 +3405,24 @@ def _locf_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raises inside the same job instead (r10 code review).
     spine = span.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1")).alias("hi"),
-        F.assert_true(
-            F.col("h1") - F.col("h0") < 100000,
-            F.lit("locf spine span exceeds the oracle numbers table"),
-        ).alias("__span_ok"),
-    ).drop("__span_ok")
+        # the assert is folded INTO the sequence bound (h0 + guarded
+        # span == h1) so column pruning cannot remove it — a dropped
+        # assert-only column is pruned to nothing and never fires
+        # (verified on pyspark 4.1.2; r10 code review)
+        F.explode(
+            F.sequence(
+                F.col("h0"),
+                F.col("h0")
+                + F.when(
+                    F.assert_true(
+                        F.col("h1") - F.col("h0") < 100000,
+                        F.lit("locf spine span exceeds the oracle numbers table"),
+                    ).isNull(),
+                    F.col("h1") - F.col("h0"),
+                ),
+            )
+        ).alias("hi"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("hi")
@@ -3526,12 +3538,21 @@ def locf_probe_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spine = span.select(
         "user_id",
-        F.explode(F.sequence("h0", "h1")).alias("hi"),
-        F.assert_true(
-            F.col("h1") - F.col("h0") < 100000,
-            F.lit("locf spine span exceeds the oracle numbers table"),
-        ).alias("__span_ok"),
-    ).drop("__span_ok")
+        # assert folded into the sequence bound — see locf's spine
+        F.explode(
+            F.sequence(
+                F.col("h0"),
+                F.col("h0")
+                + F.when(
+                    F.assert_true(
+                        F.col("h1") - F.col("h0") < 100000,
+                        F.lit("locf spine span exceeds the oracle numbers table"),
+                    ).isNull(),
+                    F.col("h1") - F.col("h0"),
+                ),
+            )
+        ).alias("hi"),
+    )
     return (
         spine.groupBy(F.pmod("user_id", F.lit(50)).alias("bucket"))
         .agg(

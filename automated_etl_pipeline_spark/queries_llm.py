@@ -2855,7 +2855,8 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 _MAD_CORE = """
-x AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+x AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+      WHERE n_chars IS NOT NULL),
 r AS (
   SELECT source, v,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn,

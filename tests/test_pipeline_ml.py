@@ -226,3 +226,18 @@ def test_cents_moment_udafs_reject_nonfinite(spark):
     )
     with pytest.raises(PythonException, match="finite"):
         df.groupBy("g").agg(cents_sum("x").alias("s")).collect()
+
+
+def test_cents_sum_group_total_overflow_rejected(spark):
+    """r10 review: per-element bounds allow ~1e3 near-bound rows to
+    wrap the int64 GROUP sum; the exact Python-int total must reject
+    instead of wrapping."""
+    import pandas as pd
+    import pytest
+
+    from automated_etl_pipeline_spark.functions.python_udfs import cents_sum
+
+    f = cents_sum.func
+    assert f(pd.Series([1.25, 2.5])) == 125 + 250
+    with pytest.raises(ValueError, match="group total overflows"):
+        f(pd.Series([8.9e13] * 1100))
