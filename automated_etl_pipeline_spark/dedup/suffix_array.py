@@ -69,74 +69,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from automated_etl_pipeline_spark.operators.ranks import (
+    global_ranks,
+    partition_offsets,
+)
+
 _MISSING_RANK = -1  # gid past corpus end in a shifted join
 
 
-def _dense_ranks(df: DataFrame, key_cols: list[str], out_col: str) -> DataFrame:
-    """Global dense rank (0-based) of the distinct ``key_cols`` tuples
-    under their natural sort order, without a single-partition window.
-
-    Range-repartition the distinct keys, take the partition id on the
-    MATERIALIZED frame (localCheckpoint first — spark_partition_id is
-    only stable on a materialized frame; plan branches may otherwise
-    recompute different placements), local-rank within each pid by a
-    keyed window, and add per-pid exclusive offsets computed from the
-    bounded pid-count frame (one row per shuffle partition).
-    """
-    spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    keys = (
-        df.select(*key_cols)
-        .distinct()
-        .repartitionByRange(p, *[F.col(c) for c in key_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = keys.groupBy("__pid").count().orderBy("__pid").collect()
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "__pid int, __off long",
-    )
-    w = Window.partitionBy("__pid").orderBy(*key_cols)
-    return (
-        keys.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            out_col,
-            (F.row_number().over(w) - F.lit(1) + F.col("__off")).cast("long"),
-        )
-        .drop("__pid", "__off")
-    )
+def _dense_ranks(
+    df: DataFrame, key_cols: list[str], out_col: str
+) -> tuple[DataFrame, int]:
+    """(ranked, n_distinct): global dense rank (0-based) of the
+    distinct ``key_cols`` tuples under their natural sort order, via
+    the shared two-phase construction (operators/ranks.py — no
+    single-partition window).  ``n_distinct`` comes free from the
+    offset collect and is the doubling loop's all-ranks-distinct
+    early-exit test (r10 review: the loop previously paid one full
+    max(rank) scan per round for the same answer)."""
+    return global_ranks(df.select(*key_cols).distinct(), key_cols, out_col)
 
 
 def _block_offsets(lens: DataFrame) -> DataFrame:
     """(doc_id, block_len, offset): EXCLUSIVE running sum of
-    ``block_len`` in ``doc_id`` order — the two-phase shape of
-    ``_dense_ranks`` (range repartition + per-pid keyed running sum +
-    bounded per-pid offset collect), NOT a constant-key global window
-    (Catalyst constant-folds a literal partition key into an empty
-    partition spec = single-partition WindowExec)."""
-    spark = lens.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = (
-        lens.repartitionByRange(p, F.col("doc_id"))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    totals = (
-        parts.groupBy("__pid").agg(F.sum("block_len").alias("__t")).orderBy("__pid")
-    ).collect()
-    offsets, acc = {}, 0
-    for row in totals:
-        offsets[row["__pid"]] = acc
-        acc += row["__t"]
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "__pid int, __poff long",
-    )
+    ``block_len`` in ``doc_id`` order — the shared two-phase shape
+    (operators/ranks.py), NOT a constant-key global window (Catalyst
+    constant-folds a literal partition key into an empty partition
+    spec = single-partition WindowExec)."""
+    parts, off_df, _ = partition_offsets(lens, ["doc_id"], weight_col="block_len")
     w = (
         Window.partitionBy("__pid")
         .orderBy("doc_id")
@@ -146,11 +106,11 @@ def _block_offsets(lens: DataFrame) -> DataFrame:
         parts.join(F.broadcast(off_df), "__pid")
         .withColumn(
             "offset",
-            (F.coalesce(F.sum("block_len").over(w), F.lit(0)) + F.col("__poff")).cast(
+            (F.coalesce(F.sum("block_len").over(w), F.lit(0)) + F.col("__off")).cast(
                 "long"
             ),
         )
-        .drop("__pid", "__poff")
+        .drop("__pid", "__off")
     )
 
 
@@ -185,7 +145,7 @@ def corpus_positions(
         "token",
         F.lit(False).alias("is_sent"),
     )
-    vocab = _dense_ranks(real.select("token"), ["token"], "rank")
+    vocab, _ = _dense_ranks(real.select("token"), ["token"], "rank")
     real_ranked = real.join(vocab, "token").drop("token")
     sent = offs.select(
         (F.col("offset") + F.col("block_len") - 1).alias("gid"),
@@ -213,7 +173,7 @@ def suffix_ranks(
     max_block = pos.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     # level-0 token ranks are not yet corpus-dense (sentinels are
     # negative) — densify so every level has the same rank space
-    r0 = _dense_ranks(pos.select("rank"), ["rank"], "__d")
+    r0, _ = _dense_ranks(pos.select("rank"), ["rank"], "__d")
     cur = (
         pos.join(r0, "rank")
         .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
@@ -229,7 +189,9 @@ def suffix_ranks(
             cur.join(shifted, "gid", "left")
             .fillna({"__r2": _MISSING_RANK})
         )
-        remap = _dense_ranks(paired.select("rank", "__r2"), ["rank", "__r2"], "__d")
+        remap, n_distinct = _dense_ranks(
+            paired.select("rank", "__r2"), ["rank", "__r2"], "__d"
+        )
         cur = (
             paired.join(remap, ["rank", "__r2"])
             .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
@@ -237,7 +199,10 @@ def suffix_ranks(
         )
         k *= 2
         levels.append((k, cur.select("gid", "rank")))
-        if cur.agg(F.max("rank")).collect()[0][0] == n - 1:
+        # all-ranks-distinct: the remap's distinct (rank, __r2) count
+        # equals the position count — known for free from the offset
+        # collect; no per-round max(rank) scan (r10 review)
+        if n_distinct == n:
             break
     return cur, levels
 

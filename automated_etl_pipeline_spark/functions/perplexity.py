@@ -38,12 +38,12 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from automated_etl_pipeline_spark.functions.dsir import (
     bucket_log_probs,
     hashed_ngram_counts,
 )
+from automated_etl_pipeline_spark.operators.ranks import global_ranks
 
 
 def doc_cross_entropy(
@@ -77,41 +77,6 @@ def doc_cross_entropy(
     )
 
 
-def _global_ranks(df: DataFrame, order_cols: list[str]) -> tuple[DataFrame, int]:
-    """0-based global rank of ``df``'s rows under the natural sort of
-    ``order_cols`` (which must be unique per row), without a
-    single-partition window: range repartition, per-pid keyed
-    row_number on the MATERIALIZED frame (spark_partition_id is only
-    stable after localCheckpoint), per-pid exclusive offsets from the
-    bounded pid-count frame.  Returns (ranked_df, total_rows)."""
-    spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = (
-        df.repartitionByRange(p, *[F.col(c) for c in order_cols])
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    counts = parts.groupBy("__pid").count().orderBy("__pid").collect()
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    off_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in offsets.items()],
-        "__pid int, __off long",
-    )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = (
-        parts.join(F.broadcast(off_df), "__pid")
-        .withColumn(
-            "__rank",
-            (F.row_number().over(w) - F.lit(1) + F.col("__off")).cast("long"),
-        )
-        .drop("__pid", "__off")
-    )
-    return ranked, acc
-
-
 def ccnet_partition(
     raw: DataFrame,
     target: DataFrame,
@@ -137,7 +102,7 @@ def ccnet_partition(
         raw, target, n, buckets, id_col, text_col
     ).localCheckpoint(eager=True)
     scored = scores.filter(F.col("h").isNotNull())
-    ranked, total = _global_ranks(scored, ["h", "doc_id"])
+    ranked, total = global_ranks(scored, ["h", "doc_id"])
     cut_head = math.ceil(total * head_frac)
     cut_mid = math.ceil(total * (head_frac + middle_frac))
     parted = ranked.select(
