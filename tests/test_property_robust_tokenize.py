@@ -106,3 +106,58 @@ def test_bpe_roundtrip_lossless_on_arbitrary_unicode(
     assert rep.n_roundtrip_ok == rep.n_docs == 1
     assert rep.n_words == len(words)
     assert rep.n_tokens >= rep.n_words
+
+
+# --- CCNet partitioner (functions/perplexity.py) ----------------------
+
+# words over a 2-letter alphabet => heavy hash-bucket collisions; a
+# doc-unique suffix token keeps bags distinct so no two docs tie on h
+# by equal bags (the cut oracle consumes SPARK's h values, so only a
+# float-coincidence tie could make rank order ambiguous)
+_CCNET_DOC = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba"]), min_size=0, max_size=6
+).map(" ".join)
+_CCNET_CORPUS = st.lists(_CCNET_DOC, min_size=1, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(raw=_CCNET_CORPUS, target=_CCNET_CORPUS)
+def test_ccnet_cuts_match_exact_oracle_on_spark_scores(spark, raw, target):
+    """Random corpora (empty docs, all-short docs, single-doc pools):
+    the head/middle/tail assignment must equal the exact rank-cut
+    oracle applied to the operator's own cross-entropy scores — this
+    searches the two-phase global-rank + ceil-cut machinery for
+    counterexamples, independent of the score values themselves."""
+    import math
+
+    from automated_etl_pipeline_spark.functions.perplexity import (
+        ccnet_partition,
+        doc_cross_entropy,
+    )
+
+    rawd = {i: (f"{t} u{i} u{i}".strip()) for i, t in enumerate(raw)}
+    tgtd = {100 + i: t for i, t in enumerate(target)}
+    raw_df = spark.createDataFrame(
+        list(rawd.items()), "doc_id long, text string"
+    )
+    tgt_df = spark.createDataFrame(
+        list(tgtd.items()), "doc_id long, text string"
+    )
+    scores = {
+        r["doc_id"]: r["h"]
+        for r in doc_cross_entropy(raw_df, tgt_df, n=2, buckets=16).collect()
+    }
+    rows = ccnet_partition(raw_df, tgt_df, n=2, buckets=16).collect()
+    got = {r["doc_id"]: r["part"] for r in rows}
+    assert len(rows) == len(rawd)
+    ranked = sorted((h, d) for d, h in scores.items() if h is not None)
+    total = len(ranked)
+    # mirror the operator's cut formula exactly (float-sum semantics)
+    ch = math.ceil(total * (1.0 / 3.0))
+    cm = math.ceil(total * (1.0 / 3.0 + 1.0 / 3.0))
+    for rk, (_, d) in enumerate(ranked):
+        expect = "head" if rk < ch else "middle" if rk < cm else "tail"
+        assert got[d] == expect, (d, rk, total)
+    for d, h in scores.items():
+        if h is None:
+            assert got[d] == "empty", d
