@@ -324,16 +324,25 @@ def duplicated_spans(
 def longest_repeat(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One row: the longest substring occurring >= 2 times in the
-    corpus — (length, doc_id, pos, other_doc_id, other_pos, phrase).
-    Ties broken by (doc_id, pos) of the i side for determinism."""
+    """One row, ALWAYS: the longest substring occurring >= 2 times in
+    the corpus — (length, doc_id, pos, other_doc_id, other_pos,
+    phrase).  Ties broken by (doc_id, pos) of the i side for
+    determinism.  Degenerate corpora — no documents, all-empty
+    documents, or a single token position (no adjacent suffix pair) —
+    return one (0, NULL, NULL, NULL, NULL, NULL) row rather than an
+    empty frame (r10 ADVICE: the docstring promised one row; the
+    no-levels branch and pair-free corpora silently broke it)."""
+    spark = docs.sparkSession
+    schema = (
+        "length long, doc_id long, pos long, other_doc_id long,"
+        " other_pos long, phrase string"
+    )
+    fallback = spark.createDataFrame(
+        [(0, None, None, None, None, None)], schema
+    )
     final, levels = suffix_ranks(docs, id_col, text_col)
     if not levels:
-        return docs.sparkSession.createDataFrame(
-            [],
-            "length long, doc_id long, pos long, other_doc_id long,"
-            " other_pos long, phrase string",
-        )
+        return fallback
     lcps = neighbor_lcps(final, levels)
     meta = final.select("gid", "doc_id", "pos")
     top = (
@@ -349,21 +358,33 @@ def longest_repeat(
     )
     toks = docs.select(
         F.col(id_col).cast("long").alias("di"),
-        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("__t"),
+        # NULL text is an empty doc, the corpus_positions contract —
+        # split(NULL) would NULL-poison the phrase slice (r10 ADVICE)
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: t != "",
+        ).alias("__t"),
     )
+    got = top.join(toks, "di").select(
+        F.col("lcp").cast("long").alias("length"),
+        F.col("di").cast("long").alias("doc_id"),
+        F.col("pi").cast("long").alias("pos"),
+        F.col("dj").cast("long").alias("other_doc_id"),
+        F.col("pj").cast("long").alias("other_pos"),
+        F.when(
+            F.col("lcp") > 0,
+            F.concat_ws(
+                " ", F.slice(F.col("__t"), F.col("pi") + 1, F.col("lcp"))
+            ),
+        ).alias("phrase"),
+    )
+    # one-row-always without a second pipeline execution: the real row
+    # (priority 0) wins over the fallback (priority 1) in a bounded
+    # 2-row sort — no isEmpty()/count() action re-running the doubling
     return (
-        top.join(toks, "di")
-        .select(
-            F.col("lcp").alias("length"),
-            F.col("di").alias("doc_id"),
-            F.col("pi").alias("pos"),
-            F.col("dj").alias("other_doc_id"),
-            F.col("pj").alias("other_pos"),
-            F.when(
-                F.col("lcp") > 0,
-                F.concat_ws(
-                    " ", F.slice(F.col("__t"), F.col("pi") + 1, F.col("lcp"))
-                ),
-            ).alias("phrase"),
-        )
+        got.withColumn("__p", F.lit(0))
+        .unionByName(fallback.withColumn("__p", F.lit(1)))
+        .orderBy("__p")
+        .limit(1)
+        .drop("__p")
     )

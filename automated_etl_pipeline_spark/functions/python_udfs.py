@@ -105,7 +105,13 @@ def cents_sq_mod_sum(v: pd.Series) -> int:
     computed on the REDUCED residue ((c mod 1e9)^2 mod 1e9 == c^2 mod
     1e9), so the intermediate stays < 1e18 — no int64 wrap at any
     allowed magnitude (r10 review); the summed residues (< 1e9 each)
-    fit ~9e9 group rows in int64."""
+    fit ~9e9 group rows in int64.  Residues use DIVIDEND-sign
+    semantics (np.fmod) to match SQL ``%`` in both Spark and DuckDB —
+    numpy's ``%`` follows the DIVISOR's sign, which would diverge
+    cross-engine on any negative cent value (r10 ADVICE); the squared
+    residue is non-negative either way, but the identity
+    (c mod m)^2 mod m == c^2 mod m only holds when the inner residue
+    uses a consistent convention with the oracle's."""
     x = v.to_numpy(dtype="float64")
     if not np.all(np.isfinite(x)):
         raise ValueError(
@@ -118,8 +124,8 @@ def cents_sq_mod_sum(v: pd.Series) -> int:
             " larger magnitudes would wrap silently"
         )
     c = np.floor(x * 100).astype(np.int64)
-    cm = c % 1_000_000_000
-    return int(((cm * cm) % 1_000_000_000).sum())
+    cm = np.fmod(c, 1_000_000_000)
+    return int(np.fmod(cm * cm, 1_000_000_000).sum())
 
 
 @udtf(returnType="sentence_idx int, sentence string")

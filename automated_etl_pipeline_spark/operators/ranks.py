@@ -51,7 +51,13 @@ def partition_offsets(
             f"partition_offsets appends {sorted(clash)} — rename first"
         )
     spark = df.sparkSession
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # AQE deployments may set this conf to 'auto' (r10 ADVICE) —
+        # fall back to the cluster's default parallelism rather than
+        # blowing up every rank-based operator.
+        p = spark.sparkContext.defaultParallelism
     parts = (
         df.repartitionByRange(p, *[F.col(c) for c in order_cols])
         .withColumn("__pid", F.spark_partition_id())

@@ -241,3 +241,48 @@ def test_cents_sum_group_total_overflow_rejected(spark):
     assert f(pd.Series([1.25, 2.5])) == 125 + 250
     with pytest.raises(ValueError, match="group total overflows"):
         f(pd.Series([8.9e13] * 1100))
+
+
+def test_cents_sq_mod_sum_negative_matches_sql_semantics(spark):
+    """r10 ADVICE: numpy % follows the divisor's sign while SQL % (both
+    Spark and DuckDB) follows the dividend's — the residue must use
+    dividend-sign semantics (np.fmod) or any negative cent value
+    diverges cross-engine.  Pinned against BOTH engines' % on the
+    oracle's exact expression."""
+    import math
+
+    import duckdb
+
+    from automated_etl_pipeline_spark.functions.python_udfs import (
+        cents_sq_mod_sum,
+    )
+
+    vals = [-123.45, -99999999999.99, 0.07, -0.01]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, x double")
+    got = (
+        df.groupBy("g")
+        .agg(cents_sq_mod_sum("x").alias("q"))
+        .collect()[0]["q"]
+    )
+    expr = """
+        CAST(SUM(((CAST(floor(x * 100) AS BIGINT) % 1000000000)
+                  * (CAST(floor(x * 100) AS BIGINT) % 1000000000))
+                 % 1000000000) AS BIGINT)
+    """
+    df.createOrReplaceTempView("cents_neg")
+    via_spark = spark.sql(
+        f"SELECT {expr} AS q FROM cents_neg GROUP BY g"
+    ).collect()[0]["q"]
+    duck = duckdb.connect()
+    vals_sql = ", ".join(f"({v!r})" for v in vals)
+    via_duck = duck.execute(
+        f"SELECT {expr} AS q FROM (VALUES {vals_sql}) t(x)"
+    ).fetchone()[0]
+    # and the closed form with explicit dividend-sign residues
+    m = 1_000_000_000
+
+    def srem(a: int) -> int:
+        return a % m if a >= 0 else -((-a) % m)
+
+    exp = sum(srem(srem(math.floor(v * 100)) ** 2) for v in vals)
+    assert got == via_spark == via_duck == exp

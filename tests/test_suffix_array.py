@@ -184,3 +184,33 @@ def test_match_lengths_property(spark, texts):
         for r in match_lengths(_df(spark, docs)).collect()
     }
     assert got == py_match_lengths(docs)
+
+
+def test_longest_repeat_degenerate_one_row(spark):
+    """r10 ADVICE: the one-row contract must hold for corpora with no
+    adjacent suffix pair (empty corpus, all-empty docs, single token)."""
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = longest_repeat(empty).collect()
+    assert len(row) == 1
+    assert row[0]["length"] == 0 and row[0]["doc_id"] is None
+    # one empty-text doc: a single sentinel position, zero pairs
+    one_empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    row = longest_repeat(one_empty).collect()
+    assert len(row) == 1 and row[0]["length"] == 0
+    # NULL text behaves as empty (the corpus_positions contract)
+    one_null = spark.createDataFrame([(0, None)], "doc_id long, text string")
+    row = longest_repeat(one_null).collect()
+    assert len(row) == 1 and row[0]["length"] == 0
+
+
+def test_longest_repeat_with_null_texts_alongside_real(spark):
+    """The final phrase join must coalesce NULL text like
+    corpus_positions does (r10 ADVICE) — a NULL doc in the corpus must
+    not poison the result row."""
+    df = spark.createDataFrame(
+        [(0, "x y z w"), (1, None), (2, "x y z w")],
+        "doc_id long, text string",
+    )
+    row = longest_repeat(df).collect()[0]
+    assert row["length"] == 4
+    assert row["phrase"] == "x y z w"

@@ -61,3 +61,27 @@ def test_lrv_rotation_orders_stale_first(tmp_path, monkeypatch):
     assert last["q_green_r1"] == 1 and last["q_green_r2"] == 2
     assert last["q_no_oracle"] == 1
     assert "q_hash_mismatch" not in last  # stays in the fresh group
+
+
+def test_scale_smoke_suffix_salt_is_bijective_on_irregular_whitespace(
+    spark, tmp_path
+):
+    """r10 ADVICE: salting by regexp-replacing every single space turns
+    'a  b' into tokens ['a_r0', '_r0b_r0'] — not a bijective token
+    rename — so the salted-replica invariant could falsely VIOLATION on
+    whitespace-irregular corpora.  The transform-over-filtered-split
+    salt must map the same base token to the same salted token."""
+    from tools.scale_smoke_suffix import corpus
+
+    base = str(tmp_path / "base")
+    spark.createDataFrame(
+        [(0, "a  b"), (1, " a b ")], "doc_id long, text string"
+    ).write.parquet(f"{base}/documents.parquet")
+    out = {
+        (r["doc_id"]): r["text"]
+        for r in corpus(spark, base, replicas=2, salted=True).collect()
+    }
+    # replica r: doc ids shifted by r * (max_id + 1) = r * 2
+    assert out[0 + 2] == "a_r1 b_r1"
+    assert out[1 + 2] == "a_r1 b_r1"
+    assert out[0] == "a_r0 b_r0"

@@ -63,14 +63,18 @@ def corpus(spark, base_dir: str, replicas: int, salted: bool):
             F.when(
                 F.lit(salted) & (F.trim("text") != ""),
                 # per-replica token salt: suffix every token with _r<i>
-                # (a bijective rename => within-replica match structure
-                # is identical to the base corpus)
-                F.concat(
-                    F.regexp_replace(
-                        "text", " ", F.concat(F.lit("_r"), F.col("__r"), F.lit(" "))
+                # via transform over the FILTERED split array — a
+                # bijective rename even when the base text carries
+                # consecutive spaces (a regexp_replace of every single
+                # space would glue 'a  b' into the token '_r0b', r10
+                # ADVICE), matching the whitespace normalization the
+                # operator itself applies
+                F.array_join(
+                    F.transform(
+                        F.filter(F.split("text", " "), lambda t: t != ""),
+                        lambda t: F.concat(t, F.lit("_r"), F.col("__r")),
                     ),
-                    F.lit("_r"),
-                    F.col("__r"),
+                    " ",
                 ),
             ).otherwise(F.col("text"))
         ).alias("text"),
