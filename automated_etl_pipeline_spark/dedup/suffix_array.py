@@ -34,8 +34,13 @@ Algorithm — all DataFrame ops, sized for a corpus that fits no task:
    shifted by 2^k and re-densifies ``(rank, rank_shift)`` pairs.
    Rounds needed: ceil(log2(longest doc + 1)) — sentinels make every
    suffix distinct within that horizon, NOT log2(corpus).  Ranks are
-   re-densified by ``_dense_ranks`` (below); every frame is
-   localCheckpoint-ed so lineage stays flat across rounds.
+   re-densified by ``_dense_ranks`` (below); every round frame is
+   materialized via plans/materialize.py — localCheckpoint PLUS a
+   fresh-LogicalRDD re-root, so both the lineage AND Catalyst's
+   ``sizeInBytes`` statistic stay flat across rounds (checkpointing
+   alone preserves ``originStats``, which the per-round self-joins
+   square until planning itself becomes million-bit BigInt
+   arithmetic — measured 12.8 s/level at round 7, 0.3 s reset).
 
 3. **Neighbor LCPs.**  With all suffixes distinct, the final rank IS
    the suffix-array position; adjacent ranks give the n-1 candidate
@@ -59,8 +64,8 @@ ranks (keyed by partition id over a checkpointed frame) and the
 per-document islands merge (doc-length bounded, same contract as
 spans.py).  Memory: the stored levels hold O(n log Lmax) rows across
 the round frames — the price of a distributable LCP; at 100 TB,
-persist levels to executor-local disk (localCheckpoint already does)
-and raise shuffle partitions with corpus size.
+persist levels to executor-local disk (the materialize checkpoint
+already does) and raise shuffle partitions with corpus size.
 """
 
 from __future__ import annotations
@@ -69,6 +74,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from automated_etl_pipeline_spark.plans.materialize import materialize
 from automated_etl_pipeline_spark.operators.ranks import (
     global_ranks,
     partition_offsets,
@@ -166,7 +172,7 @@ def suffix_ranks(
     is_sent, rank) with all ranks distinct (rank == suffix-array
     position); ``levels`` is [(prefix_len, (gid, rank))...] for every
     doubling level including level 1, for the LCP descent."""
-    pos = corpus_positions(docs, id_col, text_col).localCheckpoint(eager=True)
+    pos = materialize(corpus_positions(docs, id_col, text_col))
     n = pos.count()
     if n == 0:
         return pos.withColumn("rank", F.col("rank")), []
@@ -174,10 +180,9 @@ def suffix_ranks(
     # level-0 token ranks are not yet corpus-dense (sentinels are
     # negative) — densify so every level has the same rank space
     r0, _ = _dense_ranks(pos.select("rank"), ["rank"], "__d")
-    cur = (
+    cur = materialize(
         pos.join(r0, "rank")
         .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
-        .localCheckpoint(eager=True)
     )
     levels: list[tuple[int, DataFrame]] = [(1, cur.select("gid", "rank"))]
     k = 1
@@ -192,10 +197,9 @@ def suffix_ranks(
         remap, n_distinct = _dense_ranks(
             paired.select("rank", "__r2"), ["rank", "__r2"], "__d"
         )
-        cur = (
+        cur = materialize(
             paired.join(remap, ["rank", "__r2"])
             .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
-            .localCheckpoint(eager=True)
         )
         k *= 2
         levels.append((k, cur.select("gid", "rank")))
@@ -217,7 +221,7 @@ def neighbor_lcps(
     a = final.select(F.col("rank"), F.col("gid").alias("i"))
     b = final.select((F.col("rank") - 1).alias("rank"), F.col("gid").alias("j"))
     pairs = a.join(b, "rank").select("i", "j").withColumn("h", F.lit(0).cast("long"))
-    for plen, lvl in reversed(levels):
+    for step, (plen, lvl) in enumerate(reversed(levels), start=1):
         la = lvl.select(F.col("gid").alias("__ga"), F.col("rank").alias("__ra"))
         lb = lvl.select(F.col("gid").alias("__gb"), F.col("rank").alias("__rb"))
         pairs = (
@@ -234,8 +238,17 @@ def neighbor_lcps(
                 ).otherwise(F.lit(0)),
             )
             .drop("__ga", "__gb", "__ra", "__rb")
-            .localCheckpoint(eager=True)
         )
+        # Checkpoint every 4th level, not every level: the descent is a
+        # fixed linear join chain with one consumer, so correctness
+        # never needs the barrier — a per-level eager checkpoint just
+        # materializes the n-row pair frame L times (L sequential
+        # actions of driver latency at small scale, L corpus-size disk
+        # writes at large).  Every 4 levels caps Catalyst's analyzed
+        # plan at ~8 joins while collapsing the wall to ceil(L/4)
+        # actions (measured 71 s -> ~9 s on the sf0.001 gate corpus).
+        if step % 4 == 0:
+            pairs = materialize(pairs)
     return pairs.select("i", "j", F.col("h").alias("lcp"))
 
 
