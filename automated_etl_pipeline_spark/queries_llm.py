@@ -3830,3 +3830,289 @@ def negative_pair_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ----------------------------------------------------------------------
+# r11 gates for the four r10 operators (COVERAGE.md r11 gating plan).
+# Where the plan promised rows+schema contracts, the structural columns
+# turned out oracle-expressible after all (counts asserted equal to
+# corpus-derived expectations), so three of the four are full hash
+# gates; only the suffix-array statistics (whose values ARE the
+# algorithm's output) stay under the rows+schema+invariant contract.
+# Score VALUES (DSIR weights, CCNet cross-entropies, BPE merge
+# identities) never enter a hash gate — ln() is not identically
+# rounded across engines (the r9 ADVICE class); they stay pinned by
+# the pure-Python differential tests.
+# ----------------------------------------------------------------------
+
+_BPE_FIDELITY_ORACLE = """
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text, ' '), w -> w != '')))
+            AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_token_bound_ok
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("bpe_fidelity_roundtrip", _BPE_FIDELITY_ORACLE)
+def bpe_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode/decode fidelity as per-bucket BIGINTs: train merges
+    on the corpus word-frequency table (functions/tokenize.py — the
+    bounded-collect training path), Arrow-batched encode every
+    document, decode by pure column algebra, and count per doc-id
+    bucket: documents, whitespace words, exact round-trips, and
+    token-count lower bounds (n_tokens >= n_words — merges never cross
+    word boundaries).  BPE is lossless by construction on its training
+    alphabet, so the ORACLE asserts n_roundtrip_ok == n_docs ==
+    n_token_bound_ok from the corpus alone — a real cross-check of the
+    encode/decode pair (any dropped token, wrong merge order, or
+    marker collision breaks a bucket's count), with no merge identity
+    or token value in the gate.
+
+    Scale: training collects only the Heaps-law-bounded word-frequency
+    table (cap-guarded); encoding is a stateless pandas UDF that
+    pipelines with the scan; the gate aggregation is one 8-bucket
+    shuffle."""
+    from automated_etl_pipeline_spark.functions.tokenize import (
+        detokenize_expr,
+        learn_bpe_merges,
+        tokenize_documents,
+        word_freq,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs.filter(F.col("text").isNotNull())
+    merges = learn_bpe_merges(word_freq(docs), n_merges=40)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    enc = tokenize_documents(spread(docs), merges).select(
+        (F.col("doc_id") % 8).cast("long").alias("bucket"),
+        F.size(words).alias("__nw"),
+        (detokenize_expr("tokens") == F.array_join(words, " ")).alias("__rt"),
+        (F.size("tokens") >= F.size(words)).alias("__bound"),
+    )
+    return (
+        enc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.sum(F.when(F.col("__rt"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_roundtrip_ok"),
+            F.sum(F.when(F.col("__bound"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_token_bound_ok"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query("suffix_array_stats")
+def suffix_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact-substring statistics (dedup/suffix_array.py,
+    Lee et al. arXiv:2107.06499 semantics) under the rows+schema+
+    invariant contract — per-position match lengths ARE the prefix-
+    doubling algorithm's output, so no independent SQL oracle exists
+    (a DuckDB oracle would have to reimplement the algorithm; the
+    brute-force pure-Python oracle lives in tests/test_suffix_array.py
+    instead).
+
+    The gate runs on a deterministic 1-in-20 doc subset PLUS planted
+    verbatim replicas of the 1-in-100 docs, and emits per-bucket
+    BIGINTs with two in-query invariant columns:
+      - planted_exact_ok: every position of a planted doc (original
+        and replica) must have match_len == doc_len - pos exactly —
+        its full suffix occurs verbatim in the twin, and no match can
+        outrun the document sentinel;
+      - bound_ok: match_len <= doc_len - pos at EVERY position.
+    A broken rank round, LCP descent, or offset computation flips one
+    of these to false or moves a count."""
+    from automated_etl_pipeline_spark.dedup.suffix_array import match_lengths
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    planted = subset.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = subset.unionByName(planted)
+    lens = corpus.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda t: t != "",
+            )
+        ).alias("__len"),
+    )
+    base = F.when(
+        F.col("doc_id") >= 10_000_000, F.col("doc_id") - 10_000_000
+    ).otherwise(F.col("doc_id"))
+    j = (
+        match_lengths(corpus)
+        .join(lens, "doc_id")
+        .select(
+            (F.floor(base / 20) % 4).cast("long").alias("bucket"),
+            (base % 100 == 0).alias("__planted"),
+            (F.col("match_len") == F.col("__len") - F.col("pos")).alias("__exact"),
+            (F.col("match_len") <= F.col("__len") - F.col("pos")).alias("__bnd"),
+            "match_len",
+        )
+    )
+    agg = j.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_positions"),
+        F.sum("match_len").cast("long").alias("sum_match_len"),
+        F.sum(F.when(F.col("__planted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_planted_pos"),
+        F.sum(F.when(F.col("__planted") & F.col("__exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_planted_exact"),
+        F.sum(F.when(F.col("__bnd"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bound_ok"),
+    )
+    return agg.select(
+        "bucket",
+        "n_positions",
+        "sum_match_len",
+        "n_planted_pos",
+        (F.col("n_planted_pos") == F.col("n_planted_exact")).alias(
+            "planted_exact_ok"
+        ),
+        (F.col("n_bound_ok") == F.col("n_positions")).alias("bound_ok"),
+    ).orderBy("bucket")
+
+
+_DSIR_STRUCTURAL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+             w -> w != '')) AS n_tok
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pool,
+       CAST(SUM(CASE WHEN n_tok >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored,
+       CAST(SUM(CASE WHEN n_tok >= 2 THEN n_tok - 1 ELSE 0 END) AS BIGINT)
+         AS total_ngrams,
+       CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_selected,
+       CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_selected_distinct,
+       CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n_selected_in_pool
+FROM tok
+"""
+
+
+@query("dsir_select_structural", _DSIR_STRUCTURAL_ORACLE)
+def dsir_select_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling selection (functions/dsir.py, Xie et
+    al. arXiv:2302.03169) gated on its STRUCTURAL outputs only: pool
+    size, scored-document count, the exact bigram total carried by the
+    weight aggregation, and the Gumbel-top-k selection's size /
+    distinctness / pool-membership — each a BIGINT the oracle derives
+    independently from the corpus (bigram count of a doc is
+    max(len-1, 0); a k-selection from a >=k pool has exactly k
+    distinct in-pool ids).  The log-likelihood weight VALUES are
+    transcendental and stay out (pinned in tests/test_dsir.py against
+    a pure-Python replica).
+
+    Scale: both LMs are fixed-8192-row broadcast tables; scoring is
+    one doc-keyed aggregation; selection is one
+    TakeOrderedAndProject."""
+    from automated_etl_pipeline_spark.functions.dsir import (
+        dsir_select,
+        importance_weights,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = importance_weights(docs, target)
+    sel = dsir_select(docs, target, k=50, seed=7)
+    pool_stats = w.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool"),
+        F.sum(F.when(F.col("n_ngrams") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum("n_ngrams").cast("long").alias("total_ngrams"),
+    )
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    sel_stats = sel.join(ids, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected_in_pool")
+    )
+    sel_counts = sel.agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.countDistinct("doc_id").cast("long").alias("n_selected_distinct"),
+    )
+    return (
+        pool_stats.crossJoin(sel_counts)
+        .crossJoin(sel_stats)
+        .select(
+            "n_pool",
+            "n_scored",
+            "total_ngrams",
+            "n_selected",
+            "n_selected_distinct",
+            "n_selected_in_pool",
+        )
+    )
+
+
+_CCNET_SIZES_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS total,
+         SUM(CASE WHEN len(list_filter(string_split(coalesce(text, ''), ' '),
+                       w -> w != '')) >= 2
+             THEN 1 ELSE 0 END) AS n
+  FROM documents
+)
+SELECT part, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT 'empty' AS part, total - n AS n_docs FROM s
+  UNION ALL SELECT 'head', CAST(ceil(n * 0.25) AS BIGINT) FROM s
+  UNION ALL SELECT 'middle',
+    CAST(ceil(n * 0.75) AS BIGINT) - CAST(ceil(n * 0.25) AS BIGINT) FROM s
+  UNION ALL SELECT 'tail', n - CAST(ceil(n * 0.75) AS BIGINT) FROM s
+) ORDER BY part
+"""
+
+
+@query("ccnet_partition_sizes", _CCNET_SIZES_ORACLE)
+def ccnet_partition_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity partitioning (functions/
+    perplexity.py, Wenzek et al. arXiv:1911.00359) gated on the part
+    SIZES, which the exact-global-rank construction makes a pure
+    function of the scored-pool count: head = ceil(N*0.25), middle =
+    ceil(N*0.75) - head, tail = the rest, empty = docs with no
+    n-grams.  The oracle recomputes all four from the corpus alone, so
+    a broken rank phase, cut arithmetic, or empty-doc routing moves a
+    size while cross-entropy VALUE jitter cannot (scores only permute
+    rows WITHIN parts; the values are pinned in
+    tests/test_perplexity.py against a pure-Python replica).
+    Quarter fractions keep ceil(N*frac) exact in IEEE for any N —
+    thirds would be one ulp from flipping a cut whenever N % 3 == 0.
+
+    Scale: LM scoring is a broadcast join + doc-keyed agg; the global
+    rank is the two-phase operators/ranks.py form (no single-partition
+    window); the gate aggregation is a 4-row groupBy."""
+    from automated_etl_pipeline_spark.functions.perplexity import (
+        ccnet_partition,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    parts = ccnet_partition(
+        docs, target, head_frac=0.25, middle_frac=0.5
+    )
+    counts = parts.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    all_parts = spark.createDataFrame(
+        [("empty",), ("head",), ("middle",), ("tail",)], "part string"
+    )
+    return (
+        all_parts.join(counts, "part", "left")
+        .select(
+            "part", F.coalesce("__n", F.lit(0)).cast("long").alias("n_docs")
+        )
+        .orderBy("part")
+    )
