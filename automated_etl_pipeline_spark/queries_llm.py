@@ -4116,3 +4116,83 @@ def ccnet_partition_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+_LINE_DEDUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS t FROM documents
+), lines AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, greatest(len(t), 1) + 1, 10),
+           s -> {'idx': CAST((s - 1) // 10 AS BIGINT),
+                 'line': array_to_string(t[s : s + 9], ' ')})) AS c
+  FROM tok
+), l AS (
+  SELECT doc_id, c.idx AS idx, c.line AS line, md5(c.line) AS h FROM lines
+), first AS (
+  SELECT h, MIN(doc_id * 1000000 + idx) AS keyval FROM l GROUP BY h
+), kept AS (
+  SELECT l.doc_id, l.idx, l.line
+  FROM l JOIN first ON l.h = first.h
+     AND l.doc_id * 1000000 + l.idx = first.keyval
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY idx) AS text2
+  FROM kept GROUP BY doc_id
+), per_doc AS (
+  SELECT t.doc_id,
+         (SELECT COUNT(*) FROM l WHERE l.doc_id = t.doc_id) AS n_lines,
+         coalesce(r.n_kept, 0) AS n_kept,
+         coalesce(r.text2, '') AS text2
+  FROM tok t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(n_kept) AS BIGINT) AS n_kept,
+       CAST(SUM(n_lines - n_kept) AS BIGINT) AS n_removed,
+       CAST(SUM(('0x' || substr(md5(text2), 1, 15))::BIGINT
+                % 1000000000000) AS BIGINT) AS rebuilt_checksum
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("line_dedup_rebuild", _LINE_DEDUP_ORACLE)
+def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level corpus dedup (dedup/lines.py, Wenzek et
+    al. arXiv:1911.00359 §3.1): every distinct 10-token line survives
+    only at its first (doc_id, idx) occurrence; documents are rebuilt
+    from their surviving lines.  The gate hashes per-bucket line /
+    survivor / removal counts AND a checksum of every rebuilt
+    document's md5 (mod 1e12 so the per-bucket sum stays in BIGINT) —
+    a wrong keep decision, a dropped tail chunk, or an out-of-order
+    rebuild moves the checksum.
+
+    Scale: the keep rule is one skew-safe min aggregation (no per-hash
+    window — a billion-fold boilerplate line is one combiner cell per
+    task); rebuild arrays are doc-length bounded."""
+    from automated_etl_pipeline_spark.dedup.lines import rebuild_documents
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    rb = rebuild_documents(spread(docs), width=10)
+    checksum = (
+        F.conv(F.substring(F.md5("rebuilt"), 1, 15), 16, 10).cast("long")
+        % 1_000_000_000_000
+    )
+    return (
+        rb.select(
+            (F.col("doc_id") % 8).cast("long").alias("bucket"),
+            "n_lines",
+            "n_kept",
+            checksum.alias("__ck"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("n_kept").cast("long").alias("n_kept"),
+            (F.sum("n_lines") - F.sum("n_kept")).cast("long").alias("n_removed"),
+            F.sum("__ck").cast("long").alias("rebuilt_checksum"),
+        )
+        .orderBy("bucket")
+    )
