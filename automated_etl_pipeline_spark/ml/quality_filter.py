@@ -1,0 +1,105 @@
+"""Model-based document-quality filtering (logistic regression over
+cheap text features).
+
+The modern curation stack filters with a LEARNED quality model, not
+just hand rules: CCNet's LM perplexity (functions/perplexity.py),
+FineWeb-Edu's classifier-graded quality tiers, and the "quality
+classifier" stage of GPT-3/LLaMA-style pipelines (a linear model over
+features, trained on a weakly-labeled positive set, scoring the whole
+pool).  This module is that stage in Spark-native form:
+
+- **Features are one JVM-side projection** (token/char counts,
+  distinct-token ratio, average word length) — no UDF, computed in
+  the same scan that feeds the fit.
+- **The fit is distributed IRLS**: GeneralizedLinearRegression
+  (family=binomial, link=logit) — same engine posture as
+  ml/poisson.py; driver holds only the coefficient vector.
+- **Scoring is a broadcast of the model** through
+  ``PipelineModel.transform`` — linear, no shuffle.
+
+Reference parity: the reference repo's ML surface is the Poisson
+match model (ml_project.py:211) — it has no data-quality stage; this
+extends the engine's LLM-curation family (SURVEY.md §2.11).
+
+Determinism contract: IRLS aggregates float gradients across
+partitions, so COEFFICIENTS are only reproducible to float-sum
+ordering; anything value-gated on the scores would be latently flaky
+(the r9 ADVICE class).  Callers gate STRUCTURE and the model's
+defining invariants instead: with an intercept and the canonical
+logit link, the IRLS optimum satisfies sum(p_i) == sum(y_i) over the
+training rows (the score equation — same invariant family as
+m2_poisson_expected's mass check), and every probability lies in
+(0, 1)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline as MlPipeline
+from pyspark.ml import PipelineModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import GeneralizedLinearRegression
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_COLS = ["n_tokens", "n_chars", "distinct_ratio", "avg_word_len"]
+
+
+def text_feature_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, distinct_ratio, avg_word_len):
+    quality features as pure column algebra over one scan.  NULL text
+    behaves as empty (zero counts, ratios 0)."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+    )
+    n_tok = F.size(toks)
+    n_chars = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n_tok.cast("double").alias("n_tokens"),
+        n_chars.cast("double").alias("n_chars"),
+        F.when(
+            n_tok > 0, F.size(F.array_distinct(toks)) / n_tok
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+        F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0)).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+@dataclass
+class QualityModel:
+    model: PipelineModel
+
+    def score(self, features: DataFrame, out_col: str = "p_quality") -> DataFrame:
+        """Append the model's quality probability to a feature frame."""
+        return self.model.transform(features).withColumnRenamed(
+            "prediction", out_col
+        )
+
+
+def fit_quality_classifier(
+    train: DataFrame,
+    label_col: str,
+    feature_cols: list[str] | None = None,
+    reg_param: float = 1e-6,
+) -> QualityModel:
+    """Fit P(label | features) with a logit-link binomial GLM
+    (distributed IRLS; ridge floor per ml/poisson.py's conditioning
+    note).  ``label_col`` must be 0/1."""
+    cols = feature_cols or FEATURE_COLS
+    stages = [
+        VectorAssembler(inputCols=cols, outputCol="features"),
+        GeneralizedLinearRegression(
+            family="binomial",
+            link="logit",
+            labelCol=label_col,
+            featuresCol="features",
+            regParam=reg_param,
+        ),
+    ]
+    return QualityModel(model=MlPipeline(stages=stages).fit(train))

@@ -4196,3 +4196,74 @@ def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("quality_classifier_filter")
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ml/quality_filter.py): fit a
+    logit-link binomial GLM on JVM-computed text features with the
+    weak label lang == 'en', score the whole pool, and report the
+    filter per doc-id bucket.  No oracle — IRLS coefficients are
+    float-sum-order reproducible only, so the gate carries the model's
+    DEFINING invariants as columns instead (the m2/m5 contract):
+    probs_in_range (every probability in (0,1) — logit link), and
+    mass_preserved (sum p == sum y over training rows at the IRLS
+    optimum, 1e-3 relative — the intercept score equation).  Counts at
+    the 0.5 threshold are reported but deliberately not hash-gated:
+    a boundary probability can flip with gradient summation order.
+
+    Scale: features and scoring are map-side; the fit is distributed
+    IRLS (driver holds one coefficient vector); bucket agg is 4 rows."""
+    from automated_etl_pipeline_spark.ml.quality_filter import (
+        fit_quality_classifier,
+        text_feature_frame,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    feats = text_feature_frame(docs).join(
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("lang") == "en").cast("double").alias("label"),
+        ),
+        "doc_id",
+    )
+    # one deterministic materialization: the IRLS fit makes many
+    # passes and the scoring pass follows (m2's localCheckpoint note)
+    feats = feats.localCheckpoint(eager=True)
+    model = fit_quality_classifier(feats, label_col="label")
+    scored = model.score(feats)
+    mass = scored.agg(
+        F.sum("p_quality").alias("__sp"), F.sum("label").alias("__sy")
+    )
+    return (
+        scored.select(
+            (F.col("doc_id") % 4).cast("long").alias("bucket"),
+            "label",
+            "p_quality",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos_label"),
+            F.sum(F.when(F.col("p_quality") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept_at_half"),
+            F.sum(
+                F.when(
+                    (F.col("p_quality") > 0) & (F.col("p_quality") < 1), 0
+                ).otherwise(1)
+            ).alias("__oob"),
+        )
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "bucket",
+            "n_docs",
+            "n_pos_label",
+            "n_kept_at_half",
+            (F.col("__oob") == 0).alias("probs_in_range"),
+            (
+                F.abs(F.col("__sp") - F.col("__sy")) / F.col("__sy") < 1e-3
+            ).alias("mass_preserved"),
+        )
+        .orderBy("bucket")
+    )
