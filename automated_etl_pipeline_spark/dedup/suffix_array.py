@@ -401,3 +401,57 @@ def longest_repeat(
         .limit(1)
         .drop("__p")
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean): apply Lee et al.'s
+    removal step — cut every maximal duplicated span of >= ``min_len``
+    tokens (``duplicated_spans``) out of each document and re-join the
+    surviving tokens.  Documents with no qualifying span pass through
+    unchanged; a fully-duplicated document becomes the empty string.
+
+    Scale: spans collect per document only (doc-length bounded, the
+    spans.py contract); the cut itself is an array filter over the
+    token array — map-side, no extra shuffle beyond the span
+    computation.  Pass a precomputed (ideally materialized)
+    ``duplicated_spans`` frame via ``spans`` when the caller also
+    consumes the spans — the suffix-array pipeline is the dominant
+    cost and must not run twice."""
+    if spans is None:
+        spans = duplicated_spans(docs, min_len, id_col, text_col)
+    spans_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+            lambda t: t != "",
+        ).alias("__t"),
+    )
+    joined = toks.join(spans_arr, "doc_id", "left").withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans",
+            F.array().cast("array<struct<span_start:long,span_end:long>>"),
+        ),
+    )
+    kept = F.filter(
+        "__t",
+        lambda t, i: ~F.exists(
+            "__spans",
+            lambda s: (i >= s.span_start) & (i <= s.span_end),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

@@ -4267,3 +4267,76 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query("suffix_span_removal")
+def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of suffix-array dedup (dedup/suffix_array.py
+    remove_duplicate_spans, Lee et al. arXiv:2107.06499 §4): cut every
+    maximal duplicated span of >= 5 tokens out of each document of the
+    suffix_array_stats corpus (1-in-20 subset plus planted verbatim
+    replicas of the 1-in-100 docs).  Rows+schema contract (the span
+    set IS the algorithm's output; brute-force oracle in
+    tests/test_suffix_array.py) with three in-query invariants:
+      - removal_consistent: tokens removed per bucket equals the
+        summed span lengths reported by duplicated_spans — pins the
+        array-filter cut against the islands merge (spans must be
+        disjoint and fully applied);
+      - planted_fully_removed: every planted doc (original AND
+        replica, all >= 5 tokens in this corpus) is cut to nothing —
+        its twin duplicates every token;
+      - bound_ok: no doc removes more tokens than it has."""
+    from automated_etl_pipeline_spark.dedup.suffix_array import (
+        duplicated_spans,
+        remove_duplicate_spans,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    subset = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    planted = subset.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    corpus = subset.unionByName(planted).localCheckpoint(eager=True)
+    # one suffix-array run: the spans frame is tiny (per-doc merged
+    # intervals) — materialize it and feed both consumers
+    spans = duplicated_spans(corpus, min_len=5).localCheckpoint(eager=True)
+    removed = remove_duplicate_spans(corpus, min_len=5, spans=spans)
+    span_sums = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("__span_total")
+    )
+    base = F.when(
+        F.col("doc_id") >= 10_000_000, F.col("doc_id") - 10_000_000
+    ).otherwise(F.col("doc_id"))
+    j = removed.join(span_sums, "doc_id", "left").select(
+        (F.floor(base / 20) % 4).cast("long").alias("bucket"),
+        (base % 100 == 0).alias("__planted"),
+        "n_tokens",
+        "n_removed",
+        F.coalesce("__span_total", F.lit(0)).alias("__span_total"),
+    )
+    agg = j.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_before"),
+        F.sum("n_removed").cast("long").alias("tokens_removed"),
+        F.sum("__span_total").cast("long").alias("__spans_total"),
+        F.sum(
+            F.when(
+                F.col("__planted") & (F.col("n_removed") != F.col("n_tokens")),
+                1,
+            ).otherwise(0)
+        ).alias("__planted_bad"),
+        F.sum(
+            F.when(F.col("n_removed") > F.col("n_tokens"), 1).otherwise(0)
+        ).alias("__over"),
+    )
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "tokens_before",
+        "tokens_removed",
+        (F.col("tokens_removed") == F.col("__spans_total")).alias(
+            "removal_consistent"
+        ),
+        (F.col("__planted_bad") == 0).alias("planted_fully_removed"),
+        (F.col("__over") == 0).alias("bound_ok"),
+    ).orderBy("bucket")

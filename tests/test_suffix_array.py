@@ -214,3 +214,40 @@ def test_longest_repeat_with_null_texts_alongside_real(spark):
     row = longest_repeat(df).collect()[0]
     assert row["length"] == 4
     assert row["phrase"] == "x y z w"
+
+
+def test_remove_duplicate_spans_crafted(spark):
+    from automated_etl_pipeline_spark.dedup.suffix_array import (
+        remove_duplicate_spans,
+    )
+
+    docs = {
+        0: "the cat sat on the mat today ok",   # 8 tokens
+        1: "intro x the cat sat on the mat y",  # shares the 6-token span
+        2: "p q r s t u v w",                   # unique
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in remove_duplicate_spans(_df(spark, docs), min_len=6).collect()
+    }
+    # the shared 6-token span 'the cat sat on the mat' is cut from both
+    assert got[0] == (8, 6, "today ok")
+    assert got[1] == (9, 6, "intro x y")
+    assert got[2] == (8, 0, "p q r s t u v w")
+
+
+def test_remove_duplicate_spans_full_duplicate_and_threshold(spark):
+    from automated_etl_pipeline_spark.dedup.suffix_array import (
+        remove_duplicate_spans,
+    )
+
+    docs = {0: "a b c d e", 1: "a b c d e", 2: "a b x"}
+    got = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in remove_duplicate_spans(_df(spark, docs), min_len=5).collect()
+    }
+    # docs 0/1 duplicate each other fully; doc 2's 2-token match with
+    # them ('a b') is below min_len and survives
+    assert got[0] == (5, "")
+    assert got[1] == (5, "")
+    assert got[2] == (0, "a b x")
