@@ -4340,3 +4340,129 @@ def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("__planted_bad") == 0).alias("planted_fully_removed"),
         (F.col("__over") == 0).alias("bound_ok"),
     ).orderBy("bucket")
+
+
+_KN_CONTINUATION_ORACLE = """
+WITH tok AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+), bigrams AS (
+  SELECT UNNEST(list_transform(range(1, len(t)),
+           i -> {'l': t[i], 'r': t[i+1]})) AS b
+  FROM tok WHERE len(t) >= 2
+)
+SELECT b.r AS word,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(DISTINCT b.l) AS BIGINT) AS n_left_contexts
+FROM bigrams
+GROUP BY b.r
+ORDER BY n_left_contexts DESC, word
+LIMIT 20
+"""
+
+
+@query("kn_continuation_counts", _KN_CONTINUATION_ORACLE)
+def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts — the statistic that
+    distinguishes KN smoothing from raw frequency (Kneser & Ney 1995;
+    Chen & Goodman 1999): a word's lower-order probability is
+    proportional to how many DISTINCT left contexts it follows, not
+    how often it occurs ('Francisco' is frequent but follows only
+    'San').  Emits the top-20 words by continuation count with their
+    raw bigram counts — the corpus-scale table an n-gram LM build
+    materializes.
+
+    Scale: one bigram explode (map-side), one (word, left) distinct
+    aggregation then a word-keyed count — both partial-aggregated,
+    shuffle O(distinct bigrams); top-20 is TakeOrderedAndProject."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("b")
+    ).select(F.col("b.l").alias("l"), F.col("b.r").alias("word"))
+    return (
+        bigrams.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("l").alias("n_left_contexts"),
+        )
+        .orderBy(F.desc("n_left_contexts"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_TOKEN_BUDGET = 1_000_000
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(coalesce(text, ''), ' '),
+             w -> w != ''))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS t FROM avail)
+SELECT source,
+       available_tokens,
+       CAST(available_tokens * 1000000 // t AS BIGINT) AS weight_ppm,
+       CAST(({_TOKEN_BUDGET} * (available_tokens * 1000000 // t)) // 1000000
+            AS BIGINT) AS alloc_tokens,
+       CAST((({_TOKEN_BUDGET} * (available_tokens * 1000000 // t)) // 1000000)
+            * 1000 // available_tokens AS BIGINT) AS epochs_x1000
+FROM avail CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@query("token_budget_plan", _TOKEN_BUDGET_ORACLE)
+def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planning for mixture training: given a
+    1M-token budget and proportional source weights, compute each
+    source's available tokens, ppm weight, token allocation, and
+    implied epoch count x1000 (how many times the source repeats —
+    the bookkeeping a data-mixing run derives before sampling; cf.
+    source_mixture_weights for the temperature-scaled weighting and
+    source_cap_sample for the enforcement).  All integer floor
+    arithmetic on positive values, so Spark DIV == DuckDB // exactly.
+
+    Scale: one partial-aggregated groupBy(source) over token counts;
+    the totals join is a broadcast of one row."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda w: w != "",
+        )
+    )
+    avail = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("available_tokens")
+    )
+    tot = avail.agg(F.sum("available_tokens").cast("long").alias("__t"))
+    weight_ppm = F.expr("available_tokens * 1000000 DIV __t")
+    alloc = F.expr(
+        f"({_TOKEN_BUDGET} * (available_tokens * 1000000 DIV __t)) DIV 1000000"
+    )
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "available_tokens",
+            weight_ppm.cast("long").alias("weight_ppm"),
+            alloc.cast("long").alias("alloc_tokens"),
+            (
+                F.expr(
+                    f"(({_TOKEN_BUDGET} * (available_tokens * 1000000 DIV __t))"
+                    " DIV 1000000) * 1000 DIV available_tokens"
+                )
+            ).cast("long").alias("epochs_x1000"),
+        )
+        .orderBy("source")
+    )
