@@ -105,13 +105,15 @@ def cents_sq_mod_sum(v: pd.Series) -> int:
     computed on the REDUCED residue ((c mod 1e9)^2 mod 1e9 == c^2 mod
     1e9), so the intermediate stays < 1e18 — no int64 wrap at any
     allowed magnitude (r10 review); the summed residues (< 1e9 each)
-    fit ~9e9 group rows in int64.  Residues use DIVIDEND-sign
-    semantics (np.fmod) to match SQL ``%`` in both Spark and DuckDB —
-    numpy's ``%`` follows the DIVISOR's sign, which would diverge
-    cross-engine on any negative cent value (r10 ADVICE); the squared
-    residue is non-negative either way, but the identity
-    (c mod m)^2 mod m == c^2 mod m only holds when the inner residue
-    uses a consistent convention with the oracle's."""
+    fit ~9e9 group rows in int64.  Inner residues use dividend-sign
+    semantics (np.fmod) so the traced values match SQL ``%`` step for
+    step; note the FINAL value is residue-convention-INVARIANT either
+    way — numpy's divisor-sign residue and SQL's dividend-sign
+    residue are congruent mod m, squares of congruents are congruent,
+    and the outer ``%`` acts on a non-negative square in every
+    engine, so all conventions canonicalize to c^2 mod m (the r10
+    ADVICE divergence claim was wrong; pinned cross-engine on
+    negatives in tests/test_pipeline_ml.py)."""
     x = v.to_numpy(dtype="float64")
     if not np.all(np.isfinite(x)):
         raise ValueError(

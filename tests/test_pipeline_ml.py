@@ -244,11 +244,14 @@ def test_cents_sum_group_total_overflow_rejected(spark):
 
 
 def test_cents_sq_mod_sum_negative_matches_sql_semantics(spark):
-    """r10 ADVICE: numpy % follows the divisor's sign while SQL % (both
-    Spark and DuckDB) follows the dividend's — the residue must use
-    dividend-sign semantics (np.fmod) or any negative cent value
-    diverges cross-engine.  Pinned against BOTH engines' % on the
-    oracle's exact expression."""
+    """r10 ADVICE follow-up: numpy % follows the divisor's sign while
+    SQL % follows the dividend's, but the GATE value is residue-
+    convention-invariant — congruent inner residues square to
+    congruent values and the outer % canonicalizes a non-negative
+    square identically in every engine.  This test PINS that
+    invariance on negatives against both engines' % and the closed
+    form (the advice's divergence claim was wrong; the UDF uses
+    np.fmod anyway so traced intermediates match SQL)."""
     import math
 
     import duckdb

@@ -66,11 +66,13 @@ def test_lrv_rotation_orders_stale_first(tmp_path, monkeypatch):
 def test_scale_smoke_suffix_salt_is_bijective_on_irregular_whitespace(
     spark, tmp_path
 ):
-    """r10 ADVICE: salting by regexp-replacing every single space turns
-    'a  b' into tokens ['a_r0', '_r0b_r0'] — not a bijective token
-    rename — so the salted-replica invariant could falsely VIOLATION on
-    whitespace-irregular corpora.  The transform-over-filtered-split
-    salt must map the same base token to the same salted token."""
+    """r10 ADVICE (conclusion right, example wrong): salting by
+    regexp-replacing every single space turned 'a  b' into
+    'a_r0 _r0 b_r0' — an extra salt-only token '_r0' per consecutive
+    space, so the rename was not bijective and the salted-replica
+    invariant could falsely VIOLATION on whitespace-irregular corpora.
+    The transform-over-filtered-split salt must map the same base
+    token to the same salted token and add none."""
     from tools.scale_smoke_suffix import corpus
 
     base = str(tmp_path / "base")
