@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.plans.materialize import materialize
+
 
 def connected_components(
     vertices: DataFrame,
@@ -86,8 +88,13 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        # materialize, not bare localCheckpoint: the per-round
+        # label-propagation join squares the preserved sizeInBytes
+        # stat, so at max_iter=25 planning alone would be unbounded
+        # BigInt arithmetic (plans/materialize.py; the suffix-array
+        # measurement).  Re-rooting resets the stat every round.
+        labels = materialize(labels)
         cur_sum = label_sum(labels)
         if cur_sum == prev_sum:
             converged = True
@@ -115,3 +122,126 @@ def dedup_keep_set(
     keep-set for cascade deletion."""
     comp = connected_components(vertices, edges, id_col, src_col, dst_col)
     return comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): for every node u over its full
+    neighborhood N(u), connect each strictly-larger neighbor to
+    m = min(N(u) + {u}).  Emits no self-loops (m <= u < v)."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least("u", "__mv").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large->small, then for
+    every node u connect u and each of its (all smaller) neighbors to
+    m = min(N(u)) — except m itself.  Emits no self-loops."""
+    oriented = (
+        e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        oriented.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    selfs = mins.select("u", F.col("m").alias("v"))
+    return nbrs.unionByName(selfs).distinct()
+
+
+def connected_components_stars(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) — same contract as ``connected_components``
+    (component = min reachable vertex id), via the alternating
+    large-star/small-star algorithm: O(log n) rounds for ANY component
+    shape, vs O(diameter) for min-label propagation.  Use this when
+    components can be deep (citation/link graphs, transitive fuzzy
+    matches); propagation stays the cheaper choice for the shallow
+    clusters near-dup dedup produces (2-3 rounds of one join each vs
+    two groupBy+join rounds here).
+
+    Convergence: the edge multiset is a fixpoint of small-star —
+    checked exactly (count + exceptAll), never probabilistically; a
+    graph that hasn't converged in ``max_iter`` rounds fails loudly
+    (same contract as propagation).  Each round's frames go through
+    ``materialize`` so neither lineage nor Catalyst's sizeInBytes
+    stat compounds (plans/materialize.py)."""
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_v = vertices.select(F.col(id_col).alias("vid"))
+    edge_v = (
+        sym.select(F.col("u").alias("vid"))
+        .unionByName(sym.select(F.col("v").alias("vid")))
+        .distinct()
+        .localCheckpoint()
+    )
+    singletons = all_v.join(edge_v, "vid", "left_anti").select(
+        "vid", F.col("vid").alias("component")
+    )
+    def same(a: DataFrame, b: DataFrame) -> bool:
+        # exact set equality (both frames are distinct): equal counts
+        # plus one empty one-sided difference
+        return a.count() == b.count() and a.exceptAll(b).isEmpty()
+
+    cur = materialize(sym)
+    converged = cur.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        ls = materialize(_large_star(cur))
+        nxt = materialize(_small_star(ls))
+        # converged only when BOTH operations are at their fixpoint
+        # (a union of stars is a fixpoint of each; requiring only the
+        # composite could in principle accept an ls/ss 2-cycle and
+        # mislabel — never trade a loud failure for a wrong answer)
+        if same(nxt, cur) and same(ls, cur):
+            cur = nxt
+            converged = True
+            break
+        cur = nxt
+    if not converged:
+        raise ValueError(
+            f"connected_components_stars did not converge in {max_iter}"
+            " rounds; raise max_iter — returning partial labels would"
+            " silently mislabel components"
+        )
+    # at the fixpoint every non-root points directly at its component
+    # min; roots appear only on the v side (or not at all)
+    labels = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("vid"), "component"
+    )
+    roots = edge_v.join(
+        labels.select(F.col("vid")), "vid", "left_anti"
+    ).select("vid", F.col("vid").alias("component"))
+    return (
+        labels.unionByName(roots)
+        .unionByName(singletons)
+        .select(F.col("vid").alias(id_col), "component")
+    )

@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.plans.materialize import materialize
+
 CHECKPOINT_EVERY = 2
 
 
@@ -94,5 +96,10 @@ def pagerank(
             )
         )
         if (t + 1) % CHECKPOINT_EVERY == 0 and t + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            # materialize, not bare localCheckpoint: checkpointing
+            # preserves originStats, and the per-round joins square
+            # Catalyst's sizeInBytes BigInt until planning itself is
+            # the bottleneck at high iteration counts
+            # (plans/materialize.py; measured on the suffix array)
+            ranks = materialize(ranks)
     return ranks.select(F.col("node").alias(id_col), F.col("pr").alias("pagerank"))

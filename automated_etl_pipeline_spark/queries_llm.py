@@ -4466,3 +4466,31 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("cc_stars_clusters", _clusters_oracle())
+def cc_stars_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_clusters computed by the ALTERNATING-STAR
+    connected-components algorithm (dedup/cluster.py
+    connected_components_stars, Kiveris et al. SoCC'14) instead of
+    min-label propagation — O(log n) rounds for any component shape vs
+    O(diameter), the right engine for deep graphs (citation/link
+    chains) at 100 TB.  Same recursive-CTE oracle: both
+    implementations must reach the identical min-reachable-id
+    labeling."""
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components_stars,
+    )
+    from automated_etl_pipeline_spark.dedup.minhash import near_duplicate_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    edges = near_duplicate_pairs(spread(docs), threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components_stars(
+        docs.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).orderBy("doc_id")

@@ -661,3 +661,94 @@ def test_semdedup_max_cluster_cap_skips_degenerate_cluster(spark):
         tot["v"] += row["n_vecs"]
         tot["p"] += row["n_pruned"]
     assert tot["v"] == 30 and tot["p"] == 29  # keep-min leaves exactly one
+
+
+# ---------------- alternating-star connected components (r11) ----------------
+
+
+def _py_components(n_vertices, edges):
+    """Union-find oracle: id -> min reachable id."""
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n_vertices)}
+
+
+def test_stars_matches_union_find_and_propagation(spark):
+    import random
+
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    rng = random.Random(1711)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    vs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    es = spark.createDataFrame(edges, "src long, dst long")
+    want = _py_components(n, edges)
+    got_stars = {
+        r.id: r.component
+        for r in connected_components_stars(vs, es).collect()
+    }
+    got_prop = {
+        r.id: r.component for r in connected_components(vs, es).collect()
+    }
+    assert got_stars == want
+    assert got_prop == want
+
+
+def test_stars_converges_on_deep_chain_where_propagation_cannot(spark):
+    """A 40-chain has diameter 39: min-label propagation at the default
+    max_iter=25 must fail LOUDLY, while the alternating-star algorithm
+    converges in O(log n) rounds — the 100 TB-shape difference."""
+    import pytest
+
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    n = 40
+    vs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    es = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components_stars(vs, es, max_iter=15).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(vs, es).collect()
+
+
+def test_stars_empty_and_self_loop_edges(spark):
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components_stars,
+    )
+
+    vs = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    # self-loops only => all singletons
+    es = spark.createDataFrame([(2, 2)], "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components_stars(vs, es).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    empty = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r.id: r.component
+        for r in connected_components_stars(vs, empty).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
