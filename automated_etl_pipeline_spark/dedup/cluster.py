@@ -173,6 +173,7 @@ def connected_components_stars(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(id, component) — same contract as ``connected_components``
     (component = min reachable vertex id), via the alternating
@@ -212,9 +213,11 @@ def connected_components_stars(
 
     cur = materialize(sym)
     converged = cur.isEmpty()
+    rounds = 0
     for _ in range(max_iter):
         if converged:
             break
+        rounds += 1
         ls = materialize(_large_star(cur))
         nxt = materialize(_small_star(ls))
         # converged only when BOTH operations are at their fixpoint
@@ -226,6 +229,10 @@ def connected_components_stars(
             converged = True
             break
         cur = nxt
+    if stats_out is not None:
+        # observability hook for smokes/tests: how many alternating
+        # rounds the graph actually needed
+        stats_out["rounds"] = rounds
     if not converged:
         raise ValueError(
             f"connected_components_stars did not converge in {max_iter}"

@@ -724,11 +724,17 @@ def test_stars_converges_on_deep_chain_where_propagation_cannot(spark):
     es = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     )
+    stats = {}
     got = {
         r.id: r.component
-        for r in connected_components_stars(vs, es, max_iter=15).collect()
+        for r in connected_components_stars(
+            vs, es, max_iter=15, stats_out=stats
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
+    # O(log n) shape: a diameter-39 chain must need far fewer than 39
+    # alternating rounds (measured: ~7; assert a loose log-scale bound)
+    assert 1 <= stats["rounds"] <= 12
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(vs, es).collect()
 
