@@ -4494,3 +4494,150 @@ def cc_stars_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="doc_a",
         dst_col="doc_b",
     ).orderBy("doc_id")
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved_null,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_evolved_set,
+       CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1
+                   THEN o_orderpriority END) AS BIGINT) AS n_priorities
+FROM orders
+"""
+
+
+@query("schema_evolution_scan", _SCHEMA_EVOLUTION_ORACLE)
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution parquet scan: two batches of orders are written
+    with DIFFERENT schemas (the second adds o_orderpriority — the
+    classic additive column evolution of an append-only lake), then
+    read back in one mergeSchema scan.  The gate proves the merged
+    scan null-fills the evolved column for pre-evolution files and
+    loses no rows/values: the oracle derives every count from the
+    source table alone, so a dropped batch, a mis-merged footer, or a
+    wrongly-filled column moves a number.
+
+    Scale: schema merge is a footer-metadata operation (mergeSchema
+    reads footers, not data); the scan itself stays columnar with
+    pushdown intact."""
+    import tempfile
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="schema_evo_gate_")
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/b=1")
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{base}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/b=1", f"{base}/b=2"
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_evolved_null"),
+        F.sum(F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_evolved_set"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )
+
+
+_MIXTURE_MATERIALIZE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(coalesce(text, ''), ' '),
+             w -> w != '')) AS n_tok
+  FROM documents
+), avail AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail FROM tok GROUP BY source
+), tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS t FROM avail),
+plan AS (
+  SELECT source,
+         (({_TOKEN_BUDGET} * (avail * 1000000 // t)) // 1000000) * 1000
+           // avail AS e3
+  FROM avail CROSS JOIN tot
+), rep AS (
+  SELECT d.doc_id, d.source, d.n_tok,
+         p.e3 // 1000
+         + CASE WHEN ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 1000 < p.e3 % 1000
+                THEN 1 ELSE 0 END AS reps
+  FROM tok d JOIN plan p USING (source)
+)
+SELECT source,
+       CAST(SUM(reps) AS BIGINT) AS n_docs_out,
+       CAST(SUM(reps * n_tok) AS BIGINT) AS n_tokens_out
+FROM rep GROUP BY source ORDER BY source
+"""
+
+
+@query("mixture_epoch_materialize", _MIXTURE_MATERIALIZE_ORACLE)
+def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the token_budget_plan: every document is repeated
+    floor(epochs) times plus one fractional epoch for a deterministic
+    md5-selected share of docs (bucket < frac_x1000 — the A-ES-style
+    derived randomness, reproducible across runs and engines).  The
+    gate counts materialized doc-instances and tokens per source; the
+    oracle replays the whole plan-and-repeat pipeline in SQL.
+
+    Scale: the plan is a broadcast of one row per source; the repeat
+    is a map-side sequence-explode (max a few epochs per doc); no
+    shuffle until the final per-source aggregation."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda w: w != "",
+        )
+    )
+    tok = docs.select("doc_id", "source", n_tok.alias("n_tok"))
+    avail = tok.groupBy("source").agg(F.sum("n_tok").cast("long").alias("avail"))
+    tot = avail.agg(F.sum("avail").cast("long").alias("__t"))
+    plan = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(
+            f"(({_TOKEN_BUDGET} * (avail * 1000000 DIV __t)) DIV 1000000)"
+            " * 1000 DIV avail"
+        ).alias("e3"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    reps = F.expr("e3 DIV 1000") + F.when(
+        bucket < F.col("e3") % 1000, 1
+    ).otherwise(0)
+    mat = (
+        tok.join(F.broadcast(plan), "source")
+        .withColumn("__reps", reps)
+        .select(
+            "source",
+            "n_tok",
+            F.explode(
+                F.when(
+                    F.col("__reps") >= 1,
+                    F.sequence(F.lit(1), F.col("__reps")),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("__epoch"),
+        )
+    )
+    return (
+        mat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_out"),
+            F.sum("n_tok").cast("long").alias("n_tokens_out"),
+        )
+        .orderBy("source")
+    )
