@@ -146,13 +146,21 @@ def dsir_select(
     buckets: int = 8192,
     id_col: str = "doc_id",
     text_col: str = "text",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, weight, score): the k raw documents drawn without
     replacement proportional to exp(weight) via Gumbel top-k —
     score = weight + Gumbel(md5(doc_id, seed)).  Deterministic for a
     fixed seed (derived noise, A-ES style); one
-    TakeOrderedAndProject, no shuffle beyond the weight aggregation."""
-    w = importance_weights(raw, target, n, buckets, id_col, text_col)
+    TakeOrderedAndProject, no shuffle beyond the weight aggregation.
+    Pass a precomputed ``importance_weights`` frame via ``weights``
+    when the caller also consumes the weights — the two-LM scoring
+    pipeline is the dominant cost and must not run twice."""
+    w = (
+        weights
+        if weights is not None
+        else importance_weights(raw, target, n, buckets, id_col, text_col)
+    )
     # u strictly inside (0,1): (h + 0.5) / 2^32 with h the first 8
     # md5 hex digits — keeps both ln() calls finite
     u = (

@@ -4027,8 +4027,10 @@ def dsir_select_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
-    w = importance_weights(docs, target)
-    sel = dsir_select(docs, target, k=50, seed=7)
+    # one two-LM scoring pass: the weights frame is 3 narrow columns
+    # per doc — materialize it and feed both consumers
+    w = importance_weights(docs, target).localCheckpoint(eager=True)
+    sel = dsir_select(docs, target, k=50, seed=7, weights=w)
     pool_stats = w.agg(
         F.count(F.lit(1)).cast("long").alias("n_pool"),
         F.sum(F.when(F.col("n_ngrams") > 0, 1).otherwise(0))
