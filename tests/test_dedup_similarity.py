@@ -758,3 +758,46 @@ def test_stars_empty_and_self_loop_edges(spark):
         for r in connected_components_stars(vs, empty).collect()
     }
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_CC_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=25),
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        max_size=30,
+    ),
+)
+@settings(**_CC_SETTINGS)
+def test_stars_union_find_property(spark, n, edges):
+    """Differential: alternating-star CC against union-find on random
+    graphs including self-loops, duplicates, and out-of-range-clamped
+    endpoints."""
+    from automated_etl_pipeline_spark.dedup.cluster import (
+        connected_components_stars,
+    )
+
+    edges = [(a % n, b % n) for a, b in edges]
+    vs = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    es = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components_stars(vs, es).collect()
+    }
+    assert got == _py_components(n, edges)

@@ -88,3 +88,33 @@ def test_keep_first_prefers_lower_doc_then_idx(spark):
     docs = {5: "a b a b"}
     kept = keep_first_lines(doc_lines(_df(spark, docs), width=2)).collect()
     assert [(r["doc_id"], r["idx"]) for r in kept] == [(5, 0)]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=9).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    width=st.integers(min_value=1, max_value=3),
+)
+@settings(**_SETTINGS)
+def test_rebuild_matches_python_oracle_property(spark, texts, width):
+    """Differential: first-occurrence keep + rebuild against the
+    brute-force python oracle on random small corpora, all widths."""
+    docs = dict(enumerate(texts))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["rebuilt"])
+        for r in rebuild_documents(_df(spark, docs), width=width).collect()
+    }
+    assert got == _py_rebuild(docs, width)
