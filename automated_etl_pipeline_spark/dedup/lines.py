@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.plans.materialize import materialize
+
 # Composite survivor key: doc_id * IDX_SPAN + idx must be unique and
 # order-consistent with (doc_id, idx).  IDX_SPAN bounds lines per doc;
 # exceeding it would corrupt the min, so the split function guards it.
@@ -106,8 +108,13 @@ def rebuild_documents(
     """(doc_id, n_lines, n_kept, rebuilt): every input document with
     its surviving lines re-joined in position order.  Documents whose
     every line was seen earlier rebuild to the empty string (they stay
-    rows — the caller decides whether to drop empties)."""
-    lines = doc_lines(docs, width, id_col, text_col)
+    rows — the caller decides whether to drop empties).
+
+    The lines frame is materialized once: both the survivor branch
+    and the per-doc totals consume it, and without the barrier Spark
+    re-runs the corpus-wide tokenize/explode/hash scan for each
+    (r11 review)."""
+    lines = materialize(doc_lines(docs, width, id_col, text_col))
     kept = keep_first_lines(lines)
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -3933,8 +3933,11 @@ def suffix_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     subset = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    # replica ids are the NEGATIVE mirror -(doc_id+1): bijective and
+    # collision-proof for any non-negative real id space (r11 review:
+    # a fixed +10M offset collides once the corpus reaches 10M docs)
     planted = subset.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        (-(F.col("doc_id") + F.lit(1))).alias("doc_id"), "text"
     )
     corpus = subset.unionByName(planted)
     lens = corpus.select(
@@ -3947,7 +3950,7 @@ def suffix_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__len"),
     )
     base = F.when(
-        F.col("doc_id") >= 10_000_000, F.col("doc_id") - 10_000_000
+        F.col("doc_id") < 0, -F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
     j = (
         match_lengths(corpus)
@@ -4263,9 +4266,14 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos_label",
             "n_kept_at_half",
             (F.col("__oob") == 0).alias("probs_in_range"),
-            (
-                F.abs(F.col("__sp") - F.col("__sy")) / F.col("__sy") < 1e-3
-            ).alias("mass_preserved"),
+            F.when(
+                F.col("__sy") > 0,
+                F.abs(F.col("__sp") - F.col("__sy")) / F.col("__sy") < 1e-3,
+            )
+            # no positive labels = a degenerate fit; fail the
+            # invariant loudly instead of emitting NULL (r11 review)
+            .otherwise(F.lit(False))
+            .alias("mass_preserved"),
         )
         .orderBy("bucket")
     )
@@ -4295,8 +4303,10 @@ def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     subset = docs.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    # negative-mirror replica ids — collision-proof (r11 review; the
+    # suffix_array_stats comment)
     planted = subset.filter(F.col("doc_id") % 100 == 0).select(
-        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+        (-(F.col("doc_id") + F.lit(1))).alias("doc_id"), "text"
     )
     corpus = subset.unionByName(planted).localCheckpoint(eager=True)
     # one suffix-array run: the spans frame is tiny (per-doc merged
@@ -4307,7 +4317,7 @@ def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_len").cast("long").alias("__span_total")
     )
     base = F.when(
-        F.col("doc_id") >= 10_000_000, F.col("doc_id") - 10_000_000
+        F.col("doc_id") < 0, -F.col("doc_id") - 1
     ).otherwise(F.col("doc_id"))
     j = removed.join(span_sums, "doc_id", "left").select(
         (F.floor(base / 20) % 4).cast("long").alias("bucket"),
@@ -4414,11 +4424,15 @@ WITH avail AS (
 ), tot AS (SELECT CAST(SUM(available_tokens) AS BIGINT) AS t FROM avail)
 SELECT source,
        available_tokens,
-       CAST(available_tokens * 1000000 // t AS BIGINT) AS weight_ppm,
-       CAST(({_TOKEN_BUDGET} * (available_tokens * 1000000 // t)) // 1000000
-            AS BIGINT) AS alloc_tokens,
-       CAST((({_TOKEN_BUDGET} * (available_tokens * 1000000 // t)) // 1000000)
-            * 1000 // available_tokens AS BIGINT) AS epochs_x1000
+       CAST(CASE WHEN t > 0 THEN available_tokens * 1000000 // t
+            ELSE 0 END AS BIGINT) AS weight_ppm,
+       CAST(CASE WHEN t > 0
+            THEN ({_TOKEN_BUDGET} * (available_tokens * 1000000 // t)) // 1000000
+            ELSE 0 END AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN t > 0 AND available_tokens > 0
+            THEN (({_TOKEN_BUDGET} * (available_tokens * 1000000 // t))
+                  // 1000000) * 1000 // available_tokens
+            ELSE 0 END AS BIGINT) AS epochs_x1000
 FROM avail CROSS JOIN tot
 ORDER BY source
 """
@@ -4448,9 +4462,21 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(toks).cast("long").alias("available_tokens")
     )
     tot = avail.agg(F.sum("available_tokens").cast("long").alias("__t"))
-    weight_ppm = F.expr("available_tokens * 1000000 DIV __t")
+    # zero guards (r11 review): a zero-token source (all-NULL/empty
+    # text) or an empty corpus must plan 0, not NULL (Spark DIV) vs
+    # error (DuckDB //) — both sides use the same CASE guards
+    weight_ppm = F.expr(
+        "CASE WHEN __t > 0 THEN available_tokens * 1000000 DIV __t"
+        " ELSE 0 END"
+    )
     alloc = F.expr(
-        f"({_TOKEN_BUDGET} * (available_tokens * 1000000 DIV __t)) DIV 1000000"
+        f"CASE WHEN __t > 0 THEN ({_TOKEN_BUDGET} *"
+        " (available_tokens * 1000000 DIV __t)) DIV 1000000 ELSE 0 END"
+    )
+    epochs = F.expr(
+        f"CASE WHEN __t > 0 AND available_tokens > 0 THEN"
+        f" (({_TOKEN_BUDGET} * (available_tokens * 1000000 DIV __t))"
+        " DIV 1000000) * 1000 DIV available_tokens ELSE 0 END"
     )
     return (
         avail.crossJoin(F.broadcast(tot))
@@ -4459,12 +4485,7 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "available_tokens",
             weight_ppm.cast("long").alias("weight_ppm"),
             alloc.cast("long").alias("alloc_tokens"),
-            (
-                F.expr(
-                    f"(({_TOKEN_BUDGET} * (available_tokens * 1000000 DIV __t))"
-                    " DIV 1000000) * 1000 DIV available_tokens"
-                )
-            ).cast("long").alias("epochs_x1000"),
+            epochs.cast("long").alias("epochs_x1000"),
         )
         .orderBy("source")
     )
@@ -4525,7 +4546,11 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: schema merge is a footer-metadata operation (mergeSchema
     reads footers, not data); the scan itself stays columnar with
-    pushdown intact."""
+    pushdown intact.  The temp batches are removed before returning
+    (r11 review: a lazily-scanned temp dir leaks two orders copies per
+    bench leg), so the 1-row aggregate is computed eagerly and
+    returned as a local frame."""
+    import shutil
     import tempfile
 
     (orders,) = _t(spark, sf_dir, "orders")
@@ -4536,21 +4561,33 @@ def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     ).write.mode("overwrite").parquet(f"{base}/b=2")
-    merged = spark.read.option("mergeSchema", "true").parquet(
-        f"{base}/b=1", f"{base}/b=2"
-    )
-    return merged.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_evolved_null"),
-        F.sum(F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_evolved_set"),
-        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
-        .cast("long")
-        .alias("sum_cents"),
-        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    try:
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/b=1", f"{base}/b=2"
+        )
+        rows = merged.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_evolved_null"),
+            F.sum(
+                F.when(F.col("o_orderpriority").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_evolved_set"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.countDistinct("o_orderpriority")
+            .cast("long")
+            .alias("n_priorities"),
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "n_rows long, n_evolved_null long, n_evolved_set long,"
+        " sum_cents long, n_priorities long",
     )
 
 
@@ -4565,8 +4602,10 @@ WITH tok AS (
 ), tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS t FROM avail),
 plan AS (
   SELECT source,
-         (({_TOKEN_BUDGET} * (avail * 1000000 // t)) // 1000000) * 1000
-           // avail AS e3
+         CASE WHEN t > 0 AND avail > 0
+         THEN (({_TOKEN_BUDGET} * (avail * 1000000 // t)) // 1000000) * 1000
+              // avail
+         ELSE 0 END AS e3
   FROM avail CROSS JOIN tot
 ), rep AS (
   SELECT d.doc_id, d.source, d.n_tok,
@@ -4608,8 +4647,9 @@ def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = avail.crossJoin(F.broadcast(tot)).select(
         "source",
         F.expr(
-            f"(({_TOKEN_BUDGET} * (avail * 1000000 DIV __t)) DIV 1000000)"
-            " * 1000 DIV avail"
+            f"CASE WHEN __t > 0 AND avail > 0 THEN"
+            f" (({_TOKEN_BUDGET} * (avail * 1000000 DIV __t)) DIV 1000000)"
+            " * 1000 DIV avail ELSE 0 END"
         ).alias("e3"),
     )
     bucket = (
@@ -4635,11 +4675,21 @@ def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__epoch"),
         )
     )
+    counts = mat.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__nd"),
+        F.sum("n_tok").cast("long").alias("__nt"),
+    )
+    # a source whose every doc got reps=0 (e3 under 1000 at large
+    # corpus scale) vanishes from the explode output, but the oracle's
+    # SUM(reps) GROUP BY source keeps it with zeros (r11 review) —
+    # re-anchor on the full source list with zero fills
     return (
-        mat.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs_out"),
-            F.sum("n_tok").cast("long").alias("n_tokens_out"),
+        avail.select("source")
+        .join(counts, "source", "left")
+        .select(
+            "source",
+            F.coalesce("__nd", F.lit(0)).cast("long").alias("n_docs_out"),
+            F.coalesce("__nt", F.lit(0)).cast("long").alias("n_tokens_out"),
         )
         .orderBy("source")
     )
