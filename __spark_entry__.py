@@ -50,6 +50,10 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # never been driver-sampled; now cast to BIGINT.
     "multi_touch_attribution": 10,
     "salted_skew_agg": 10,
+    # r12: brute-force k-gram DuckDB oracles replace the no-oracle
+    # contract (VERDICT r11 ask #1) — prior rows-only greens are stale.
+    "suffix_array_stats": 12,
+    "suffix_span_removal": 12,
 }
 
 

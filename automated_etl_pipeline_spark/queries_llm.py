@@ -3909,19 +3909,79 @@ def bpe_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("suffix_array_stats")
+# Brute-force independent derivation of per-position match lengths:
+# match_len(pos) counts the k >= 1 whose k-gram starting at pos occurs
+# at >= 2 positions anywhere in the corpus (a duplicated k-gram's
+# (k-1)-prefix is itself duplicated, so the qualifying k form the
+# contiguous range 1..match_len — the count IS the max).  Enumerating
+# every k-gram is O(sum dlen^2) strings: ~48k at the gate's sf0.01
+# corpus, ~900k at sf0.1 — nothing like the suffix array's machinery,
+# which is the point of an oracle.  The digits-cross-join numbers
+# table (LCD rule — no range()+unnest) covers pos/k up to 999; gate
+# corpora max out at dlen 99 (sf0.1), and the Spark side is unbounded.
+_SUFFIX_STATS_ORACLE = """
+WITH nums AS (
+  SELECT d2.n * 100 + d1.n * 10 + d0.n AS n
+  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2(n)
+), base AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS t
+  FROM documents WHERE doc_id % 20 = 0
+), corpus AS (
+  SELECT doc_id AS did, t FROM base
+  UNION ALL
+  SELECT -(doc_id + 1) AS did, t FROM base WHERE doc_id % 100 = 0
+), posn AS (
+  SELECT did, t, len(t) AS dlen, n AS pos
+  FROM corpus CROSS JOIN nums WHERE n < len(t)
+), grams AS (
+  SELECT p.did, p.pos, k.n AS k,
+         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
+  FROM posn p CROSS JOIN nums k
+  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
+), dup AS (
+  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
+), ml AS (
+  SELECT gr.did, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
+  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
+  GROUP BY gr.did, gr.pos
+), fullpos AS (
+  SELECT p.did, p.pos, p.dlen,
+         coalesce(m.match_len, 0) AS match_len,
+         CASE WHEN p.did < 0 THEN -p.did - 1 ELSE p.did END AS base_id
+  FROM posn p LEFT JOIN ml m ON p.did = m.did AND p.pos = m.pos
+)
+SELECT CAST((base_id // 20) % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_positions,
+       CAST(SUM(match_len) AS BIGINT) AS sum_match_len,
+       CAST(SUM(CASE WHEN base_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_planted_pos,
+       SUM(CASE WHEN base_id % 100 = 0 THEN 1 ELSE 0 END) =
+         SUM(CASE WHEN base_id % 100 = 0 AND match_len = dlen - pos
+             THEN 1 ELSE 0 END) AS planted_exact_ok,
+       COUNT(*) = SUM(CASE WHEN match_len <= dlen - pos THEN 1 ELSE 0 END)
+         AS bound_ok
+FROM fullpos GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("suffix_array_stats", _SUFFIX_STATS_ORACLE)
 def suffix_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array exact-substring statistics (dedup/suffix_array.py,
-    Lee et al. arXiv:2107.06499 semantics) under the rows+schema+
-    invariant contract — per-position match lengths ARE the prefix-
-    doubling algorithm's output, so no independent SQL oracle exists
-    (a DuckDB oracle would have to reimplement the algorithm; the
-    brute-force pure-Python oracle lives in tests/test_suffix_array.py
-    instead).
+    Lee et al. arXiv:2107.06499 semantics), three-axis hash-gated
+    against a brute-force DuckDB oracle that derives every per-position
+    match length WITHOUT a suffix array: match_len(pos) = the number of
+    k >= 1 whose k-gram at pos is duplicated somewhere in the corpus
+    (prefix-closure makes those k contiguous), enumerable exhaustively
+    at gate scale.  The brute-force pure-Python oracle in
+    tests/test_suffix_array.py stays as the property-test layer.
 
     The gate runs on a deterministic 1-in-20 doc subset PLUS planted
     verbatim replicas of the 1-in-100 docs, and emits per-bucket
-    BIGINTs with two in-query invariant columns:
+    BIGINTs with two invariant columns the oracle now also derives
+    independently from ITS OWN match lengths:
       - planted_exact_ok: every position of a planted doc (original
         and replica) must have match_len == doc_len - pos exactly —
         its full suffix occurs verbatim in the twin, and no match can
@@ -4279,23 +4339,94 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("suffix_span_removal")
+# Independent derivation of the span-removal counts from the same
+# brute-force match lengths as _SUFFIX_STATS_ORACLE: a token position
+# i is removed iff SOME start q <= i in the same doc has
+# match_len(q) >= 5 and q + match_len(q) - 1 >= i (interval coverage —
+# no islands merge needed; the union of covers IS the merged span
+# set).  removal_consistent is TRUE by construction here (covered
+# count == merged span total is an identity of coverage), so the
+# oracle pins it as a literal while deriving planted_fully_removed
+# and bound_ok from its own coverage.
+_SUFFIX_SPANS_ORACLE = """
+WITH nums AS (
+  SELECT d2.n * 100 + d1.n * 10 + d0.n AS n
+  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2(n)
+), base AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS t
+  FROM documents WHERE doc_id % 20 = 0
+), corpus AS (
+  SELECT doc_id AS did, t FROM base
+  UNION ALL
+  SELECT -(doc_id + 1) AS did, t FROM base WHERE doc_id % 100 = 0
+), posn AS (
+  SELECT did, t, len(t) AS dlen, n AS pos
+  FROM corpus CROSS JOIN nums WHERE n < len(t)
+), grams AS (
+  SELECT p.did, p.pos, k.n AS k,
+         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
+  FROM posn p CROSS JOIN nums k
+  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
+), dup AS (
+  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
+), ml AS (
+  SELECT gr.did, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
+  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
+  GROUP BY gr.did, gr.pos
+), covered AS (
+  SELECT p.did, p.pos,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM ml q
+           WHERE q.did = p.did AND q.match_len >= 5
+             AND q.pos <= p.pos AND q.pos + q.match_len - 1 >= p.pos
+         ) THEN 1 ELSE 0 END AS cut
+  FROM posn p
+), per_doc AS (
+  SELECT c.did,
+         CAST(SUM(cut) AS BIGINT) AS n_removed
+  FROM covered c GROUP BY 1
+), doc AS (
+  SELECT CASE WHEN a.did < 0 THEN -a.did - 1 ELSE a.did END AS base_id,
+         CAST(len(a.t) AS BIGINT) AS n_tokens,
+         coalesce(p.n_removed, 0) AS n_removed
+  FROM corpus a LEFT JOIN per_doc p ON a.did = p.did
+)
+SELECT CAST((base_id // 20) % 4 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_removed) AS BIGINT) AS tokens_removed,
+       TRUE AS removal_consistent,
+       SUM(CASE WHEN base_id % 100 = 0 AND n_removed != n_tokens
+           THEN 1 ELSE 0 END) = 0 AS planted_fully_removed,
+       SUM(CASE WHEN n_removed > n_tokens THEN 1 ELSE 0 END) = 0 AS bound_ok
+FROM doc GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("suffix_span_removal", _SUFFIX_SPANS_ORACLE)
 def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY step of suffix-array dedup (dedup/suffix_array.py
     remove_duplicate_spans, Lee et al. arXiv:2107.06499 §4): cut every
     maximal duplicated span of >= 5 tokens out of each document of the
     suffix_array_stats corpus (1-in-20 subset plus planted verbatim
-    replicas of the 1-in-100 docs).  Rows+schema contract (the span
-    set IS the algorithm's output; brute-force oracle in
-    tests/test_suffix_array.py) with three in-query invariants:
+    replicas of the 1-in-100 docs).  Three-axis hash-gated against the
+    brute-force k-gram coverage oracle (_SUFFIX_SPANS_ORACLE): the
+    oracle recomputes every match length without a suffix array and
+    counts covered positions directly — no islands merge, no removal
+    pipeline.  The in-query invariants remain as columns:
       - removal_consistent: tokens removed per bucket equals the
         summed span lengths reported by duplicated_spans — pins the
         array-filter cut against the islands merge (spans must be
-        disjoint and fully applied);
+        disjoint and fully applied); a coverage identity on the oracle
+        side (literal TRUE there);
       - planted_fully_removed: every planted doc (original AND
         replica, all >= 5 tokens in this corpus) is cut to nothing —
-        its twin duplicates every token;
-      - bound_ok: no doc removes more tokens than it has."""
+        its twin duplicates every token (oracle-derived);
+      - bound_ok: no doc removes more tokens than it has
+        (oracle-derived)."""
     from automated_etl_pipeline_spark.dedup.suffix_array import (
         duplicated_spans,
         remove_duplicate_spans,
