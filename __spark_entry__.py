@@ -54,6 +54,9 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # contract (VERDICT r11 ask #1) — prior rows-only greens are stale.
     "suffix_array_stats": 12,
     "suffix_span_removal": 12,
+    # r12: pinned-coefficient integer logit replaces the no-oracle
+    # IRLS-invariant contract (VERDICT r11 ask #3).
+    "quality_classifier_filter": 12,
 }
 
 

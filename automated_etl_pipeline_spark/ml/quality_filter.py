@@ -44,6 +44,73 @@ from pyspark.sql import functions as F
 
 FEATURE_COLS = ["n_tokens", "n_chars", "distinct_ratio", "avg_word_len"]
 
+# Frozen production model: the coefficient vector fit ONCE by
+# fit_quality_classifier on the sf0.01 corpus (weak label
+# lang == 'en'), rounded to 1e-6 units and pinned as integers.  This
+# is the shape a real curation stack ships: train on a sample, freeze,
+# score petabytes with pure column arithmetic — no model object, no
+# UDF, bit-reproducible anywhere.  Keys match FEATURE_COLS + intercept.
+PINNED_COEF_E6: dict[str, int] = {
+    "intercept": 301699,
+    "n_tokens": 46773,
+    "n_chars": -8218,
+    "distinct_ratio": 419748,
+    "avg_word_len": -156685,
+}
+# Selection threshold p >= 0.45 as a logit in the same 1e-6 units
+# (logit(0.45) = -0.200671): keep iff z >= logit(tau).
+PINNED_TAU_LOGIT_E6 = -200671
+
+
+def raw_text_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tok, n_chars, n_distinct): the INTEGER counts behind
+    text_feature_frame's ratios — the exact-arithmetic surface for
+    pinned-coefficient scoring (ratios reconstruct as n_distinct/n_tok
+    and n_chars/n_tok)."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tok"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
+            "n_chars"
+        ),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+def pinned_logit_columns(
+    coef_e6: dict[str, int] | None = None, tau_logit_e6: int | None = None
+) -> tuple[F.Column, F.Column]:
+    """(z_scaled, keep) over a raw_text_counts frame, EXACT in int64.
+
+    The logit decision z >= logit(tau) is multiplied through by
+    n_tok > 0 so the two ratio features clear to integers
+    (distinct_ratio*n_tok = n_distinct, avg_word_len*n_tok = n_chars):
+
+      z_scaled = (intercept - tau)*n_tok + c_tok*n_tok^2
+                 + c_chars*n_chars*n_tok + c_dr*n_distinct
+                 + c_awl*n_chars            [1e-6 logit units x n_tok]
+
+    keep iff n_tok > 0 AND z_scaled >= 0.  Every term is a product of
+    two bounded longs and small literals — int64-exact for docs up to
+    ~10^6 tokens/chars, engine-independent (the r9 integer-space
+    rule)."""
+    c = coef_e6 or PINNED_COEF_E6
+    tau = PINNED_TAU_LOGIT_E6 if tau_logit_e6 is None else tau_logit_e6
+    z = (
+        F.lit(c["intercept"] - tau) * F.col("n_tok")
+        + F.lit(c["n_tokens"]) * F.col("n_tok") * F.col("n_tok")
+        + F.lit(c["n_chars"]) * F.col("n_chars") * F.col("n_tok")
+        + F.lit(c["distinct_ratio"]) * F.col("n_distinct")
+        + F.lit(c["avg_word_len"]) * F.col("n_chars")
+    )
+    keep = (F.col("n_tok") > 0) & (z >= 0)
+    return z, keep
+
 
 def text_feature_frame(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"

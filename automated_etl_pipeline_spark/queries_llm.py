@@ -4263,77 +4263,86 @@ def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("quality_classifier_filter")
-def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering (ml/quality_filter.py): fit a
-    logit-link binomial GLM on JVM-computed text features with the
-    weak label lang == 'en', score the whole pool, and report the
-    filter per doc-id bucket.  No oracle — IRLS coefficients are
-    float-sum-order reproducible only, so the gate carries the model's
-    DEFINING invariants as columns instead (the m2/m5 contract):
-    probs_in_range (every probability in (0,1) — logit link), and
-    mass_preserved (sum p == sum y over training rows at the IRLS
-    optimum, 1e-3 relative — the intercept score equation).  Counts at
-    the 0.5 threshold are reported but deliberately not hash-gated:
-    a boundary probability can flip with gradient summation order.
+# The pinned model's decision, recomputed from scratch: same integer
+# features, same 1e-6 coefficient literals, same multiplied-through
+# logit threshold.  Coefficient values here MUST mirror
+# ml/quality_filter.PINNED_COEF_E6 / PINNED_TAU_LOGIT_E6
+# (tests/test_quality_filter.py pins the two against each other).
+_QUALITY_FILTER_ORACLE = """
+WITH f AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> w != '') AS t,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars
+  FROM documents
+), z AS (
+  SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos_label,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(502370 * len(t)
+              + 46773 * len(t) * len(t)
+              - 8218 * n_chars * len(t)
+              + 419748 * len(list_distinct(t))
+              - 156685 * n_chars AS BIGINT) AS zs
+  FROM f
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos_label) AS BIGINT) AS n_pos_label,
+       CAST(SUM(CASE WHEN n_tok > 0 AND zs >= 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(zs) AS BIGINT) AS z_sum_e6
+FROM z GROUP BY 1 ORDER BY 1
+"""
 
-    Scale: features and scoring are map-side; the fit is distributed
-    IRLS (driver holds one coefficient vector); bucket agg is 4 rows."""
+
+@query("quality_classifier_filter", _QUALITY_FILTER_ORACLE)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ml/quality_filter.py) in the
+    production shape: the logit-link GLM is trained ONCE by distributed
+    IRLS (fit_quality_classifier — float fit invariants live in
+    tests/test_quality_filter.py, the m2/m5 contract), its coefficients
+    frozen as 1e-6 integer literals (PINNED_COEF_E6), and the whole
+    pool scored with pure column arithmetic.  The selection decision
+    p >= 0.45 is the logit inequality multiplied through by n_tok, so
+    every term is exact int64 — the DuckDB oracle recomputes features,
+    scores, decisions, and the per-bucket z-sum independently from the
+    same pinned literals (VERDICT r11 ask #3: gate the DECISION on a
+    deterministic surrogate, keep the float fit in pytest).
+
+    Scale: scoring is one map-side projection — no model object, no
+    UDF, no shuffle before the 4-row bucket agg; exactly how a frozen
+    quality classifier scores a 100 TB pool.  z_scaled stays int64 for
+    docs up to ~10^6 tokens; per-bucket z_sum_e6 is bounded by
+    n_docs * that (document the ceiling, not a silent wrap)."""
     from automated_etl_pipeline_spark.ml.quality_filter import (
-        fit_quality_classifier,
-        text_feature_frame,
+        pinned_logit_columns,
+        raw_text_counts,
     )
 
     (docs,) = _t(spark, sf_dir, "documents")
-    feats = text_feature_frame(docs).join(
+    z, keep = pinned_logit_columns()
+    scored = raw_text_counts(docs).join(
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("lang") == "en").cast("double").alias("label"),
+            (F.col("lang") == "en").cast("long").alias("__pos"),
         ),
         "doc_id",
-    )
-    # one deterministic materialization: the IRLS fit makes many
-    # passes and the scoring pass follows (m2's localCheckpoint note)
-    feats = feats.localCheckpoint(eager=True)
-    model = fit_quality_classifier(feats, label_col="label")
-    scored = model.score(feats)
-    mass = scored.agg(
-        F.sum("p_quality").alias("__sp"), F.sum("label").alias("__sy")
+    ).select(
+        (F.col("doc_id") % 4).cast("long").alias("bucket"),
+        "__pos",
+        z.alias("__z"),
+        keep.alias("__keep"),
     )
     return (
-        scored.select(
-            (F.col("doc_id") % 4).cast("long").alias("bucket"),
-            "label",
-            "p_quality",
-        )
-        .groupBy("bucket")
+        scored.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("label").cast("long").alias("n_pos_label"),
-            F.sum(F.when(F.col("p_quality") >= 0.5, 1).otherwise(0))
+            F.sum("__pos").cast("long").alias("n_pos_label"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
             .cast("long")
-            .alias("n_kept_at_half"),
-            F.sum(
-                F.when(
-                    (F.col("p_quality") > 0) & (F.col("p_quality") < 1), 0
-                ).otherwise(1)
-            ).alias("__oob"),
-        )
-        .crossJoin(F.broadcast(mass))
-        .select(
-            "bucket",
-            "n_docs",
-            "n_pos_label",
-            "n_kept_at_half",
-            (F.col("__oob") == 0).alias("probs_in_range"),
-            F.when(
-                F.col("__sy") > 0,
-                F.abs(F.col("__sp") - F.col("__sy")) / F.col("__sy") < 1e-3,
-            )
-            # no positive labels = a degenerate fit; fail the
-            # invariant loudly instead of emitting NULL (r11 review)
-            .otherwise(F.lit(False))
-            .alias("mass_preserved"),
+            .alias("n_kept"),
+            F.sum("__z").cast("long").alias("z_sum_e6"),
         )
         .orderBy("bucket")
     )
