@@ -76,6 +76,29 @@ def query(name: str, oracle: str | None = None, *, executes_stream: bool = False
     return deco
 
 
+# Diagnostic probe gates: per-stage BIGINT decompositions of a parent
+# gate (the r10 decision-table tooling — when a parent goes driver-red,
+# its probes localize which stage diverged).  Once the parent is
+# driver-green they have done their job as REGISTRY entries: keeping
+# them there spends driver-rotation slots and bench seconds re-proving
+# a solved problem (VERDICT r11 ask #2).  They live here instead and
+# tests/test_probes.py checks every one against its DuckDB oracle each
+# pytest run, so they still guard regressions; if a parent goes red
+# again, flip its probes back to @query temporarily so the driver
+# rotation localizes the stage.
+PROBES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PROBE_ORACLES: dict[str, str] = {}
+
+
+def probe(name: str, oracle: str):
+    def deco(fn):
+        PROBES[name] = fn
+        PROBE_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
 # ----------------------------------------------------------------------
 # Flagship (SURVEY.md §7.1): scan → groupBy multi-agg → orderBy.
 # A2 multi-aggregate + A5 aliased outputs (ml_project.py:131-132).

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_etl_pipeline_spark.queries import _t, dsum, query
+from automated_etl_pipeline_spark.queries import _t, dsum, probe, query
 
 
 @query(
@@ -3480,7 +3480,7 @@ FROM hourly GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("locf_probe_hourly", _LOCF_PROBE_HOURLY_ORACLE)
+@probe("locf_probe_hourly", _LOCF_PROBE_HOURLY_ORACLE)
 def locf_probe_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 1/4 for locf_hourly_gap_fill: ONLY the per-(user, hour)
     last-value reduce — hour-index arithmetic + deterministic pick +
@@ -3521,7 +3521,7 @@ FROM spine GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("locf_probe_spine", _LOCF_PROBE_SPINE_ORACLE)
+@probe("locf_probe_spine", _LOCF_PROBE_SPINE_ORACLE)
 def locf_probe_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 2/4: ONLY the dense per-user hour spine (span bounds +
     integer sequence / numbers-table explode).  Red here with probe
@@ -3576,7 +3576,7 @@ FROM filled GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("locf_probe_fill", _LOCF_PROBE_FILL_ORACLE)
+@probe("locf_probe_fill", _LOCF_PROBE_FILL_ORACLE)
 def locf_probe_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 3/4: the spine LEFT JOIN hourly null/non-null split —
     no carry values in the gate.  Red here with 1-2/4 green = the
@@ -3606,7 +3606,7 @@ FROM filled GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("locf_probe_sum", _LOCF_PROBE_SUM_ORACLE)
+@probe("locf_probe_sum", _LOCF_PROBE_SUM_ORACLE)
 def locf_probe_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 4/4: ONLY the carried-series cent sum (the full carry
     window).  Red here with 1-3/4 green = the LOCF carry itself
@@ -3880,7 +3880,7 @@ FROM events GROUP BY bucket ORDER BY bucket
 """
 
 
-@query("rolling_probe_input", _ROLLING_PROBE_INPUT_ORACLE)
+@probe("rolling_probe_input", _ROLLING_PROBE_INPUT_ORACLE)
 def rolling_probe_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 1/3 for rolling_anomaly_zscores: ONLY the floor-cents
     conversion of events.value (no window at all).  Red here = the
@@ -3913,7 +3913,7 @@ FROM scored GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("rolling_probe_moments", _ROLLING_PROBE_MOMENTS_ORACLE)
+@probe("rolling_probe_moments", _ROLLING_PROBE_MOMENTS_ORACLE)
 def rolling_probe_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 2/3: the trailing-window moments themselves (checksums
     of n, dnum^2, vnum per bucket) — pins the retraction union
@@ -3949,7 +3949,7 @@ FROM scored GROUP BY bucket ORDER BY bucket
 )
 
 
-@query("rolling_probe_flags", _ROLLING_PROBE_FLAGS_ORACLE)
+@probe("rolling_probe_flags", _ROLLING_PROBE_FLAGS_ORACLE)
 def rolling_probe_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 3/3: ONLY the guard + z > 1.6 threshold counts.  Red
     here with 2/3 green = the exact-integer comparison arithmetic
@@ -4193,7 +4193,7 @@ ORDER BY o.event_type
 )
 
 
-@query("incr_probe_split", _INCR_PROBE_SPLIT_ORACLE)
+@probe("incr_probe_split", _INCR_PROBE_SPLIT_ORACLE)
 def incr_probe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 1/3 for incremental_agg_merge: ONLY the epoch-micros
     cutoff row split (counts per side).  Red here = the cutoff
@@ -4218,7 +4218,7 @@ ORDER BY o.event_type
 )
 
 
-@query("incr_probe_sums", _INCR_PROBE_SUMS_ORACLE)
+@probe("incr_probe_sums", _INCR_PROBE_SUMS_ORACLE)
 def incr_probe_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 2/3: the per-side BIGINT micro-unit sums.  Red here with
     1/3 green = the floor(value*1e6) conversion diverges (compare
@@ -4244,7 +4244,7 @@ FROM full_recompute ORDER BY event_type
 )
 
 
-@query("incr_probe_minmax", _INCR_PROBE_MINMAX_ORACLE)
+@probe("incr_probe_minmax", _INCR_PROBE_MINMAX_ORACLE)
 def incr_probe_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 3/3: the extrema state components as floored BIGINT
     micros over the full history.  Red here with 1-2/3 green = the
@@ -5382,7 +5382,7 @@ FROM t
 )
 
 
-@query("ks_probe_split", _KS_PROBE_SPLIT_ORACLE)
+@probe("ks_probe_split", _KS_PROBE_SPLIT_ORACLE)
 def ks_probe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 1/3 for ks_drift_statistic: ONLY the epoch-micros date
     cutoff split.  Red here = the o_orderdate decode or the BIGINT
@@ -5406,7 +5406,7 @@ FROM bins
 )
 
 
-@query("ks_probe_bins", _KS_PROBE_BINS_ORACLE)
+@probe("ks_probe_bins", _KS_PROBE_BINS_ORACLE)
 def ks_probe_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 2/3: the $500 binning histogram (bin count, extremes,
     bin-weighted count checksums per side).  Red here with 1/3 green
@@ -5441,7 +5441,7 @@ FROM cum
 )
 
 
-@query("ks_probe_num", _KS_PROBE_NUM_ORACLE)
+@probe("ks_probe_num", _KS_PROBE_NUM_ORACLE)
 def ks_probe_num(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 3/3: ONLY the KS integer numerator (the cumulative
     window + cross-product max).  Red here with 1-2/3 green = the

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_etl_pipeline_spark.io.sources import spread
-from automated_etl_pipeline_spark.queries import _t, query
+from automated_etl_pipeline_spark.queries import _t, probe, query
 
 # ----------------------------------------------------------------------
 # Deduplication (exact). Scale: one shuffle on the 128-bit content hash;
@@ -2949,7 +2949,7 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
-@query("mad_probe_counts", _MAD_PROBE_COUNTS_ORACLE)
+@probe("mad_probe_counts", _MAD_PROBE_COUNTS_ORACLE)
 def mad_probe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 1/3 for quality_mad_outliers: ONLY the integer input
     column per group (count/sum/min/max of n_chars).  Red here = the
@@ -2975,7 +2975,7 @@ SELECT source, med2 FROM med ORDER BY source
 )
 
 
-@query("mad_probe_median", _MAD_PROBE_MEDIAN_ORACLE)
+@probe("mad_probe_median", _MAD_PROBE_MEDIAN_ORACLE)
 def mad_probe_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 2/3: ONLY the doubled rank-midpoint median.  Red here
     with 1/3 green = the rank/window construction diverges."""
@@ -2996,7 +2996,7 @@ SELECT source, mad4 FROM mad ORDER BY source
 )
 
 
-@query("mad_probe_mad", _MAD_PROBE_MAD_ORACLE)
+@probe("mad_probe_mad", _MAD_PROBE_MAD_ORACLE)
 def mad_probe_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe 3/3: ONLY the quadrupled MAD.  Red here with 1-2/3 green
     = the deviation pass diverges."""

@@ -1,0 +1,71 @@
+"""Diagnostic probe gates vs their DuckDB oracles (r12).
+
+The 16 r10 per-stage probe gates (locf/rolling/mad/ks/incr) left the
+driver registry once their parents were driver-green (VERDICT r11 ask
+#2) — they now live in ``queries.PROBES`` and this test keeps every
+one oracle-checked on each pytest run, same three-axis contract as
+tools/check_correctness.py (rows + sorted columns + normalized
+values), at sf0.001 for speed with one sf0.01 smoke on a rotating
+member.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import automated_etl_pipeline_spark.queries_ext  # noqa: F401  (registers)
+import automated_etl_pipeline_spark.queries_llm  # noqa: F401  (registers)
+from automated_etl_pipeline_spark.queries import PROBE_ORACLES, PROBES
+from tools.check_correctness import TABLES, normalize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _oracle_rows(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if Path(p).exists():
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        tbl = con.execute(sql).fetch_arrow_table()
+        cols = sorted(tbl.column_names)
+        return cols, [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+    finally:
+        con.close()
+
+
+def _check(spark, name: str, sf_dir: str) -> None:
+    sdf = PROBES[name](spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+    oracle_cols, oracle_rows = _oracle_rows(sf_dir, PROBE_ORACLES[name])
+    assert spark_cols == oracle_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(oracle_rows), f"{name}: rowcount mismatch"
+    a, b = normalize(spark_rows), normalize(oracle_rows)
+    diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+    assert a == b, f"{name}: values differ, first: {diff}"
+
+
+def test_probe_registry_shape():
+    assert len(PROBES) == 16
+    assert set(PROBES) == set(PROBE_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(PROBES))
+def test_probe_matches_oracle(spark, name):
+    _check(spark, name, SF_DIR)
+
+
+def test_one_probe_at_gate_scale(spark):
+    # one member at the driver's sf0.01 gate scale per run (md5 of the
+    # probe list picks it deterministically — no salted hash()); all 16
+    # at sf0.01 every run would be pure re-proof of a solved problem
+    import hashlib
+
+    names = sorted(PROBES)
+    idx = int(hashlib.md5(",".join(names).encode()).hexdigest(), 16) % len(names)
+    _check(spark, names[idx], "/root/testdata/sf0.01")
