@@ -57,6 +57,9 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # r12: pinned-coefficient integer logit replaces the no-oracle
     # IRLS-invariant contract (VERDICT r11 ask #3).
     "quality_classifier_filter": 12,
+    # r12: rebuilt_checksum re-reduced mod 1e12 after an exact decimal
+    # sum (r11 ADVICE: bare long sum wraps past ~9.2M docs/bucket).
+    "line_dedup_rebuild": 12,
 }
 
 

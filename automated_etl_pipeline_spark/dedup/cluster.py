@@ -206,13 +206,15 @@ def connected_components_stars(
     singletons = all_v.join(edge_v, "vid", "left_anti").select(
         "vid", F.col("vid").alias("component")
     )
-    def same(a: DataFrame, b: DataFrame) -> bool:
-        # exact set equality (both frames are distinct): equal counts
-        # plus one empty one-sided difference
-        return a.count() == b.count() and a.exceptAll(b).isEmpty()
-
     cur = materialize(sym)
-    converged = cur.isEmpty()
+    # carry |cur| across rounds: each round then pays two cheap counts
+    # over already-materialized frames, and the exceptAll scans run
+    # ONLY on candidate-final rounds (all three counts equal) — folded
+    # into one action via union + isEmpty (r11 ADVICE: the old same()
+    # pair cost two counts plus two full-edge-set exceptAll scans on
+    # every round, converged or not)
+    c_cur = cur.count()
+    converged = c_cur == 0
     rounds = 0
     for _ in range(max_iter):
         if converged:
@@ -220,15 +222,22 @@ def connected_components_stars(
         rounds += 1
         ls = materialize(_large_star(cur))
         nxt = materialize(_small_star(ls))
+        c_ls, c_nxt = ls.count(), nxt.count()
         # converged only when BOTH operations are at their fixpoint
         # (a union of stars is a fixpoint of each; requiring only the
         # composite could in principle accept an ls/ss 2-cycle and
-        # mislabel — never trade a loud failure for a wrong answer)
-        if same(nxt, cur) and same(ls, cur):
+        # mislabel — never trade a loud failure for a wrong answer).
+        # All frames are distinct, so equal counts + empty one-sided
+        # differences prove set equality.
+        if (
+            c_ls == c_cur
+            and c_nxt == c_cur
+            and nxt.exceptAll(cur).unionByName(ls.exceptAll(cur)).isEmpty()
+        ):
             cur = nxt
             converged = True
             break
-        cur = nxt
+        cur, c_cur = nxt, c_nxt
     if stats_out is not None:
         # observability hook for smokes/tests: how many alternating
         # rounds the graph actually needed

@@ -4217,7 +4217,8 @@ SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
        CAST(SUM(n_kept) AS BIGINT) AS n_kept,
        CAST(SUM(n_lines - n_kept) AS BIGINT) AS n_removed,
        CAST(SUM(('0x' || substr(md5(text2), 1, 15))::BIGINT
-                % 1000000000000) AS BIGINT) AS rebuilt_checksum
+                % 1000000000000) % 1000000000000 AS BIGINT)
+         AS rebuilt_checksum
 FROM per_doc GROUP BY 1 ORDER BY 1
 """
 
@@ -4229,9 +4230,11 @@ def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     only at its first (doc_id, idx) occurrence; documents are rebuilt
     from their surviving lines.  The gate hashes per-bucket line /
     survivor / removal counts AND a checksum of every rebuilt
-    document's md5 (mod 1e12 so the per-bucket sum stays in BIGINT) —
-    a wrong keep decision, a dropped tail chunk, or an out-of-order
-    rebuild moves the checksum.
+    document's md5: per-doc values mod 1e12, summed exactly in
+    decimal(38,0)/HUGEINT, and re-reduced mod 1e12 — scale-proof at
+    any bucket size (a bare int64 sum wraps past ~9.2M docs/bucket,
+    r11 ADVICE).  A wrong keep decision, a dropped tail chunk, or an
+    out-of-order rebuild moves the checksum.
 
     Scale: the keep rule is one skew-safe min aggregation (no per-hash
     window — a billion-fold boilerplate line is one combiner cell per
@@ -4257,7 +4260,17 @@ def line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_lines").cast("long").alias("n_lines"),
             F.sum("n_kept").cast("long").alias("n_kept"),
             (F.sum("n_lines") - F.sum("n_kept")).cast("long").alias("n_removed"),
-            F.sum("__ck").cast("long").alias("rebuilt_checksum"),
+            # sum per-doc checksums in decimal(38,0) and re-reduce mod
+            # 1e12: a bare long sum wraps silently past ~9.2M docs per
+            # bucket while the DuckDB HUGEINT sum doesn't — the gate
+            # would diverge at scale for a non-bug reason (r11 ADVICE;
+            # the cluster.py label_sum pattern)
+            (
+                F.sum(F.col("__ck").cast("decimal(38,0)"))
+                % F.lit(1_000_000_000_000).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("rebuilt_checksum"),
         )
         .orderBy("bucket")
     )
