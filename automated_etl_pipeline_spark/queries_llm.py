@@ -4566,6 +4566,137 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full KN pipeline recomputed in SQL: same tokenization, same LM
+# statistics, and — critically — the SAME arithmetic expression tree
+# for every probability (IEEE add/mul/div round identically, so the
+# doubles agree bitwise and floor(ln(p)*1e4) is engine-stable, the
+# log_sum_e4 recipe).  Mirrors functions/kneser_ney.py — edit both.
+# The four-part anchor keeps the 'empty' row when no doc is empty
+# (the r11 explode-drops-empty-groups lesson).
+_KN_PARTITION_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     w -> w != '') AS t
+  FROM documents
+), dbg AS (
+  SELECT doc_id, b.l AS l, b.r AS r, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(t)),
+             i -> {'l': t[i], 'r': t[i+1]})) AS b
+    FROM tok WHERE len(t) >= 2
+  ) GROUP BY 1, 2, 3
+), tbg AS (
+  SELECT d.l, d.r, CAST(SUM(d.cnt) AS BIGINT) AS c_lr
+  FROM dbg d JOIN tok k ON d.doc_id = k.doc_id AND k.lang = 'en'
+  GROUP BY 1, 2
+), left_t AS (
+  SELECT l, CAST(SUM(c_lr) AS BIGINT) AS c_l,
+         CAST(COUNT(*) AS BIGINT) AS n1_fwd
+  FROM tbg GROUP BY 1
+), cont AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n1_back FROM tbg GROUP BY 1
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS tt,
+         CAST(COUNT(DISTINCT r) AS BIGINT) AS vv
+  FROM tbg
+), scored AS (
+  SELECT d.doc_id, d.cnt,
+         CASE WHEN coalesce(lt.c_l, 0) > 0
+           THEN (greatest(coalesce(b.c_lr, 0) - 0.75, 0.0)
+                 + 0.75 * coalesce(lt.n1_fwd, 0)
+                   * ((coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)))
+                / lt.c_l
+           ELSE (coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)
+         END AS p
+  FROM dbg d
+  LEFT JOIN tbg b ON d.l = b.l AND d.r = b.r
+  LEFT JOIN left_t lt ON d.l = lt.l
+  LEFT JOIN cont ct ON d.r = ct.r
+  CROSS JOIN scal s
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(-SUM(cnt * CAST(floor(ln(p) * 10000.0) AS BIGINT))
+              AS BIGINT) AS nll_e4
+  FROM scored GROUP BY 1
+), pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_doc
+), ranked AS (
+  SELECT p.n_bigrams, p.nll_e4,
+         ROW_NUMBER() OVER (ORDER BY p.nll_e4 / p.n_bigrams, p.doc_id)
+           - 1 AS rk
+  FROM per_doc p
+), parted AS (
+  SELECT r.n_bigrams, r.nll_e4,
+         CASE WHEN r.rk < ceil(n.n * 0.25) THEN 'head'
+              WHEN r.rk < ceil(n.n * 0.75) THEN 'middle'
+              ELSE 'tail' END AS part
+  FROM ranked r CROSS JOIN pool n
+  UNION ALL
+  SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'empty'
+  FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+  WHERE p.doc_id IS NULL
+), agg AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+         CAST(SUM(nll_e4) AS BIGINT) AS nll_e4_sum
+  FROM parted GROUP BY 1
+)
+SELECT a.part,
+       CAST(coalesce(g.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(g.nll_e4_sum, 0) AS BIGINT) AS nll_e4_sum
+FROM (VALUES ('empty'), ('head'), ('middle'), ('tail')) a(part)
+LEFT JOIN agg g ON a.part = g.part
+ORDER BY a.part
+"""
+
+
+@query("kn_perplexity_partition", _KN_PARTITION_ORACLE)
+def kn_perplexity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail partitioning by INTERPOLATED KNESER-NEY
+    bigram perplexity (functions/kneser_ney.py) — the LM stage CCNet
+    actually runs (Wenzek et al. arXiv:1911.00359 §4.3), consuming the
+    continuation-count statistic kn_continuation_counts materializes
+    (VERDICT r11 ask #4).  The target LM trains on the lang='en' slice;
+    the whole pool is scored and split head/middle/tail at exact
+    ceil(N*0.25)/ceil(N*0.75) ranks of average NLL (ties on doc_id),
+    'empty' for bigram-free docs.  Gate values are per-part BIGINTs:
+    doc counts, bigram totals, and the summed 1e-4-nat integer NLLs —
+    the oracle recomputes LM, scores, ranking, and cuts from scratch.
+    Part SIZES are cross-checked against ccnet_partition_sizes (same
+    pool predicate, same cut arithmetic) in tests/test_perplexity.py.
+
+    Scale: three partial-aggregated equi-shuffles for the LM stats,
+    natural-key joins + one broadcast scalar frame for scoring, the
+    two-phase exact global rank for the cut — no window over the pool,
+    no UDF, no all-pairs."""
+    from automated_etl_pipeline_spark.functions.kneser_ney import kn_partition
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    parts = kn_partition(spread(docs), target)
+    counts = parts.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("n_bigrams").cast("long").alias("__nb"),
+        F.sum("nll_e4").cast("long").alias("__s"),
+    )
+    all_parts = spark.createDataFrame(
+        [("empty",), ("head",), ("middle",), ("tail",)], "part string"
+    )
+    return (
+        all_parts.join(counts, "part", "left")
+        .select(
+            "part",
+            F.coalesce("__n", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("__nb", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("__s", F.lit(0)).cast("long").alias("nll_e4_sum"),
+        )
+        .orderBy("part")
+    )
+
+
 _TOKEN_BUDGET = 1_000_000
 
 _TOKEN_BUDGET_ORACLE = f"""

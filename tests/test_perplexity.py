@@ -160,3 +160,93 @@ def test_perplexity_plan_shape(spark):
     plan = executed_plan(df)
     assert not uses_python_udf(plan)
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney scorer (functions/kneser_ney.py, r12)
+# ---------------------------------------------------------------------------
+
+
+def _kn_python_replica(raw: dict, target: dict) -> dict:
+    """Pure-Python interpolated-KN bigram NLL in 1e-4-nat integers,
+    mirroring kneser_ney.kn_doc_scores' documented formula."""
+    def bigrams(text):
+        t = [w for w in text.split(" ") if w]
+        return list(zip(t, t[1:]))
+
+    from collections import Counter
+
+    tbg = Counter()
+    for txt in target.values():
+        tbg.update(bigrams(txt))
+    c_l, n1_fwd, n1_back = Counter(), Counter(), Counter()
+    for (l, r), c in tbg.items():
+        c_l[l] += c
+        n1_fwd[l] += 1
+        n1_back[r] += 1
+    T = len(tbg)
+    V = len({r for (_, r) in tbg})
+    out = {}
+    for did, txt in raw.items():
+        bgs = bigrams(txt)
+        if not bgs:
+            out[did] = (0, None)
+            continue
+        nll = 0
+        for (l, r), cnt in Counter(bgs).items():
+            pc = (n1_back.get(r, 0) + 1.0) / (T + V)
+            if c_l.get(l, 0) > 0:
+                p = (
+                    max(tbg.get((l, r), 0) - 0.75, 0.0)
+                    + 0.75 * n1_fwd.get(l, 0) * pc
+                ) / c_l[l]
+            else:
+                p = pc
+            nll -= cnt * math.floor(math.log(p) * 10000.0)
+        out[did] = (len(bgs), nll)
+    return out
+
+
+def test_kn_doc_scores_match_python_replica(spark):
+    from automated_etl_pipeline_spark.functions.kneser_ney import kn_doc_scores
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_e4"])
+        for r in kn_doc_scores(_df(spark, RAW), _df(spark, TARGET)).collect()
+    }
+    assert got == _kn_python_replica(RAW, TARGET)
+
+
+def test_kn_partition_cuts_and_empty(spark):
+    from automated_etl_pipeline_spark.functions.kneser_ney import kn_partition
+
+    rows = kn_partition(_df(spark, RAW), _df(spark, TARGET)).collect()
+    parts = {r["doc_id"]: r["part"] for r in rows}
+    # 5 scored docs: head=ceil(5*.25)=2, middle=ceil(5*.75)-2=2, tail=1
+    from collections import Counter
+
+    sizes = Counter(parts.values())
+    assert sizes == {"head": 2, "middle": 2, "tail": 1, "empty": 2}
+    assert parts[4] == "empty" and parts[5] == "empty"
+    # in-domain docs outrank off-domain ones under the en-ish target LM
+    assert parts[2] == "tail" or parts[3] == "tail"
+
+
+def test_kn_gate_sizes_cross_check_ccnet_gate(spark):
+    """VERDICT r11 ask #4: the KN partition and the unigram-surrogate
+    ccnet_partition_sizes gate share the pool predicate (>= 2 tokens =
+    >= 1 bigram) and the cut arithmetic, so their part SIZES must be
+    identical even though the scores (and thus the membership) differ."""
+    import automated_etl_pipeline_spark.queries_llm  # noqa: F401  (registers)
+    from automated_etl_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    kn = {
+        r["part"]: r["n_docs"]
+        for r in QUERIES["kn_perplexity_partition"](spark, sf).collect()
+    }
+    ccnet = {
+        r["part"]: r["n_docs"]
+        for r in QUERIES["ccnet_partition_sizes"](spark, sf).collect()
+    }
+    assert kn == ccnet
