@@ -4566,6 +4566,110 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted-structural oracle (the dsir_select_structural pattern): the
+# Spark side wraps each document in a deterministic HTML page —
+# comment with embedded tags, title, style and script blocks (the
+# script contains a literal "</p>" to prove non-greedy block removal),
+# entity samples including a double-encoded &amp;lt; — and runs the
+# REAL regex extractor; the oracle never extracts anything, it derives
+# the expected visible text analytically from the raw text column and
+# checksums it.  Any tag leak, entity mis-decode, greedy block eat, or
+# whitespace slip moves the md5 checksum.
+_HTML_EXTRACT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         coalesce(array_to_string(
+           list_filter(string_split(coalesce(text, ''), ' '),
+                       w -> w != ''), ' '), '') AS txt
+  FROM documents
+), exp AS (
+  SELECT doc_id,
+         'Doc ' || doc_id || ' Doc ' || doc_id
+         || CASE WHEN txt = '' THEN '' ELSE ' ' || txt END
+         || ' 5 < 6 && 7 > 4 "q''s" end footer & nav' AS extracted
+  FROM tok
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(length(extracted) AS BIGINT)) AS BIGINT)
+         AS total_chars,
+       CAST(SUM(('0x' || substr(md5(extracted), 1, 15))::BIGINT
+                % 1000000000000) % 1000000000000 AS BIGINT)
+         AS extract_checksum
+FROM exp GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("html_extract_text", _HTML_EXTRACT_ORACLE)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate text extraction (functions/html.py) — the
+    curation stage before every text gate in a web-crawl pipeline
+    (VERDICT r11 ask #5).  The testdata has no HTML column, so the
+    gate synthesizes a deterministic page around each document's text
+    (comments, title, style/script blocks with an embedded "</p>",
+    entity samples) and runs the real chained-regex extractor over it;
+    the DuckDB oracle computes the EXPECTED visible text directly from
+    the raw text — structurally independent of the extractor — and
+    hash-gates per-bucket doc counts, total extracted characters, and
+    an md5 checksum (decimal-summed mod 1e12, the line_dedup pattern).
+
+    Scale: wrapper + extraction is one projection of JVM regex/replace
+    expressions — no UDF, no shuffle before the 8-row bucket agg; on a
+    real crawl the wrapper step disappears and extract_text rides the
+    payload scan."""
+    from automated_etl_pipeline_spark.functions.html import extract_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    txt = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            lambda t: t != "",
+        ),
+        " ",
+    )
+    wrapper = F.concat(
+        F.lit('<html><!-- boilerplate <nav> --><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title><style type="text/css">p{color:red}</style>'
+            '<script>var x = 1 < 2 && "</p>";</script></head>'
+            "<body><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        txt,
+        F.lit(
+            "</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 4 &quot;q&#39;s&quot;"
+            "&nbsp;end</p><div>footer &amp; nav</div></body></html>"
+        ),
+    )
+    extracted = spread(docs).select(
+        (F.col("doc_id") % 8).cast("long").alias("bucket"),
+        extract_text(wrapper).alias("__x"),
+    )
+    return (
+        extracted.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("__x")).cast("long").alias("total_chars"),
+            (
+                F.sum(
+                    (
+                        F.conv(F.substring(F.md5("__x"), 1, 15), 16, 10).cast(
+                            "long"
+                        )
+                        % 1_000_000_000_000
+                    ).cast("decimal(38,0)")
+                )
+                % F.lit(1_000_000_000_000).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("extract_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Full KN pipeline recomputed in SQL: same tokenization, same LM
 # statistics, and — critically — the SAME arithmetic expression tree
 # for every probability (IEEE add/mul/div round identically, so the
