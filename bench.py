@@ -300,13 +300,16 @@ def main() -> None:
     if COLD:
         out["mode"] = "cold"
 
-    # Self-adjudication (VERDICT r6 ask #2): any query whose in-sweep
-    # wall reads ≥2× its newest BASELINE_BENCH anchor is re-run
-    # standalone (fresh session, n=3) and BOTH numbers recorded, so a
-    # host-contention reading refutes itself inside the bench record
-    # instead of consuming a judge cycle. Advisory only — the sweep
-    # timings above stay untouched. Capped at 8 re-runs (ratio-desc) so
-    # a globally-contended sweep can't double the bench wall time.
+    # Self-adjudication (VERDICT r6 ask #2, widened r12 per VERDICT r11
+    # ask #6): any query whose in-sweep wall reads ≥1.9× its newest
+    # BASELINE_BENCH anchor is re-run standalone (fresh session, n=3)
+    # and BOTH numbers recorded, so a host-contention reading refutes
+    # itself inside the bench record instead of consuming a judge
+    # cycle. Advisory only — the sweep timings above stay untouched.
+    # EVERY flagged query gets a record: worst-first within the wall
+    # budget, the rest explicitly marked skipped — never silently
+    # dropped (r11's percentile_price sat at exactly 2.00× and fell
+    # outside the old top-8 slice, leaving a hole in the record).
     # SPARK_GRAFT_BENCH_NO_ADJ=1 disables (harness tests, quick loops).
     # In chunked mode this parent process has never run a query, so the
     # adjudication contexts are built in an idle JVM — the same
@@ -324,10 +327,10 @@ def main() -> None:
             (
                 (t / anchors[q], q)
                 for q, t in timings.items()
-                if q in anchors and t >= 2.0 * anchors[q] and t >= 0.2
+                if q in anchors and t >= 1.9 * anchors[q] and t >= 0.2
             ),
             reverse=True,
-        )[:8]
+        )
         if flagged:
             # hard wall budget: the driver's bench slot is finite — an
             # adjudication pass that can't finish in time records what
