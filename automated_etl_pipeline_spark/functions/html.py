@@ -68,6 +68,12 @@ def extract_text(html: Column) -> Column:
         # closer tolerates attribute junk (</script aria>) the way
         # browsers do; \b keeps </scripty> from closing a script
         out = F.regexp_replace(out, rf"(?is)<{el}\b.*?</{el}\b[^>]*>", " ")
+        # UNCLOSED block (truncated crawl payload): drop opener to end
+        # of string, or the whole script/style source would leak into
+        # the extracted text through the generic tag strip below
+        # (r12 review — the documented degradation is whitespace,
+        # never leaked source)
+        out = F.regexp_replace(out, rf"(?is)<{el}\b[^>]*>.*$", " ")
     out = F.regexp_replace(out, r"<[^>]*>", " ")
     for ent, rep in ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))

@@ -2743,13 +2743,44 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE copy of the brute-force k-gram match-length derivation,
+# shared by the three suffix-family oracles (curation e2e below,
+# _SUFFIX_STATS_ORACLE, _SUFFIX_SPANS_ORACLE — r12 review: three
+# drifting copies).  Expects a prior CTE ``corpus(did, t)``; emits
+# ``posn(did, t, dlen, pos, tokn)`` and ``ml(did, pos, match_len)``.
+# The digits-cross-join numbers table (LCD rule — no range()+unnest)
+# covers pos/k up to 999; gate corpora max out at dlen 99 (sf0.1),
+# and the Spark side is unbounded.
+def _kgram_coverage_ctes() -> str:
+    return """nums AS (
+  SELECT d2.n * 100 + d1.n * 10 + d0.n AS n
+  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1(n)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2(n)
+), posn AS (
+  SELECT did, t, len(t) AS dlen, n AS pos, t[n + 1] AS tokn
+  FROM corpus CROSS JOIN nums WHERE n < len(t)
+), grams AS (
+  SELECT p.did, p.pos, k.n AS k,
+         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
+  FROM posn p CROSS JOIN nums k
+  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
+), dup AS (
+  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
+), ml AS (
+  SELECT gr.did, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
+  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
+  GROUP BY gr.did, gr.pos
+)"""
+
+
 # Curation survivors -> suffix-array span removal, end to end: the d2
 # CTEs replicate curation_survivors, then the brute-force k-gram
-# coverage machinery (the _SUFFIX_SPANS_ORACLE derivation) recomputes
-# every match length over the SURVIVOR subsample and rebuilds each
-# cleaned document independently of the islands/removal pipeline.
+# coverage machinery (_kgram_coverage_ctes) recomputes every match
+# length over the SURVIVOR subsample and rebuilds each cleaned
+# document independently of the islands/removal pipeline.
 def _curation_suffix_oracle() -> str:
-    return """
+    return f"""
 WITH scored AS (
   SELECT doc_id, lang, source, n_chars, text,
          len(string_split(text, ' ')) AS n_tokens,
@@ -2783,40 +2814,23 @@ WITH scored AS (
     SELECT -(doc_id + 1) AS doc_id, lang, text
     FROM sub0 WHERE doc_id % 30 = 0
   )
-), nums AS (
-  SELECT d2n.n * 100 + d1n.n * 10 + d0n.n AS n
-  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0n(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1n(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2n(n)
-), posn AS (
-  SELECT doc_id, t, len(t) AS dlen, n AS pos, t[n + 1] AS tokn
-  FROM sub CROSS JOIN nums WHERE n < len(t)
-), grams AS (
-  SELECT p.doc_id, p.pos, k.n AS k,
-         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
-  FROM posn p CROSS JOIN nums k
-  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
-), dup AS (
-  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
-), ml AS (
-  SELECT gr.doc_id, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
-  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
-  GROUP BY gr.doc_id, gr.pos
-), covered AS (
-  SELECT p.doc_id, p.pos, p.tokn,
+), corpus AS (
+  SELECT doc_id AS did, t FROM sub
+), {_kgram_coverage_ctes()}, covered AS (
+  SELECT p.did, p.pos, p.tokn,
          CASE WHEN EXISTS (
            SELECT 1 FROM ml q
-           WHERE q.doc_id = p.doc_id AND q.match_len >= 5
+           WHERE q.did = p.did AND q.match_len >= 5
              AND q.pos <= p.pos AND q.pos + q.match_len - 1 >= p.pos
          ) THEN 1 ELSE 0 END AS cut
   FROM posn p
 ), rebuilt AS (
-  SELECT doc_id,
+  SELECT did,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
          CAST(SUM(cut) AS BIGINT) AS n_removed,
          coalesce(string_agg(CASE WHEN cut = 0 THEN tokn END,
                              ' ' ORDER BY pos), '') AS text_clean
-  FROM covered GROUP BY doc_id
+  FROM covered GROUP BY did
 )
 SELECT s.lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2826,7 +2840,7 @@ SELECT s.lang,
        CAST(SUM(('0x' || substr(md5(r.text_clean), 1, 15))::BIGINT
                 % 1000000000000) % 1000000000000 AS BIGINT)
          AS clean_checksum
-FROM sub s JOIN rebuilt r ON s.doc_id = r.doc_id
+FROM sub s JOIN rebuilt r ON s.doc_id = r.did
 GROUP BY s.lang ORDER BY s.lang
 """
 
@@ -4064,23 +4078,17 @@ def bpe_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Brute-force independent derivation of per-position match lengths:
-# match_len(pos) counts the k >= 1 whose k-gram starting at pos occurs
-# at >= 2 positions anywhere in the corpus (a duplicated k-gram's
-# (k-1)-prefix is itself duplicated, so the qualifying k form the
-# contiguous range 1..match_len — the count IS the max).  Enumerating
-# every k-gram is O(sum dlen^2) strings: ~48k at the gate's sf0.01
-# corpus, ~900k at sf0.1 — nothing like the suffix array's machinery,
-# which is the point of an oracle.  The digits-cross-join numbers
-# table (LCD rule — no range()+unnest) covers pos/k up to 999; gate
-# corpora max out at dlen 99 (sf0.1), and the Spark side is unbounded.
-_SUFFIX_STATS_ORACLE = """
-WITH nums AS (
-  SELECT d2.n * 100 + d1.n * 10 + d0.n AS n
-  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2(n)
-), base AS (
+# The brute-force k-gram coverage derivation lives in
+# _kgram_coverage_ctes() (defined above the curation e2e gate, its
+# first module-level use): match_len(pos) counts the k >= 1 whose
+# k-gram starting at pos occurs at >= 2 positions anywhere in the
+# corpus (a duplicated k-gram's (k-1)-prefix is itself duplicated, so
+# the qualifying k form the contiguous range 1..match_len — the count
+# IS the max).  Enumerating every k-gram is O(sum dlen^2) strings:
+# ~48k at the gate's sf0.01 corpus, ~900k at sf0.1 — nothing like the
+# suffix array's machinery, which is the point of an oracle.
+_SUFFIX_STATS_ORACLE = f"""
+WITH base AS (
   SELECT doc_id,
          list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS t
   FROM documents WHERE doc_id % 20 = 0
@@ -4088,21 +4096,7 @@ WITH nums AS (
   SELECT doc_id AS did, t FROM base
   UNION ALL
   SELECT -(doc_id + 1) AS did, t FROM base WHERE doc_id % 100 = 0
-), posn AS (
-  SELECT did, t, len(t) AS dlen, n AS pos
-  FROM corpus CROSS JOIN nums WHERE n < len(t)
-), grams AS (
-  SELECT p.did, p.pos, k.n AS k,
-         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
-  FROM posn p CROSS JOIN nums k
-  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
-), dup AS (
-  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
-), ml AS (
-  SELECT gr.did, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
-  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
-  GROUP BY gr.did, gr.pos
-), fullpos AS (
+), {_kgram_coverage_ctes()}, fullpos AS (
   SELECT p.did, p.pos, p.dlen,
          coalesce(m.match_len, 0) AS match_len,
          CASE WHEN p.did < 0 THEN -p.did - 1 ELSE p.did END AS base_id
@@ -4459,7 +4453,7 @@ SELECT bucket,
        CAST(SUM(pos_label) AS BIGINT) AS n_pos_label,
        CAST(SUM(CASE WHEN n_tok > 0 AND zs >= 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_kept,
-       CAST(SUM(zs) AS BIGINT) AS z_sum_e6
+       CAST(SUM(zs) % 1000000000000000 AS BIGINT) AS z_sum_e6
 FROM z GROUP BY 1 ORDER BY 1
 """
 
@@ -4481,8 +4475,8 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scoring is one map-side projection — no model object, no
     UDF, no shuffle before the 4-row bucket agg; exactly how a frozen
     quality classifier scores a 100 TB pool.  z_scaled stays int64 for
-    docs up to ~10^6 tokens; per-bucket z_sum_e6 is bounded by
-    n_docs * that (document the ceiling, not a silent wrap)."""
+    docs up to ~10^6 tokens; z_sum_e6 is an exact decimal(38,0)/
+    HUGEINT sum re-reduced mod 1e15, wrap-proof at any bucket size."""
     from automated_etl_pipeline_spark.ml.quality_filter import (
         pinned_logit_columns,
         raw_text_counts,
@@ -4510,7 +4504,18 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("__keep"), 1).otherwise(0))
             .cast("long")
             .alias("n_kept"),
-            F.sum("__z").cast("long").alias("z_sum_e6"),
+            # exact decimal sum re-reduced mod 1e15: per-doc z is
+            # quadratic in n_tok, so a bare long sum wraps silently on
+            # huge buckets while the oracle's HUGEINT doesn't (the r11
+            # line_dedup_rebuild ADVICE class; r12 review).  Both
+            # engines use dividend-sign truncated %, so negative sums
+            # agree.
+            (
+                F.sum(F.col("__z").cast("decimal(38,0)"))
+                % F.lit(1_000_000_000_000_000).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("z_sum_e6"),
         )
         .orderBy("bucket")
     )
@@ -4525,13 +4530,8 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count == merged span total is an identity of coverage), so the
 # oracle pins it as a literal while deriving planted_fully_removed
 # and bound_ok from its own coverage.
-_SUFFIX_SPANS_ORACLE = """
-WITH nums AS (
-  SELECT d2.n * 100 + d1.n * 10 + d0.n AS n
-  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d0(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d1(n)
-  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) d2(n)
-), base AS (
+_SUFFIX_SPANS_ORACLE = f"""
+WITH base AS (
   SELECT doc_id,
          list_filter(string_split(coalesce(text, ''), ' '), w -> w != '') AS t
   FROM documents WHERE doc_id % 20 = 0
@@ -4539,21 +4539,7 @@ WITH nums AS (
   SELECT doc_id AS did, t FROM base
   UNION ALL
   SELECT -(doc_id + 1) AS did, t FROM base WHERE doc_id % 100 = 0
-), posn AS (
-  SELECT did, t, len(t) AS dlen, n AS pos
-  FROM corpus CROSS JOIN nums WHERE n < len(t)
-), grams AS (
-  SELECT p.did, p.pos, k.n AS k,
-         array_to_string(p.t[p.pos + 1 : p.pos + k.n], ' ') AS g
-  FROM posn p CROSS JOIN nums k
-  WHERE k.n >= 1 AND k.n <= p.dlen - p.pos
-), dup AS (
-  SELECT k, g FROM grams GROUP BY k, g HAVING COUNT(*) >= 2
-), ml AS (
-  SELECT gr.did, gr.pos, CAST(COUNT(*) AS BIGINT) AS match_len
-  FROM grams gr JOIN dup ON gr.k = dup.k AND gr.g = dup.g
-  GROUP BY gr.did, gr.pos
-), covered AS (
+), {_kgram_coverage_ctes()}, covered AS (
   SELECT p.did, p.pos,
          CASE WHEN EXISTS (
            SELECT 1 FROM ml q
@@ -4734,7 +4720,8 @@ _HTML_EXTRACT_ORACLE = """
 WITH tok AS (
   SELECT doc_id,
          coalesce(array_to_string(
-           list_filter(string_split(coalesce(text, ''), ' '),
+           list_filter(string_split(
+             regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'), ' '),
                        w -> w != ''), ' '), '') AS txt
   FROM documents
 ), exp AS (
@@ -4775,12 +4762,31 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.functions.html import extract_text
 
     (docs,) = _t(spark, sf_dir, "documents")
+    # same whitespace pre-normalization as the oracle's txt, so tabs/
+    # newlines inside tokens cannot diverge the two sides (r12 review)
     txt = F.array_join(
         F.filter(
-            F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+            F.split(
+                F.regexp_replace(
+                    F.coalesce(F.col("text"), F.lit("")), r"\s+", " "
+                ),
+                " ",
+            ),
             lambda t: t != "",
         ),
         " ",
+    )
+    # HTML-escape the embedded text (& first) — the extractor decodes
+    # it back, so the oracle's expected text stays the RAW text even
+    # if future testdata carries <, >, & or entity literals
+    esc = F.replace(
+        F.replace(
+            F.replace(txt, F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
     )
     wrapper = F.concat(
         F.lit('<html><!-- boilerplate <nav> --><head><title>Doc '),
@@ -4792,7 +4798,7 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
-        txt,
+        esc,
         F.lit(
             "</p><p>5 &lt; 6 &amp;&amp; 7 &gt; 4 &quot;q&#39;s&quot;"
             "&nbsp;end</p><div>footer &amp; nav</div></body></html>"
@@ -4899,7 +4905,7 @@ WITH tok AS (
 ), agg AS (
   SELECT part, CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
-         CAST(SUM(nll_e4) AS BIGINT) AS nll_e4_sum
+         CAST(SUM(nll_e4) % 1000000000000000 AS BIGINT) AS nll_e4_sum
   FROM parted GROUP BY 1
 )
 SELECT a.part,
@@ -4939,7 +4945,15 @@ def kn_perplexity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = parts.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
         F.sum("n_bigrams").cast("long").alias("__nb"),
-        F.sum("nll_e4").cast("long").alias("__s"),
+        # exact decimal sum mod 1e15 — wrap-proof at any part size
+        # (the z_sum_e6 note; all-NULL 'empty' sums stay NULL and
+        # coalesce to 0 at the anchor join)
+        (
+            F.sum(F.col("nll_e4").cast("decimal(38,0)"))
+            % F.lit(1_000_000_000_000_000).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("__s"),
     )
     all_parts = spark.createDataFrame(
         [("empty",), ("head",), ("middle",), ("tail",)], "part string"

@@ -46,6 +46,10 @@ def test_edge_cases(spark):
         "&lt;b&gt;not a tag&lt;/b&gt;",
         # whitespace collapse across newlines and tabs
         "<div>\n  a\t\tb\n</div>\n<p> c </p>",
+        # UNCLOSED script (truncated crawl payload): source must not
+        # leak into text — opener-to-EOF fallback (r12 review)
+        '<p>intro</p><script>var k = "secret"; track()',
+        "<style>p{x:1}",
     ])
     assert got[0] == ""
     assert got[1] == ""
@@ -60,6 +64,8 @@ def test_edge_cases(spark):
     assert got[8] == '5 < 6 && &lt;literal&gt; "q\'s" !'
     assert got[9] == "<b>not a tag</b>"
     assert got[10] == "a b c"
+    assert got[11] == "intro"
+    assert got[12] == ""
 
 
 _TAGS = ["div", "p", "span", "b", "em", "section", "li"]

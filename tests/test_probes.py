@@ -19,21 +19,18 @@ import pytest
 import automated_etl_pipeline_spark.queries_ext  # noqa: F401  (registers)
 import automated_etl_pipeline_spark.queries_llm  # noqa: F401  (registers)
 from automated_etl_pipeline_spark.queries import PROBE_ORACLES, PROBES
-from tools.check_correctness import TABLES, normalize
+from tools.check_correctness import fetch_oracle, normalize, register_views
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
 def _oracle_rows(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
+    # same view setup + fetch protocol as the real t2 gate replica —
+    # shared code, not a reimplementation (r12 review)
     con = duckdb.connect()
     try:
-        for t in TABLES:
-            p = f"{sf_dir}/{t}.parquet"
-            if Path(p).exists():
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        tbl = con.execute(sql).fetch_arrow_table()
-        cols = sorted(tbl.column_names)
-        return cols, [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
+        register_views(con, sf_dir)
+        return fetch_oracle(con, sql)
     finally:
         con.close()
 
@@ -61,11 +58,14 @@ def test_probe_matches_oracle(spark, name):
 
 
 def test_one_probe_at_gate_scale(spark):
-    # one member at the driver's sf0.01 gate scale per run (md5 of the
-    # probe list picks it deterministically — no salted hash()); all 16
-    # at sf0.01 every run would be pure re-proof of a solved problem
-    import hashlib
-
+    # one member at the driver's sf0.01 gate scale per run; all 16 at
+    # sf0.01 every run would be pure re-proof of a solved problem.
+    # The member ROTATES with the round: the driver appends one
+    # CORRECTNESS_r*.json per round, so the index advances every round
+    # and cycles the full set in 16 rounds (r12 review: an md5 of the
+    # constant name list picked the same member forever).
     names = sorted(PROBES)
-    idx = int(hashlib.md5(",".join(names).encode()).hexdigest(), 16) % len(names)
-    _check(spark, names[idx], "/root/testdata/sf0.01")
+    rounds = len(list(Path(__file__).resolve().parents[1].glob(
+        "CORRECTNESS_r*.json"
+    )))
+    _check(spark, names[rounds % len(names)], "/root/testdata/sf0.01")

@@ -67,6 +67,28 @@ def normalize(rows: list[tuple], ndigits: int = 9) -> list[tuple]:
     return sorted(out)
 
 
+def register_views(con, sf_dir: str) -> None:
+    """Register every existing testdata parquet as a DuckDB view —
+    the driver's t2 table setup, shared with tests/test_probes.py so
+    the probe tests cannot drift from the real comparison protocol."""
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+
+def fetch_oracle(con, sql: str) -> tuple[list[str], list[tuple]]:
+    """(sorted_cols, rows-as-tuples-in-sorted-col-order) for an oracle
+    query.  Arrow to_pylist preserves SQL NULL (None) vs float NaN —
+    pandas would fold NULL floats into NaN, which forced the old
+    NaN->None remap and silently passed Spark-NULL vs oracle-NaN
+    divergences.  normalize() treats NaN identically on both sides, so
+    NaN==NaN passes and NULL-vs-NaN fails loudly."""
+    odf = con.execute(sql).fetch_arrow_table()
+    cols = sorted(odf.column_names)
+    return cols, [tuple(d[c] for c in cols) for d in odf.to_pylist()]
+
+
 def main() -> int:
     args = sys.argv[1:]
     json_out = None
@@ -102,10 +124,7 @@ def main() -> int:
 
         spark = get_spark("check_correctness")
     con = duckdb.connect()
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if Path(p).exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    register_views(con, sf_dir)
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
@@ -137,16 +156,7 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            odf = con.execute(oracles[name]).fetch_arrow_table()
-            oracle_cols = sorted(odf.column_names)
-            # Arrow to_pylist preserves SQL NULL (None) vs float NaN —
-            # pandas would fold NULL floats into NaN, which forced the old
-            # NaN->None remap and silently passed Spark-NULL vs oracle-NaN
-            # divergences.  normalize() now treats NaN identically on both
-            # sides, so NaN==NaN passes and NULL-vs-NaN fails loudly.
-            oracle_rows = [
-                tuple(d[c] for c in oracle_cols) for d in odf.to_pylist()
-            ]
+            oracle_cols, oracle_rows = fetch_oracle(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             rec["err"] = f"oracle error: {type(e).__name__}: {e}"[:300]
