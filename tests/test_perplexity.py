@@ -250,3 +250,35 @@ def test_kn_gate_sizes_cross_check_ccnet_gate(spark):
         for r in QUERIES["ccnet_partition_sizes"](spark, sf).collect()
     }
     assert kn == ccnet
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_kn_words = st.sampled_from(["the", "cat", "sat", "a", "flux", "q"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    raw_texts=st.lists(
+        st.lists(_kn_words, min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    tgt_texts=st.lists(
+        st.lists(_kn_words, min_size=2, max_size=8).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_kn_scores_property_random_corpora(spark, raw_texts, tgt_texts):
+    """Random raw/target corpora: the distributed scorer must equal the
+    pure-Python replica exactly (integer 1e-4-nat space) — including
+    out-of-target tokens, unseen left contexts, and bigram-free docs."""
+    from automated_etl_pipeline_spark.functions.kneser_ney import kn_doc_scores
+
+    raw = dict(enumerate(raw_texts))
+    tgt = {100 + i: t for i, t in enumerate(tgt_texts)}
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_e4"])
+        for r in kn_doc_scores(_df(spark, raw), _df(spark, tgt)).collect()
+    }
+    assert got == _kn_python_replica(raw, tgt)
