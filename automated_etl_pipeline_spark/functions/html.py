@@ -77,5 +77,9 @@ def extract_text(html: Column) -> Column:
     out = F.regexp_replace(out, r"<[^>]*>", " ")
     for ent, rep in ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = F.regexp_replace(out, r"\s+", " ")
+    # explicit ASCII-whitespace class, NOT \s: Java \s includes
+    # vertical tab (\x0B) but RE2 \s does not — the one divergence in
+    # an otherwise-shared subset (r12 review); this class is identical
+    # in both and spells out exactly Java's \s
+    out = F.regexp_replace(out, r"[ \t\n\x0B\f\r]+", " ")
     return F.trim(out)

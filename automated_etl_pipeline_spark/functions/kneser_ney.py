@@ -114,9 +114,17 @@ def kn_doc_scores(
         .join(cont, "r", "left")
         .crossJoin(F.broadcast(scal))
     )
-    # EXPRESSION TREE MIRRORED IN _kn_partition_oracle_sql — edit both.
-    pc = (F.coalesce("n1_back", F.lit(0)) + F.lit(1.0)) / (
-        F.col("__T") + F.col("__V")
+    # EXPRESSION TREE MIRRORED IN queries_llm._KN_PARTITION_ORACLE —
+    # edit both (the doubles must stay bitwise-identical).
+    # Zero-guard (r11 rule, both sides): an EMPTY target LM (no target
+    # doc with >= 2 tokens) has T + V = 0 — Spark ANSI would raise
+    # DIVIDE_BY_ZERO where DuckDB yields NULL; the explicit guard makes
+    # every probability NULL on both engines, routing all docs to the
+    # 'empty' part instead of crashing (pinned in
+    # tests/test_perplexity.py::test_kn_empty_target_routes_all_empty).
+    tv = F.col("__T") + F.col("__V")
+    pc = F.when(
+        tv > 0, (F.coalesce("n1_back", F.lit(0)) + F.lit(1.0)) / tv
     )
     seen_l = F.coalesce("c_l", F.lit(0)) > 0
     p = F.when(

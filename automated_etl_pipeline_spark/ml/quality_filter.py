@@ -63,12 +63,18 @@ PINNED_TAU_LOGIT_E6 = -200671
 
 
 def raw_text_counts(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_tok, n_chars, n_distinct): the INTEGER counts behind
-    text_feature_frame's ratios — the exact-arithmetic surface for
-    pinned-coefficient scoring (ratios reconstruct as n_distinct/n_tok
-    and n_chars/n_tok)."""
+    """(doc_id, n_tok, n_chars, n_distinct, *extra_cols): the INTEGER
+    counts behind text_feature_frame's ratios — the exact-arithmetic
+    surface for pinned-coefficient scoring (ratios reconstruct as
+    n_distinct/n_tok and n_chars/n_tok).  ``extra_cols`` pass through
+    from the same scan so callers needing a label column never
+    self-join the corpus to get it back (one projection, no
+    shuffle)."""
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
     )
@@ -79,6 +85,7 @@ def raw_text_counts(
             "n_chars"
         ),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        *[F.col(c) for c in extra_cols],
     )
 
 

@@ -2749,7 +2749,8 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drifting copies).  Expects a prior CTE ``corpus(did, t)``; emits
 # ``posn(did, t, dlen, pos, tokn)`` and ``ml(did, pos, match_len)``.
 # The digits-cross-join numbers table (LCD rule — no range()+unnest)
-# covers pos/k up to 999; gate corpora max out at dlen 99 (sf0.1),
+# covers pos/k up to 999; gate corpora max out at dlen 100 (measured:
+# max filtered-token count is 100 at sf0.1, 99 at sf0.01/sf0.001),
 # and the Spark side is unbounded.
 def _kgram_coverage_ctes() -> str:
     return """nums AS (
@@ -4484,15 +4485,12 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     z, keep = pinned_logit_columns()
-    scored = raw_text_counts(docs).join(
-        docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            (F.col("lang") == "en").cast("long").alias("__pos"),
-        ),
-        "doc_id",
-    ).select(
+    # label passes through the SAME scan (extra_cols) — a doc_id
+    # self-join to fetch lang back would shuffle two corpus-sized
+    # frames and contradict the map-side claim below (r12 review)
+    scored = raw_text_counts(docs, extra_cols=("lang",)).select(
         (F.col("doc_id") % 4).cast("long").alias("bucket"),
-        "__pos",
+        (F.col("lang") == "en").cast("long").alias("__pos"),
         z.alias("__z"),
         keep.alias("__keep"),
     )
@@ -4721,7 +4719,8 @@ WITH tok AS (
   SELECT doc_id,
          coalesce(array_to_string(
            list_filter(string_split(
-             regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'), ' '),
+             regexp_replace(coalesce(text, ''),
+                            '[ \t\n\x0B\f\r]+', ' ', 'g'), ' '),
                        w -> w != ''), ' '), '') AS txt
   FROM documents
 ), exp AS (
@@ -4768,7 +4767,11 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(
             F.split(
                 F.regexp_replace(
-                    F.coalesce(F.col("text"), F.lit("")), r"\s+", " "
+                    F.coalesce(F.col("text"), F.lit("")),
+                    # explicit ASCII class == Java \s; RE2 \s lacks
+                    # \x0B (r12 review) — mirrors the oracle's pattern
+                    r"[ \t\n\x0B\f\r]+",
+                    " ",
                 ),
                 " ",
             ),
@@ -4867,13 +4870,20 @@ WITH tok AS (
          CAST(COUNT(DISTINCT r) AS BIGINT) AS vv
   FROM tbg
 ), scored AS (
+  -- zero-guard mirrors kneser_ney.py: empty target LM (tt + vv = 0)
+  -- NULLs every p explicitly on both engines (Spark ANSI would raise
+  -- DIVIDE_BY_ZERO; some DuckDB builds too) -> all docs 'empty'
   SELECT d.doc_id, d.cnt,
          CASE WHEN coalesce(lt.c_l, 0) > 0
            THEN (greatest(coalesce(b.c_lr, 0) - 0.75, 0.0)
                  + 0.75 * coalesce(lt.n1_fwd, 0)
-                   * ((coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)))
+                   * (CASE WHEN (s.tt + s.vv) > 0
+                      THEN (coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)
+                      ELSE NULL END))
                 / lt.c_l
-           ELSE (coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)
+           ELSE CASE WHEN (s.tt + s.vv) > 0
+                THEN (coalesce(ct.n1_back, 0) + 1.0) / (s.tt + s.vv)
+                ELSE NULL END
          END AS p
   FROM dbg d
   LEFT JOIN tbg b ON d.l = b.l AND d.r = b.r
@@ -4886,18 +4896,26 @@ WITH tok AS (
               AS BIGINT) AS nll_e4
   FROM scored GROUP BY 1
 ), pool AS (
+  -- NULL-scored docs (possible only when the target LM is empty:
+  -- T+V = 0 NULLs every p on BOTH engines) rank nowhere — Spark's
+  -- kn_partition routes them to 'empty', so the oracle must too
+  -- (r12 review)
   SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_doc
+  WHERE nll_e4 IS NOT NULL
 ), ranked AS (
   SELECT p.n_bigrams, p.nll_e4,
          ROW_NUMBER() OVER (ORDER BY p.nll_e4 / p.n_bigrams, p.doc_id)
            - 1 AS rk
-  FROM per_doc p
+  FROM per_doc p WHERE p.nll_e4 IS NOT NULL
 ), parted AS (
   SELECT r.n_bigrams, r.nll_e4,
          CASE WHEN r.rk < ceil(n.n * 0.25) THEN 'head'
               WHEN r.rk < ceil(n.n * 0.75) THEN 'middle'
               ELSE 'tail' END AS part
   FROM ranked r CROSS JOIN pool n
+  UNION ALL
+  SELECT p.n_bigrams, CAST(NULL AS BIGINT), 'empty'
+  FROM per_doc p WHERE p.nll_e4 IS NULL
   UNION ALL
   SELECT CAST(0 AS BIGINT), CAST(NULL AS BIGINT), 'empty'
   FROM tok t LEFT JOIN per_doc p ON t.doc_id = p.doc_id

@@ -192,6 +192,11 @@ def _kn_python_replica(raw: dict, target: dict) -> dict:
         if not bgs:
             out[did] = (0, None)
             continue
+        if T + V == 0:
+            # empty target LM: every probability is NULL (the
+            # zero-guard), so the doc is unscoreable
+            out[did] = (len(bgs), None)
+            continue
         nll = 0
         for (l, r), cnt in Counter(bgs).items():
             pc = (n1_back.get(r, 0) + 1.0) / (T + V)
@@ -265,7 +270,9 @@ _kn_words = st.sampled_from(["the", "cat", "sat", "a", "flux", "q"])
         min_size=1, max_size=5,
     ),
     tgt_texts=st.lists(
-        st.lists(_kn_words, min_size=2, max_size=8).map(" ".join),
+        # min_size 0: single-token and empty target docs — and thereby
+        # whole-LM-empty corpora — are in scope (the zero-guard path)
+        st.lists(_kn_words, min_size=0, max_size=8).map(" ".join),
         min_size=1, max_size=4,
     ),
 )
@@ -282,3 +289,70 @@ def test_kn_scores_property_random_corpora(spark, raw_texts, tgt_texts):
         for r in kn_doc_scores(_df(spark, raw), _df(spark, tgt)).collect()
     }
     assert got == _kn_python_replica(raw, tgt)
+
+
+def test_kn_empty_target_routes_all_empty(spark):
+    """Empty target LM (no target doc with >= 2 tokens): T + V = 0
+    NULLs every probability via the explicit zero-guard — Spark ANSI
+    would otherwise raise DIVIDE_BY_ZERO mid-gate — and every raw doc
+    lands in the 'empty' part with its real bigram count (r12
+    review)."""
+    from automated_etl_pipeline_spark.functions.kneser_ney import (
+        kn_doc_scores,
+        kn_partition,
+    )
+
+    raw = {0: "a b c", 1: "x", 2: ""}
+    tgt = {9: "solo"}  # one token -> zero bigrams -> empty LM
+    scores = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_e4"])
+        for r in kn_doc_scores(_df(spark, raw), _df(spark, tgt)).collect()
+    }
+    assert scores == {0: (2, None), 1: (0, None), 2: (0, None)}
+    assert scores == _kn_python_replica(raw, tgt)
+    parts = {
+        r["doc_id"]: r["part"]
+        for r in kn_partition(_df(spark, raw), _df(spark, tgt)).collect()
+    }
+    assert parts == {0: "empty", 1: "empty", 2: "empty"}
+
+
+def test_kn_oracle_empty_target_matches_gate(spark, tmp_path):
+    """Gate-level degenerate check: a corpus with NO usable en-target
+    bigrams must produce IDENTICAL rows from the Spark gate and the
+    DuckDB oracle (everything in 'empty', head/middle/tail at zero)."""
+    import duckdb
+
+    import automated_etl_pipeline_spark.queries_llm as qllm
+    from automated_etl_pipeline_spark.queries import ORACLES, QUERIES
+    from tools.check_correctness import fetch_oracle, normalize
+
+    rows = [
+        (0, "a b c d", "de", "web", 7),
+        (1, "c d e", "fr", "web", 5),
+        (2, "hi", "en", "web", 2),  # en but only one token: no bigrams
+        (3, None, "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    sdf = QUERIES["kn_perplexity_partition"](spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        oracle_cols, oracle_rows = fetch_oracle(
+            con, ORACLES["kn_perplexity_partition"]
+        )
+    finally:
+        con.close()
+    assert spark_cols == oracle_cols
+    assert normalize(spark_rows) == normalize(oracle_rows)
+    parts = {r["part"]: r["n_docs"] for r in sdf.collect()}
+    assert parts == {"empty": 4, "head": 0, "middle": 0, "tail": 0}
