@@ -5451,3 +5451,347 @@ def ks_probe_num(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cna") * F.col("nb") - F.col("cnb") * F.col("na")
     )
     return cum.agg(F.max(diff).cast("bigint").alias("ks_num"))
+
+
+# ----------------------------------------------------------------------
+# r12 additions: interval concurrency sweep, one-pass column profiler,
+# compaction bin-packing planner.
+# ----------------------------------------------------------------------
+
+_INTERVAL_CONCURRENCY_ORACLE = """
+WITH iv AS (
+  SELECT event_type, event_id, ts AS s,
+         ts + (300 + event_id % 900) * INTERVAL 1 SECOND AS e
+  FROM events
+), pts AS (
+  SELECT event_type, s AS t, 1 AS delta, event_id FROM iv
+  UNION ALL
+  SELECT event_type, e AS t, -1 AS delta, event_id FROM iv
+), run AS (
+  SELECT event_type, t,
+         SUM(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM pts
+), mx AS (
+  SELECT event_type, t, c,
+         MAX(c) OVER (PARTITION BY event_type) AS m
+  FROM run
+)
+SELECT event_type,
+       CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(c) AS BIGINT) AS max_concurrency,
+       MIN(CASE WHEN c = m THEN t END) AS peak_at
+FROM mx GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("interval_max_concurrency", _INTERVAL_CONCURRENCY_ORACLE)
+def interval_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval max-concurrency (the classic +1/-1 sweep): each event
+    spawns a half-open interval [ts, ts + 300 + event_id%900 s); the
+    gate reports, per event_type, how many intervals ever overlap at
+    once and the first instant the peak is reached.  Half-open
+    semantics = an interval ending exactly when another starts does
+    NOT overlap it, enforced by sorting the -1 delta before the +1 at
+    equal timestamps.  The production question is "max concurrent
+    sessions / connections / jobs" — a capacity-planning staple.
+
+    Scale: the sweep is a per-key ordered prefix sum — one shuffle on
+    event_type, each key's timeline scanned once.  A hot key with more
+    points than a task can order gets the scd2_history_chunked
+    treatment (range-chunk the timeline, carry chunk-edge partial sums
+    forward); event-type keyspaces are small and uniform here."""
+    (events,) = _t(spark, sf_dir, "events")
+    dur = (F.lit(300) + F.col("event_id") % 900).cast("int")
+    iv = events.select(
+        "event_type",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.make_interval(secs=dur)).alias("e"),
+    )
+    pts = iv.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("c", F.sum("delta").over(w))
+    mx = run.withColumn("m", F.max("c").over(Window.partitionBy("event_type")))
+    return (
+        mx.groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_intervals"),
+            F.max("c").cast("bigint").alias("max_concurrency"),
+            F.min(F.when(F.col("c") == F.col("m"), F.col("t"))).alias("peak_at"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "BIGINT"),
+    ("o_custkey", "BIGINT"),
+    ("o_orderstatus", "VARCHAR"),
+    ("o_totalprice", "DECIMAL(18,2)"),
+    ("o_orderdate", "TIMESTAMP"),
+    ("o_orderpriority", "VARCHAR"),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN(CAST({c} AS {t})) AS VARCHAR) AS min_str,
+       CAST(MAX(CAST({c} AS {t})) AS VARCHAR) AS max_str
+FROM orders"""
+    for c, t in _PROFILE_COLS
+) + "\nORDER BY col_name"
+
+
+@query("profile_table_columns", _PROFILE_ORACLE)
+def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler: per-column row/null/exact-distinct
+    counts plus min/max rendered to strings — the first thing any data
+    catalog or ingestion QA runs on a new table.  Doubles are profiled
+    through DECIMAL(18,2) so the min/max string rendering is identical
+    cross-engine (Spark's Double.toString vs DuckDB's shortest-repr
+    would diverge); timestamps render as 'yyyy-MM-dd HH:mm:ss' in
+    both.
+
+    Scale: ONE scan — all columns' aggregates are computed in a single
+    groupBy().agg(); the multi-column exact COUNT(DISTINCT) expands to
+    one Expand + partial/final aggregate pair (Catalyst's standard
+    rewrite), shuffling only the distinct key streams, never the rows.
+    At 100 TB swap exact distinct for approx_count_distinct (HLL) per
+    the hll_distinct_rollup pattern."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    spark_t = {
+        "BIGINT": "bigint",
+        "VARCHAR": "string",
+        "DECIMAL(18,2)": "decimal(18,2)",
+        "TIMESTAMP": "timestamp",
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, t in _PROFILE_COLS:
+        cc = F.col(c).cast(spark_t[t])
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"null__{c}"),
+            F.countDistinct(F.col(c)).alias(f"dist__{c}"),
+            F.min(cc).cast("string").alias(f"min__{c}"),
+            F.max(cc).cast("string").alias(f"max__{c}"),
+        ]
+    one = orders.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n_rows").cast("bigint").alias("n_rows"),
+                        F.col(f"null__{c}").cast("bigint").alias("n_null"),
+                        F.col(f"dist__{c}").cast("bigint").alias("n_distinct"),
+                        F.col(f"min__{c}").alias("min_str"),
+                        F.col(f"max__{c}").alias("max_str"),
+                    )
+                    for c, _ in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return rows.select("p.*").orderBy("col_name")
+
+
+_COMPACTION_ORACLE = """
+WITH files AS (
+  SELECT source, lang,
+         CAST(SUM(n_chars) AS BIGINT) AS bytes
+  FROM documents GROUP BY source, lang
+), planned AS (
+  SELECT source, lang, bytes,
+         COALESCE(SUM(bytes) OVER (
+           ORDER BY bytes DESC, source, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum,
+         SUM(bytes) OVER () AS total
+  FROM files
+)
+SELECT CAST(LEAST(prev_cum * 8 // total, 7) AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS largest_file,
+       CAST(MIN(bytes) AS BIGINT) AS smallest_file
+FROM planned GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("compaction_bin_plan", _COMPACTION_ORACLE)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: treat each (source, lang) slice
+    of documents as a 'file' whose size is its total characters, sort
+    the inventory largest-first, and assign files to 8 merge bins by
+    cumulative-size split (bin = prev_cumsum * 8 / total) — the greedy
+    plan a table-maintenance job executes to rewrite a long tail of
+    small files into evenly-sized outputs.  All integer arithmetic.
+
+    Scale: the planner runs on the REDUCED file inventory (one row per
+    file after the size aggregation), which is ~millions of rows even
+    at 100 TB — the global sort window costs nothing because the
+    reduce-first step already collapsed the data; the data itself is
+    never globally ordered."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").cast("bigint").alias("bytes")
+    )
+    wo = Window.orderBy(F.desc("bytes"), "source", "lang")
+    planned = files.select(
+        "bytes",
+        F.coalesce(
+            F.sum("bytes").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("prev_cum"),
+        F.sum("bytes").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return (
+        planned.select(
+            F.least(
+                F.floor(F.col("prev_cum") * 8 / F.col("total")), F.lit(7)
+            )
+            .cast("bigint")
+            .alias("bin_id"),
+            "bytes",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+            F.max("bytes").cast("bigint").alias("largest_file"),
+            F.min("bytes").cast("bigint").alias("smallest_file"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_BLOOM_PRUNE_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT s_suppkey FROM supplier
+  WHERE s_acctbal > 4500 AND s_suppkey IS NOT NULL
+), h AS (
+  SELECT s_suppkey,
+         ('0x'||substr(md5(CAST(s_suppkey AS VARCHAR)),1,8))::BIGINT AS h1,
+         ('0x'||substr(md5(CAST(s_suppkey AS VARCHAR)),9,8))::BIGINT AS h2
+  FROM dim
+), bitset AS (
+  SELECT DISTINCT ((h1 + i * h2) % 1024) AS p
+  FROM h, (SELECT UNNEST(range(4)) AS i)
+), pk AS (
+  SELECT DISTINCT l_suppkey FROM lineitem WHERE l_suppkey IS NOT NULL
+), pkh AS (
+  SELECT l_suppkey,
+         ('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)),1,8))::BIGINT AS h1,
+         ('0x'||substr(md5(CAST(l_suppkey AS VARCHAR)),9,8))::BIGINT AS h2
+  FROM pk
+), pkpos AS (
+  SELECT l_suppkey, ((h1 + i * h2) % 1024) AS p
+  FROM pkh, (SELECT UNNEST(range(4)) AS i)
+), pkflag AS (
+  SELECT l_suppkey,
+         MIN(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS pass
+  FROM pkpos LEFT JOIN bitset b ON pkpos.p = b.p
+  GROUP BY l_suppkey
+), fact AS (
+  SELECT l.l_suppkey, l.l_extendedprice,
+         COALESCE(f.pass, 0) AS fb,
+         CASE WHEN d.s_suppkey IS NOT NULL THEN 1 ELSE 0 END AS fe
+  FROM lineitem l
+  LEFT JOIN pkflag f ON l.l_suppkey = f.l_suppkey
+  LEFT JOIN dim d ON l.l_suppkey = d.s_suppkey
+)
+SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_filter_keys,
+       CAST(COUNT(DISTINCT CASE WHEN fb = 1 THEN l_suppkey END) AS BIGINT)
+         AS bloom_pass_keys,
+       CAST(COUNT(DISTINCT CASE WHEN fe = 1 THEN l_suppkey END) AS BIGINT)
+         AS exact_pass_keys,
+       CAST(SUM(fb) AS BIGINT) AS bloom_pass_rows,
+       CAST(SUM(fe) AS BIGINT) AS exact_rows,
+       CAST(SUM(CASE WHEN fb = 1 AND fe = 1
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS pruned_verified_revenue,
+       CAST(SUM(CASE WHEN fe = 1
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS direct_revenue
+FROM fact
+"""
+
+
+@query("bloom_semi_join_prune", _BLOOM_PRUNE_ORACLE)
+def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py) — the
+    runtime-filter pattern Spark's InjectRuntimeFilter applies
+    automatically, re-expressed with portable md5 double-hashing so
+    the DuckDB oracle rebuilds the SAME m=1024/k=4 bitmap and the
+    gate hash-compares the filter's decisions: pass counts at key and
+    row granularity, measured false positives, and the proof that the
+    bloom-then-verify path loses nothing (pruned_verified_revenue ==
+    direct_revenue — a false negative would make them diverge).
+
+    Scale: the bitmap is built from the REDUCED dim keys (one tiny
+    bit_or aggregation; the driver holds 16 longs) and probed as a
+    pure column expression inside the fact scan — no join machinery
+    touches the ~(1-selectivity) of fact rows the filter drops.  At
+    sf0.1 the pinned m saturates (~50% fp) and the gate measures it;
+    production sizing is ~12 bits/key, and every bloom pass is
+    re-verified by the exact broadcast semi join on survivors."""
+    from automated_etl_pipeline_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    li, sup = _t(spark, sf_dir, "lineitem", "supplier")
+    dim = (
+        sup.filter((F.col("s_acctbal") > 4500) & F.col("s_suppkey").isNotNull())
+        .select("s_suppkey")
+        .distinct()
+    )
+    bitmap = bloom_build(dim, "s_suppkey")
+    n_keys = dim.count()
+    fact = (
+        li.withColumn(
+            "fb", bloom_might_contain(F.col("l_suppkey"), bitmap).cast("int")
+        )
+        .join(
+            F.broadcast(dim.withColumnRenamed("s_suppkey", "__dk")),
+            F.col("l_suppkey") == F.col("__dk"),
+            "left",
+        )
+        .withColumn("fe", F.col("__dk").isNotNull().cast("int"))
+    )
+    fb1, fe1 = F.col("fb") == 1, F.col("fe") == 1
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return fact.agg(
+        F.countDistinct(F.when(fb1, F.col("l_suppkey"))).alias("bloom_pass_keys"),
+        F.countDistinct(F.when(fe1, F.col("l_suppkey"))).alias("exact_pass_keys"),
+        F.sum("fb").cast("bigint").alias("bloom_pass_rows"),
+        F.sum("fe").cast("bigint").alias("exact_rows"),
+        F.sum(F.when(fb1 & fe1, price_dec))
+        .cast("double")
+        .alias("pruned_verified_revenue"),
+        F.sum(F.when(fe1, price_dec)).cast("double").alias("direct_revenue"),
+    ).withColumn("n_filter_keys", F.lit(n_keys).cast("bigint"))
