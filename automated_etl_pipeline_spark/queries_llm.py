@@ -5268,3 +5268,131 @@ def mixture_epoch_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------------------------
+# r12 additions: triangle counting (graph/triangles.py) and the
+# integer Gram-matrix reduction (similarity/gram.py).
+# ----------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+), edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY 1
+), oriented AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.u ELSE e.v END AS s,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)
+              THEN e.v ELSE e.u END AS t
+  FROM edges e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+), wedges AS (
+  SELECT a.t AS wv, b.t AS ww
+  FROM oriented a JOIN oriented b ON a.s = b.s AND a.t < b.t
+), tri AS (
+  SELECT COUNT(*) AS n FROM wedges w
+  JOIN edges e ON w.wv = e.u AND w.ww = e.v
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(d * (d - 1)) // 2 FROM deg) AS BIGINT)
+         AS n_wedges_total,
+       CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges_oriented,
+       CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+       CASE WHEN (SELECT SUM(d * (d - 1)) FROM deg) = 0 THEN 0.0
+            ELSE ROUND(3.0 * (SELECT n FROM tri)
+                       / ((SELECT SUM(d * (d - 1)) FROM deg) // 2), 6)
+       END AS clustering_coeff
+"""
+
+
+@query("triangle_count_copurchase", _TRIANGLE_ORACLE)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts co-occurring in >= 2 orders), via
+    degree-ordered wedge joins (graph/triangles.py) — each node's
+    out-degree is bounded by O(sqrt|E|) after orientation, so the
+    wedge join stays O(|E|^1.5) under ANY degree skew, and every
+    triangle is counted exactly once from its minimum-degree corner.
+
+    Scale: edge building is a within-order self-join (bounded pairs
+    per order — the market-basket posture) followed by a support
+    groupBy; the reduced edge list is materialize()d once so the
+    degree pass, orientation joins, wedge self-join, and closing join
+    all reuse it instead of re-running the O(rows) pair generation
+    four times."""
+    from automated_etl_pipeline_spark.graph.triangles import triangle_stats
+    from automated_etl_pipeline_spark.plans.materialize import materialize
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lp = (
+        li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = lp.alias("a"), lp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("supp"))
+        .filter(F.col("supp") >= 2)
+        .select("u", "v")
+    )
+    return triangle_stats(materialize(edges))
+
+
+_GRAM_ORACLE = """
+WITH q AS (
+  SELECT embedding,
+         127.0 / CAST(list_max(list_transform(embedding,
+           x -> abs(x))) AS DOUBLE) AS scale
+  FROM embeddings
+), c AS (
+  SELECT list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS codes
+  FROM q
+), cells AS (
+  SELECT i, j, codes[i + 1] * codes[j + 1] AS p
+  FROM c,
+       (SELECT UNNEST(range(64)) AS i) t1,
+       (SELECT UNNEST(range(64)) AS j) t2
+  WHERE i <= j
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(SUM(p) AS BIGINT) AS gram
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
+@query("emb_int8_gram_matrix", _GRAM_ORACLE)
+def emb_int8_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer Gram matrix G = Q^T Q over the int8-
+    quantized embeddings (similarity/gram.py) — the exact reduction
+    behind corpus-scale PCA/covariance/whitening: d x d integers from
+    n x d data, eigendecomposed driver-side, projected back as a
+    per-row expression (tests/test_gram.py runs that full PCA loop).
+    Integer products make the reduction order-independent, hence
+    hash-gateable where a float covariance could not be.
+
+    Scale: nested-transform expansion to 2,080 upper-triangle products
+    per vector, exploded and partial-aggregated MAP-SIDE — every task
+    emits at most 2,080 partial rows regardless of input size, so the
+    shuffle is O(partitions x d^2), not O(n x d^2)."""
+    from automated_etl_pipeline_spark.similarity.gram import gram_upper_triangle
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return gram_upper_triangle(spread(emb))
