@@ -5396,3 +5396,213 @@ def emb_int8_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _t(spark, sf_dir, "embeddings")
     return gram_upper_triangle(spread(emb))
+
+
+# ----------------------------------------------------------------------
+# r12 additions: count-min sketch frequency estimation and the
+# cross-source shingle-overlap matrix.
+# ----------------------------------------------------------------------
+
+_CM_SKETCH_ORACLE = """
+WITH tok AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE text IS NOT NULL
+), occ AS (
+  SELECT UNNEST(list_transform(range(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM tok WHERE len(t) >= 3
+), h AS (
+  SELECT g,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(g), 9, 8))::BIGINT AS h2
+  FROM occ
+), cells AS (
+  SELECT r, (h1 + r * h2) % 256 AS pos, COUNT(*) AS cnt
+  FROM h, (SELECT UNNEST(range(4)) AS r)
+  GROUP BY 1, 2
+), truth AS (
+  SELECT g, COUNT(*) AS true_count FROM occ
+  GROUP BY g ORDER BY true_count DESC, g LIMIT 20
+), th AS (
+  SELECT g, true_count,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT AS h1,
+         ('0x' || substr(md5(g), 9, 8))::BIGINT AS h2
+  FROM truth
+), probe AS (
+  SELECT g, true_count, r, (h1 + r * h2) % 256 AS pos
+  FROM th, (SELECT UNNEST(range(4)) AS r)
+), est AS (
+  SELECT p.g, p.true_count, MIN(COALESCE(c.cnt, 0)) AS cm_estimate
+  FROM probe p LEFT JOIN cells c ON p.r = c.r AND p.pos = c.pos
+  GROUP BY 1, 2
+)
+SELECT g AS shingle,
+       CAST(true_count AS BIGINT) AS true_count,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - true_count AS BIGINT) AS overestimate
+FROM est ORDER BY true_count DESC, shingle
+"""
+
+
+@query("cm_sketch_shingle_freq", _CM_SKETCH_ORACLE)
+def cm_sketch_shingle_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (functions/countmin.py) over every 3-gram
+    shingle OCCURRENCE in the corpus, probed at the 20 most frequent
+    shingles: the gate hash-compares each probe's exact count, its
+    sketch estimate, and the one-sided overestimate (never negative —
+    count-min cannot undercount).  The pinned d=4 x w=256 grid is
+    small against ~16k distinct shingles, so collisions are real and
+    the error column is non-trivial, while the min-over-rows still
+    tracks the heavy keys closely — the sketch's whole point.
+
+    Scale: the grid is fixed d*w state with cell-wise-additive merge,
+    so the build is one explode + map-side-combined groupBy emitting
+    at most 1,024 partial rows per task; probes ride a broadcast
+    join.  Same bounded-shuffle shape as the Gram reduction."""
+    from automated_etl_pipeline_spark.functions.countmin import (
+        cm_build,
+        cm_estimate,
+    )
+    from automated_etl_pipeline_spark.plans.materialize import materialize
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    occ = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i),
+                    F.element_at("t", i + 1),
+                    F.element_at("t", i + 2),
+                ),
+            )
+        ).alias("g")
+    )
+    occ = materialize(occ)
+    sketch = cm_build(occ, "g")
+    truth = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("g"))
+        .limit(20)
+    )
+    est = cm_estimate(truth.select("g"), "g", sketch)
+    return (
+        truth.join(est, "g")
+        .select(
+            F.col("g").alias("shingle"),
+            F.col("true_count").cast("bigint").alias("true_count"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "shingle")
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = """
+WITH tok AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+), sh AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT source,
+           UNNEST(list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+    FROM tok WHERE len(t) >= 3
+  )
+), tot AS (
+  SELECT source, COUNT(*) AS n FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b,
+       CAST(shared AS BIGINT) AS shared_shingles,
+       ROUND(shared / (ta.n + tb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN tot ta ON source_a = ta.source
+JOIN tot tb ON source_b = tb.source
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_shingle_overlap", _SOURCE_OVERLAP_ORACLE)
+def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: per source pair, how many
+    distinct 3-gram shingles they share and the vocabulary Jaccard —
+    the corpus diagnostic every multi-source training-data report
+    publishes (which crawls/dumps duplicate each other) and the input
+    to mixture de-weighting decisions.  Shingles are the shared
+    60-bit-hashed definition of the dedup cascade (dedup/minhash.py's
+    shingle_set + shingle_hash60), so this gate and the near-dup gates
+    agree on what 'shared content' means.
+
+    Scale: the (source, shingle) table is reduced to DISTINCT rows
+    first, the self-join is shingle-keyed (a shingle appearing in s
+    sources contributes C(s,2) pair rows — bounded by the SOURCE
+    count squared, not the corpus), and per-source totals ride
+    broadcast joins.  With thousands of sources, cap per-shingle
+    fanout like the PPJoin df-cap; with tens, this is exact and
+    cheap."""
+    from automated_etl_pipeline_spark.dedup.minhash import shingle_set
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+    from automated_etl_pipeline_spark.plans.materialize import materialize
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    sh = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source", F.explode(shingle_set(F.col("text"), 3)).alias("g")
+        )
+        .select("source", shingle_hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sh = materialize(sh)
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                tot.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                tot.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared").cast("bigint").alias("shared_shingles"),
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
