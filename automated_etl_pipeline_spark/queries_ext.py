@@ -5795,3 +5795,94 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pruned_verified_revenue"),
         F.sum(F.when(fe1, price_dec)).cast("double").alias("direct_revenue"),
     ).withColumn("n_filter_keys", F.lit(n_keys).cast("bigint"))
+
+
+_STREAMING_CDC_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 4 = 0 THEN 3
+              WHEN o_orderkey % 3 = 0 THEN 2
+              WHEN o_orderkey % 2 = 0 THEN 1
+              ELSE 0 END AS version,
+         CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 3000
+              WHEN o_orderkey % 3 = 0 THEN o_totalprice + 2000
+              WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 4 = 0 THEN 'U3'
+              WHEN o_orderkey % 3 = 0 THEN 'U2'
+              WHEN o_orderkey % 2 = 0 THEN 'U1'
+              ELSE o_orderstatus END AS status
+  FROM orders WHERE o_orderkey IS NOT NULL
+)
+SELECT status AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       CAST(MAX(version) AS BIGINT) AS max_version
+FROM final GROUP BY status ORDER BY status
+"""
+
+
+@query("streaming_cdc_upsert", _STREAMING_CDC_ORACLE, executes_stream=True)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/cdc.py) — the 10th value-gated
+    streaming execution path: three versioned change batches (keys
+    divisible by 2, 3, 4; each bumps price by 1000*k and stamps status
+    'Uk') are staged as change files, drained through a file stream ->
+    foreachBatch -> merge_upsert into an epoch-versioned parquet
+    snapshot, and the FINAL snapshot is aggregated.  The oracle derives
+    the expected end state analytically: per key, the highest
+    applicable version wins — which is exactly what version-driven
+    last-writer-wins MERGE must produce regardless of how the file
+    source batched or ordered the change files (the commutativity that
+    makes streaming CDC exact over reordering transports).
+
+    Scale: each micro-batch is one key-shuffle merge window over
+    snapshot+batch (operators/merge.py); the epoch commit is
+    copy-on-write parquet here, a table-format transaction at
+    production scale — partition-pruned rewrites, same merge core."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.streaming.cdc import run_cdc_merge_stream
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders = orders.filter(F.col("o_orderkey").isNotNull())
+    base = orders.withColumn("version", F.lit(0).cast("long"))
+    schema = base.schema  # orders schema + version, reused by the stream reader
+
+    drop = tempfile.mkdtemp(prefix="spark_graft_cdc_drop_")
+    state = tempfile.mkdtemp(prefix="spark_graft_cdc_state_")
+    try:
+        for k in (1, 2, 3):
+            batch = (
+                orders.filter(F.col("o_orderkey") % (k + 1) == 0)
+                .withColumn("version", F.lit(k).cast("long"))
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1000 * k)
+                .withColumn("o_orderstatus", F.lit(f"U{k}"))
+            )
+            batch.coalesce(1).write.mode("append").parquet(drop)
+        with _stream_parts(spark):
+            final = run_cdc_merge_stream(
+                spark,
+                base,
+                drop,
+                schema,
+                key_cols=["o_orderkey"],
+                version_col="version",
+                state_root=state,
+            )
+        out = (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", alias="sum_total"),
+                F.max("version").cast("bigint").alias("max_version"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        # detach the result from the temp dirs before cleanup
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return snap.orderBy("o_orderstatus")

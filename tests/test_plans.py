@@ -318,7 +318,10 @@ def test_stream_exec_tag_matches_source():
 
     qs = entry_mod.queries()
     assert _STREAM_EXEC_GATES <= set(qs), "tagged names missing from registry"
-    streamy = re.compile(r"readStream|writeStream|run_to_memory_sink|drain_stream")
+    streamy = re.compile(
+        r"readStream|writeStream|run_to_memory_sink|drain_stream"
+        r"|run_cdc_merge_stream"
+    )
     for name, fn in qs.items():
         src = inspect.getsource(fn)
         if streamy.search(src):
