@@ -5606,3 +5606,168 @@ def source_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Planted-structural oracle (the html_extract_text pattern): the Spark
+# side perturbs each document deterministically by doc_id%4 — accent
+# injection, SHOUTING + punctuation + padding, comma-riddled spacing —
+# runs the REAL normalizer (functions/normalize.py), and checksums the
+# recovered keys; the oracle never normalizes anything — it derives
+# the expected keys (the raw text) and the perturbed lengths
+# analytically, so any fold/casefold/collapse slip moves a hash.
+_NORMALIZE_KEY_ORACLE = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+), exp AS (
+  SELECT doc_id, t,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 2 THEN length(t) + 5
+           WHEN 3 THEN length(t)
+                       + 2 * greatest(len(string_split(t, ' ')) - 1, 0)
+           ELSE length(t)
+         END AS variant_len
+  FROM base
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(variant_len) AS BIGINT) AS total_variant_chars,
+       CAST(SUM(length(t)) AS BIGINT) AS total_key_chars,
+       CAST(SUM(('0x' || substr(md5(t), 1, 15))::BIGINT
+                % 1000000000000) % 1000000000000 AS BIGINT)
+         AS key_checksum
+FROM exp GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("normalize_fold_dedup_key", _NORMALIZE_KEY_ORACLE)
+def normalize_fold_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent/case/punctuation normalization for dedup keys
+    (functions/normalize.py).  Each document is deterministically
+    perturbed by doc_id%4 — 1: vowels accented (a->á ... u->ú);
+    2: uppercased with leading '  ' and trailing ' !!'; 3: every space
+    becomes ' , ' — and the real normalizer must recover EXACTLY the
+    raw text as the key (this corpus is already [a-z0-9 ]-canonical),
+    proven per bucket by doc counts, perturbed-vs-recovered character
+    totals, and an md5 key checksum the oracle derives from the raw
+    text alone.
+
+    Scale: perturbation + normalization is one projection of
+    translate/lower/regexp expressions ahead of the 8-row bucket agg;
+    in production the perturbation disappears and normalize_text_key
+    feeds the exact-dedup groupBy directly."""
+    from automated_etl_pipeline_spark.functions.normalize import (
+        normalize_text_key,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    mode = (F.col("doc_id") % 4).cast("int")
+    variant = (
+        F.when(mode == 1, F.translate(t, "aeiou", "áèîöú"))
+        .when(mode == 2, F.concat(F.lit("  "), F.upper(t), F.lit(" !!")))
+        .when(mode == 3, F.replace(t, F.lit(" "), F.lit(" , ")))
+        .otherwise(t)
+    )
+    staged = spread(docs).select(
+        (F.col("doc_id") % 8).cast("bigint").alias("bucket"),
+        F.length(variant).cast("bigint").alias("variant_len"),
+        normalize_text_key(variant).alias("key"),
+    )
+    return (
+        staged.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("variant_len").cast("bigint").alias("total_variant_chars"),
+            F.sum(F.length("key")).cast("bigint").alias("total_key_chars"),
+            (
+                F.sum(
+                    F.conv(F.substring(F.md5("key"), 1, 15), 16, 10).cast(
+                        "long"
+                    )
+                    % 1000000000000
+                )
+                % 1000000000000
+            )
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_CONTAINMENT_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(t[1:greatest(3, CAST(floor(0.4 * len(t)) AS INT))],
+                         ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE text IS NOT NULL AND doc_id % 7 = 0)
+), inv AS (
+  SELECT doc_id, len(s) AS sz, UNNEST(s) AS g
+  FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+             g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)
+    WHERE len(t) >= 3
+  ) WHERE len(s) > 0
+), pairs AS (
+  SELECT a.doc_id AS doc_sub, a.sz AS sub_sz, b.doc_id AS doc_super,
+         COUNT(*) AS shared
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id != b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_sub, doc_super,
+       ROUND(shared / sub_sz, 6) AS containment
+FROM pairs
+WHERE ROUND(shared / sub_sz, 6) >= 0.8
+ORDER BY doc_sub, doc_super
+"""
+
+
+@query("containment_superset_pairs", _CONTAINMENT_ORACLE)
+def containment_superset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (dedup/containment.py): directed
+    pairs with |sub∩super|/|sub| >= 0.8 over 3-gram shingle sets —
+    the partial-duplication class symmetric Jaccard misses.  The gate
+    plants it: every 7th document contributes a 40%-length prefix
+    excerpt (id + 10,000,000) whose containment in its parent is ~1.0
+    while its Jaccard is ~0.4.  Spark finds pairs with the directional
+    prefix filter (complete by the PPJoin bound specialized to
+    containment — only the SUB side truncates); the DuckDB oracle
+    brute-forces ALL shared-shingle pairs and counts intersections, so
+    any prefix-filter miss fails the hash.
+
+    Scale: shingle-keyed equi-joins only; rare-first canonical order
+    keeps prefix df low; the superset side stays fully indexed (the
+    asymmetry of the operator).  Exact dedup runs first in the
+    cascade, as for Jaccard."""
+    from automated_etl_pipeline_spark.dedup.containment import containment_pairs
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    t = F.split("text", " ")
+    frags = (
+        base.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    t,
+                    1,
+                    F.greatest(
+                        F.lit(3), F.floor(0.4 * F.size(t)).cast("int")
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    aug = base.unionByName(frags)
+    return containment_pairs(spread(aug), threshold=0.8).orderBy(
+        "doc_sub", "doc_super"
+    )
