@@ -5886,3 +5886,138 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
     return snap.orderBy("o_orderstatus")
+
+
+# Poisson(1) CDF thresholds (e^-1 * sum 1/k!), shortest-repr doubles
+# injected as IDENTICAL literals into the Spark expressions and the
+# oracle SQL — both engines parse them to the same float64.
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+_BOOT_B = 40
+_U_DENOM = 4503599627370496.0  # 2^52: 13 md5 hex chars -> exact double
+
+_BOOTSTRAP_ORACLE = f"""
+WITH r AS (
+  SELECT o_orderkey, o_totalprice, UNNEST(range({_BOOT_B})) AS b
+  FROM orders WHERE o_orderkey IS NOT NULL
+), u AS (
+  SELECT b, o_totalprice,
+         ('0x' || substr(md5(o_orderkey || ':' || b), 1, 13))::BIGINT
+           / {_U_DENOM} AS u
+  FROM r
+), w AS (
+  SELECT b, o_totalprice,
+         CASE WHEN u < {_POIS_CDF[0]} THEN 0
+              WHEN u < {_POIS_CDF[1]} THEN 1
+              WHEN u < {_POIS_CDF[2]} THEN 2
+              WHEN u < {_POIS_CDF[3]} THEN 3
+              WHEN u < {_POIS_CDF[4]} THEN 4
+              WHEN u < {_POIS_CDF[5]} THEN 5
+              ELSE 6 END AS w
+  FROM u
+), rep AS (
+  SELECT b,
+         CAST(SUM(w * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           / CAST(SUM(w) AS BIGINT) AS m
+  FROM w GROUP BY b
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM rep
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS b_replicas,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey IS NOT NULL)
+            AS BIGINT) AS n_rows,
+       (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders WHERE o_orderkey IS NOT NULL) AS point_mean,
+       (SELECT m FROM ranked WHERE rk = 1) AS ci_low,
+       (SELECT m FROM ranked WHERE rk = {_BOOT_B - 1}) AS ci_high
+"""
+
+
+@query("stats_poisson_bootstrap_ci", _BOOTSTRAP_ORACLE)
+def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order price —
+    THE distributed bootstrap (Chamandy et al., Google 2012): instead
+    of resampling n rows with replacement (which needs global
+    coordination), each row independently receives a Poisson(1) weight
+    per replica; for large n the replica statistics are distributed as
+    classical bootstrap replicas.  Weights are deterministic here —
+    md5(key:replica) -> exact 52-bit uniform -> pinned inverse-CDF
+    thresholds — so both engines draw the IDENTICAL 'random' weights
+    and the 95% empirical CI (rank 1 / rank B-1 of B=40 replica means)
+    hash-matches to the bit.
+
+    Scale: one explode by B, one (replica) groupBy with map-side
+    combine — each task emits B partial rows; the B-row replica frame
+    is the only thing globally sorted.  B scales the cost linearly and
+    independently of n; per-replica sums are exact decimals so the
+    replica means are order-independent."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey").isNotNull())
+    r = base.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long") / F.lit(_U_DENOM)
+    w = F.when(u < _POIS_CDF[0], 0)
+    for k in range(1, 6):
+        w = w.when(u < _POIS_CDF[k], k)
+    w = w.otherwise(6)
+    rep = (
+        r.select("b", "o_totalprice", w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(
+                    F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum("w").cast("bigint")
+            ).alias("m")
+        )
+    )
+    ranked = rep.withColumn(
+        "rk", F.row_number().over(Window.orderBy("m", "b"))
+    )
+    lo = ranked.filter(F.col("rk") == 1).select(F.col("m").alias("ci_low"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
+        F.col("m").alias("ci_high")
+    )
+    point = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("b_replicas"),
+            "n_rows",
+            "point_mean",
+            "ci_low",
+            "ci_high",
+        )
+    )

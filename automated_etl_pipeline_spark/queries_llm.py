@@ -5771,3 +5771,78 @@ def containment_superset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(spread(aug), threshold=0.8).orderBy(
         "doc_sub", "doc_super"
     )
+
+
+_KAPPA_ORACLE = f"""
+WITH pred AS (
+  SELECT lang, {_txt.duckdb_predicted_lang_sql("text")} AS p FROM documents
+), conf AS (
+  SELECT lang, p, CAST(COUNT(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2
+), rt AS (
+  SELECT lang AS l, CAST(SUM(n) AS BIGINT) AS r FROM conf GROUP BY 1
+), ct AS (
+  SELECT p AS l, CAST(SUM(n) AS BIGINT) AS c FROM conf GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(CASE WHEN lang = p THEN n ELSE 0 END) AS BIGINT) AS n_agree
+  FROM conf
+), chance AS (
+  SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS rc
+  FROM rt JOIN ct USING (l)
+)
+SELECT n_total, n_agree, rc AS chance_weight,
+       ROUND((CAST(n_total AS DOUBLE) * n_agree - rc)
+             / (CAST(n_total AS DOUBLE) * n_total - rc), 6) AS cohen_kappa
+FROM tot, chance
+"""
+
+
+@query("lang_id_cohen_kappa", _KAPPA_ORACLE)
+def lang_id_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic against the labeled
+    lang column — chance-corrected agreement, the honest metric when
+    the label distribution is imbalanced (raw accuracy rewards
+    majority-class guessing; kappa subtracts exactly that).  Computed
+    entirely from the integer contingency matrix: kappa =
+    (N*agree - sum_l row_l*col_l) / (N^2 - sum_l row_l*col_l), one
+    IEEE division of integer-derived terms, so it hash-matches.
+
+    Scale: the confusion matrix is a two-key groupBy (partial-agg);
+    row/column marginals and the chance term reduce the tiny matrix —
+    nothing downstream of the first aggregation scales with the
+    corpus."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    preds = _txt.with_predicted_lang(spread(docs)).select(
+        "lang", F.col("predicted_lang").alias("p")
+    )
+    conf = preds.groupBy("lang", "p").agg(F.count(F.lit(1)).alias("n"))
+    rt = conf.groupBy(F.col("lang").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("r")
+    )
+    ct = conf.groupBy(F.col("p").alias("l")).agg(
+        F.sum("n").cast("bigint").alias("c")
+    )
+    tot = conf.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum(F.when(F.col("lang") == F.col("p"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_agree"),
+    )
+    chance = (
+        rt.join(ct, "l")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).alias("rc"))
+        .select(F.col("rc").cast("bigint").alias("rc"))
+    )
+    nt, na, rc = (
+        F.col("n_total").cast("double"),
+        F.col("n_agree"),
+        F.col("rc"),
+    )
+    return tot.crossJoin(F.broadcast(chance)).select(
+        "n_total",
+        "n_agree",
+        F.col("rc").alias("chance_weight"),
+        F.round((nt * na - rc) / (nt * F.col("n_total") - rc), 6).alias(
+            "cohen_kappa"
+        ),
+    )
