@@ -5772,8 +5772,18 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bitmap = bloom_build(dim, "s_suppkey")
     n_keys = dim.count()
-    fact = (
-        li.withColumn(
+    # accounting path: the probe is key-deterministic, so the gate
+    # reduces the fact to per-key (rows, exact-decimal revenue) FIRST
+    # (one map-side-combined shuffle) and probes the ~distinct-key
+    # frame — identical outputs to a per-row probe at a fraction of
+    # the hash cost.  Production pruning still probes per-row inside
+    # the scan (operators/bloom.py), where no reduction exists yet.
+    keyagg = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    flagged = (
+        keyagg.withColumn(
             "fb", bloom_might_contain(F.col("l_suppkey"), bitmap).cast("int")
         )
         .join(
@@ -5784,16 +5794,15 @@ def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("fe", F.col("__dk").isNotNull().cast("int"))
     )
     fb1, fe1 = F.col("fb") == 1, F.col("fe") == 1
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    return fact.agg(
-        F.countDistinct(F.when(fb1, F.col("l_suppkey"))).alias("bloom_pass_keys"),
-        F.countDistinct(F.when(fe1, F.col("l_suppkey"))).alias("exact_pass_keys"),
-        F.sum("fb").cast("bigint").alias("bloom_pass_rows"),
-        F.sum("fe").cast("bigint").alias("exact_rows"),
-        F.sum(F.when(fb1 & fe1, price_dec))
+    return flagged.agg(
+        F.sum("fb").cast("bigint").alias("bloom_pass_keys"),
+        F.sum("fe").cast("bigint").alias("exact_pass_keys"),
+        F.sum(F.col("nr") * F.col("fb")).cast("bigint").alias("bloom_pass_rows"),
+        F.sum(F.col("nr") * F.col("fe")).cast("bigint").alias("exact_rows"),
+        F.sum(F.when(fb1 & fe1, F.col("rev")))
         .cast("double")
         .alias("pruned_verified_revenue"),
-        F.sum(F.when(fe1, price_dec)).cast("double").alias("direct_revenue"),
+        F.sum(F.when(fe1, F.col("rev"))).cast("double").alias("direct_revenue"),
     ).withColumn("n_filter_keys", F.lit(n_keys).cast("bigint"))
 
 
@@ -5904,13 +5913,18 @@ _U_DENOM = 4503599627370496.0  # 2^52: 13 md5 hex chars -> exact double
 
 _BOOTSTRAP_ORACLE = f"""
 WITH r AS (
-  SELECT o_orderkey, o_totalprice, UNNEST(range({_BOOT_B})) AS b
+  SELECT o_orderkey, o_totalprice, UNNEST(range({_BOOT_B // 2})) AS p
   FROM orders WHERE o_orderkey IS NOT NULL
+), d AS (
+  SELECT p, o_totalprice, md5(o_orderkey || ':' || p) AS dg FROM r
 ), u AS (
-  SELECT b, o_totalprice,
-         ('0x' || substr(md5(o_orderkey || ':' || b), 1, 13))::BIGINT
-           / {_U_DENOM} AS u
-  FROM r
+  SELECT 2 * p AS b, o_totalprice,
+         ('0x' || substr(dg, 1, 13))::BIGINT / {_U_DENOM} AS u
+  FROM d
+  UNION ALL
+  SELECT 2 * p + 1 AS b, o_totalprice,
+         ('0x' || substr(dg, 14, 13))::BIGINT / {_U_DENOM} AS u
+  FROM d
 ), w AS (
   SELECT b, o_totalprice,
          CASE WHEN u < {_POIS_CDF[0]} THEN 0
@@ -5963,29 +5977,48 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = base.select(
         "o_orderkey",
         "o_totalprice",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 2 - 1))).alias("p"),
     )
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.col("o_orderkey").cast("string"),
-                    F.lit(":"),
-                    F.col("b").cast("string"),
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("long") / F.lit(_U_DENOM)
+    # one md5 per (row, digest-pair): each digest yields TWO 52-bit
+    # uniform lanes (hex 1-13 and 14-26) — halves the hash cost, the
+    # dominant term.  dg is its own projection so the two lanes share
+    # one evaluation (CollapseProject keeps non-cheap aliases separate)
+    d = r.select(
+        "o_totalprice",
+        "p",
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("p").cast("string"),
+            )
+        ).alias("dg"),
+    )
+
+    def _lane(start: int, b_expr):
+        uu = F.conv(F.substring("dg", start, 13), 16, 10).cast(
+            "long"
+        ) / F.lit(_U_DENOM)
+        return F.struct(
+            b_expr.cast("long").alias("b"), uu.alias("u")
+        )
+
+    pairs = d.select(
+        "o_totalprice",
+        F.explode(
+            F.array(
+                _lane(1, 2 * F.col("p")),
+                _lane(14, 2 * F.col("p") + 1),
+            )
+        ).alias("x"),
+    ).select("o_totalprice", F.col("x.b").alias("b"), F.col("x.u").alias("u"))
+    u = F.col("u")
     w = F.when(u < _POIS_CDF[0], 0)
     for k in range(1, 6):
         w = w.when(u < _POIS_CDF[k], k)
     w = w.otherwise(6)
     rep = (
-        r.select("b", "o_totalprice", w.alias("w"))
+        pairs.select("b", "o_totalprice", w.alias("w"))
         .groupBy("b")
         .agg(
             (
