@@ -5846,3 +5846,152 @@ def lang_id_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohen_kappa"
         ),
     )
+
+
+_NOVELTY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+  WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])),
+           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS s
+  FROM tok WHERE len(t) >= 3
+), inv AS (
+  SELECT doc_id, source, UNNEST(s) AS h FROM sh WHERE len(s) > 0
+), first_seen AS (
+  SELECT h, MIN(doc_id) AS fd FROM inv GROUP BY h
+), per_doc AS (
+  SELECT i.doc_id, i.source,
+         COUNT(*) AS sz,
+         SUM(CASE WHEN f.fd = i.doc_id THEN 1 ELSE 0 END) AS nnew
+  FROM inv i JOIN first_seen f ON i.h = f.h
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nnew) AS BIGINT) AS novel_shingles,
+       CAST(SUM(sz) AS BIGINT) AS total_shingles,
+       ROUND(SUM(nnew) / SUM(sz), 6) AS novelty_rate,
+       CAST(SUM(CASE WHEN nnew = sz THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
+@query("doc_novelty_fraction", _NOVELTY_ORACLE)
+def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty accounting: a shingle is 'novel' in the document
+    where it FIRST appears (minimum doc_id); per source, the fraction
+    of shingle instances that are first occurrences and the count of
+    fully-novel documents.  This is the marginal-contribution view of
+    dedup — documents with novelty ~0 add nothing the corpus does not
+    already contain (ExactSubstr/Lee et al. report exactly this
+    statistic when sizing dedup gains), and per-source novelty ranks
+    which feeds to keep in a mixture.
+
+    Scale: one explode, one shingle-keyed MIN aggregation (partial),
+    one equi-join back, one doc-keyed count — the exact-dedup shuffle
+    pattern; ratios are micro-averaged from integer sums (no float
+    fold-order)."""
+    from automated_etl_pipeline_spark.dedup.minhash import shingle_set
+    from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    inv = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingle_set(F.col("text"), 3), shingle_hash60
+                    )
+                )
+            ).alias("h"),
+        )
+    )
+    first_seen = inv.groupBy("h").agg(F.min("doc_id").alias("fd"))
+    per_doc = (
+        inv.join(first_seen, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("nnew"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nnew").cast("bigint").alias("novel_shingles"),
+            F.sum("sz").cast("bigint").alias("total_shingles"),
+            F.round(F.sum("nnew") / F.sum("sz"), 6).alias("novelty_rate"),
+            F.sum(F.when(F.col("nnew") == F.col("sz"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fully_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+_JOURNEY_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id IS NOT NULL
+), paths AS (
+  SELECT user_id,
+         concat_ws('>',
+           MAX(CASE WHEN rn = 1 THEN event_type END),
+           MAX(CASE WHEN rn = 2 THEN event_type END),
+           MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path LIMIT 15
+"""
+
+
+@query("user_journey_top_paths", _JOURNEY_ORACLE)
+def user_journey_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top opening user journeys: each user's first three events (by
+    time, event_id tiebreak) joined into an ordered path string, top
+    15 paths by user count — the product-analytics query behind every
+    onboarding funnel review.  concat_ws drops the NULL slots, so
+    users with fewer than three events contribute their shorter
+    genuine path rather than a padded artifact.
+
+    Scale: the rank is a per-user window (one key shuffle), the path
+    assembly is a conditional-aggregation groupBy on the same key —
+    Catalyst reuses the exchange — and the top-15 is
+    TakeOrderedAndProject."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        events.filter(F.col("user_id").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 2, F.col("event_type"))),
+            F.max(F.when(F.col("rn") == 3, F.col("event_type"))),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(15)
+    )
