@@ -6054,3 +6054,120 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_high",
         )
     )
+
+
+_IVM_JOIN_ORACLE = """
+WITH a0 AS (
+  SELECT * FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 3 != 0
+), da AS (
+  SELECT * FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 3 = 0
+), b0 AS (
+  SELECT * FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber <= 3
+), db AS (
+  SELECT * FROM lineitem WHERE l_orderkey IS NOT NULL AND l_linenumber > 3
+), agg_full AS (
+  SELECT o.o_orderpriority AS pr, COUNT(*) AS n,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IS NOT NULL
+  GROUP BY 1
+), d1 AS (
+  SELECT a0.o_orderpriority AS pr, COUNT(*) AS n,
+         SUM(CAST(b0.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM a0 JOIN b0 ON a0.o_orderkey = b0.l_orderkey GROUP BY 1
+), d2 AS (
+  SELECT da.o_orderpriority AS pr, COUNT(*) AS n,
+         SUM(CAST(b0.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM da JOIN b0 ON da.o_orderkey = b0.l_orderkey GROUP BY 1
+), d3 AS (
+  SELECT a0.o_orderpriority AS pr, COUNT(*) AS n,
+         SUM(CAST(db.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM a0 JOIN db ON a0.o_orderkey = db.l_orderkey GROUP BY 1
+), d4 AS (
+  SELECT da.o_orderpriority AS pr, COUNT(*) AS n,
+         SUM(CAST(db.l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM da JOIN db ON da.o_orderkey = db.l_orderkey GROUP BY 1
+), agg_incr AS (
+  SELECT pr, SUM(n) AS n, SUM(rev) AS rev
+  FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        UNION ALL SELECT * FROM d3 UNION ALL SELECT * FROM d4)
+  GROUP BY pr
+)
+SELECT f.pr AS o_orderpriority,
+       CAST(f.n AS BIGINT) AS full_rows,
+       CAST(i.n AS BIGINT) AS incr_rows,
+       CAST(f.rev AS DOUBLE) AS full_revenue,
+       CAST(i.rev AS DOUBLE) AS incr_revenue,
+       CAST(CASE WHEN f.n = i.n AND f.rev = i.rev THEN 1 ELSE 0 END
+            AS BIGINT) AS merge_equals_full
+FROM agg_full f JOIN agg_incr i ON f.pr = i.pr
+ORDER BY o_orderpriority
+"""
+
+
+@query("incr_join_view_maintenance", _IVM_JOIN_ORACLE)
+def incr_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view: with base tables split
+    into (A, dA) x (B, dB), the view delta is the classic three-term
+    expansion dV = dA⋈B + A⋈dB + dA⋈dB, and merging the four
+    partial aggregates must reproduce the full recompute EXACTLY for
+    sum-decomposable aggregates (COUNT, exact-decimal SUM).  The gate
+    runs BOTH paths and emits them side by side with an in-query
+    equality flag — the identity an IVM engine (Materialize,
+    DBSP-style) relies on, proven here over exact decimals so float
+    fold-order cannot fake a diff.
+
+    Scale: the incremental path's point is that dA⋈B etc. are small
+    (delta-sized probe against the base); all four terms are key
+    equi-joins and the merge is an aggregate union — no operator the
+    full recompute does not also use, and the partial aggregates are
+    the mergeable state a real IVM keeps."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(F.col("o_orderkey").isNotNull())
+    l = li.filter(F.col("l_orderkey").isNotNull())
+    a0 = o.filter(F.col("o_orderkey") % 3 != 0)
+    da = o.filter(F.col("o_orderkey") % 3 == 0)
+    b0 = l.filter(F.col("l_linenumber") <= 3)
+    db = l.filter(F.col("l_linenumber") > 3)
+
+    def term(a, b):
+        return (
+            a.join(b, a["o_orderkey"] == b["l_orderkey"])
+            .groupBy(F.col("o_orderpriority").alias("pr"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                    "rev"
+                ),
+            )
+        )
+
+    full = term(o, l)
+    incr = (
+        term(a0, b0)
+        .unionAll(term(da, b0))
+        .unionAll(term(a0, db))
+        .unionAll(term(da, db))
+        .groupBy("pr")
+        .agg(F.sum("n").alias("n"), F.sum("rev").alias("rev"))
+    )
+    f, i = full.alias("f"), incr.alias("i")
+    return (
+        f.join(i, F.col("f.pr") == F.col("i.pr"))
+        .select(
+            F.col("f.pr").alias("o_orderpriority"),
+            F.col("f.n").cast("bigint").alias("full_rows"),
+            F.col("i.n").cast("bigint").alias("incr_rows"),
+            F.col("f.rev").cast("double").alias("full_revenue"),
+            F.col("i.rev").cast("double").alias("incr_revenue"),
+            F.when(
+                (F.col("f.n") == F.col("i.n"))
+                & (F.col("f.rev") == F.col("i.rev")),
+                1,
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("merge_equals_full"),
+        )
+        .orderBy("o_orderpriority")
+    )
