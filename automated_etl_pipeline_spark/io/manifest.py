@@ -1,0 +1,113 @@
+"""Manifest-committed parquet tables: atomic append, snapshot reads,
+time travel — the transaction-log core of every table format.
+
+Plain ``spark.read.parquet(dir)`` trusts the DIRECTORY: a crashed
+writer's partial files, a concurrent writer's in-flight files, and
+yesterday's compacted-away files are all read as if committed.  Table
+formats (Delta, Iceberg, Hudi) fix this with one idea: the set of
+live files is defined by a LOG, not by listing — readers resolve the
+newest committed manifest and read exactly the files it names.  This
+module is that idea at its smallest:
+
+- data files stage under ``data/<commit-uuid>/`` (never visible until
+  published);
+- a commit publishes manifest ``_manifest/v{N}.json`` naming every
+  live file (full-snapshot manifests — O(files) per commit; real
+  formats append deltas + checkpoints, same semantics);
+- publishing uses an EXCLUSIVE create of the version file: two racing
+  writers cannot both win version N — the loser re-reads and retries
+  at N+1 (optimistic concurrency; on object stores this maps to
+  if-none-match puts / DynamoDB CAS — the one primitive a production
+  port must swap in);
+- ``run_id`` idempotence: a commit whose run_id is already in the
+  current manifest is a no-op returning the existing version — the
+  Airflow-retry double-append the reference gets wrong
+  (spark-bq-dag.py:124 + retries) is structurally impossible;
+- readers pin a version (time travel) or take the newest; orphan
+  files in ``data/`` are invisible by construction.
+
+Scale: the manifest is driver-side metadata (file names, not data);
+reads hand Spark an explicit file list, so partition pruning and
+column pruning work unchanged.  Local-fs rename/create-exclusive
+semantics are what this container offers; the docstrings above mark
+exactly where object-store primitives slot in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, "_manifest")
+
+
+def current_version(root: str) -> int:
+    """Newest committed version, or 0 if the table has no commits."""
+    d = _manifest_dir(root)
+    if not os.path.isdir(d):
+        return 0
+    vs = [
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(vs, default=0)
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(root), f"v{version:010d}.json")) as f:
+        return json.load(f)
+
+
+def commit_append(df: DataFrame, root: str, run_id: str) -> int:
+    """Stage ``df`` as parquet and atomically publish a new manifest
+    including it; returns the committed version.  Re-committing an
+    already-committed ``run_id`` is a no-op (idempotent retry)."""
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    v = current_version(root)
+    prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
+    if run_id in prev["run_ids"]:
+        return v  # retry of a committed run: nothing to do
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(stage)
+    new_files = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    while True:
+        v = current_version(root)
+        cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
+        if run_id in cur["run_ids"]:
+            return v  # a racing retry of the same run won
+        manifest = {
+            "version": v + 1,
+            "files": cur["files"] + new_files,
+            "run_ids": cur["run_ids"] + [run_id],
+        }
+        path = os.path.join(_manifest_dir(root), f"v{v + 1:010d}.json")
+        try:
+            # exclusive create = the commit point; on an object store
+            # this is an if-none-match put / CAS
+            with open(path, "x") as f:
+                json.dump(manifest, f)
+            return v + 1
+        except FileExistsError:
+            continue  # lost the race; re-read and retry at N+2
+
+
+def read_table(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: exactly the files the (pinned or newest)
+    manifest names — orphans and in-flight stages are invisible."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    files = _read_manifest(root, v)["files"]
+    return spark.read.parquet(*files)

@@ -6171,3 +6171,78 @@ def incr_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_MANIFEST_ORACLE = """
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_latest,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_latest,
+       CAST(COUNT(*) FILTER (WHERE s_nationkey < 13) AS BIGINT) AS n_v1,
+       CAST(2 AS BIGINT) AS committed_version
+FROM supplier
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+@query("manifest_table_isolation", _MANIFEST_ORACLE)
+def manifest_table_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-committed table (io/manifest.py): commit 1 appends the
+    s_nationkey < 13 suppliers, commit 2 the rest; commit 2 is then
+    RETRIED with the same run_id (must no-op at version 2), and an
+    ORPHAN duplicate of the whole table is planted in data/ without a
+    manifest commit (must stay invisible).  The gate reads the newest
+    snapshot AND time-travels to version 1, emitting per-nation counts
+    the oracle derives from the raw table: any isolation leak (orphan
+    read, double append) or retry non-idempotence shifts n_latest /
+    bal_latest; a broken time-travel shifts n_v1; a wrong commit count
+    shifts committed_version.
+
+    Scale: manifests are driver-side metadata naming the live files;
+    the read hands Spark an explicit file list, so scan-level pruning
+    is unchanged — the same contract as a table format's log, with the
+    exclusive-create commit point standing in for an object store's
+    if-none-match put."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        current_version,
+        read_table,
+    )
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="spark_graft_manifest_")
+    try:
+        commit_append(sup.filter(F.col("s_nationkey") < 13), root, "run-1")
+        commit_append(sup.filter(F.col("s_nationkey") >= 13), root, "run-2")
+        commit_append(  # Airflow-retry double delivery: must no-op
+            sup.filter(F.col("s_nationkey") >= 13), root, "run-2"
+        )
+        # orphan: a full uncommitted copy dropped straight into data/
+        sup.write.mode("errorifexists").parquet(f"{root}/data/orphan-files")
+        latest = read_table(spark, root)
+        v1 = read_table(spark, root, version=1)
+        ver = current_version(root)
+        l_agg = latest.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_latest"),
+            dsum("s_acctbal", alias="bal_latest"),
+        )
+        v1_agg = v1.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_v1")
+        )
+        out = (
+            l_agg.join(v1_agg, "s_nationkey", "left")
+            .select(
+                "s_nationkey",
+                "n_latest",
+                "bal_latest",
+                F.coalesce(F.col("n_v1"), F.lit(0)).cast("bigint").alias("n_v1"),
+                F.lit(ver).cast("bigint").alias("committed_version"),
+            )
+            .orderBy("s_nationkey")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("s_nationkey")

@@ -1,0 +1,85 @@
+"""io/manifest.py: snapshot isolation, idempotent retries, optimistic
+version racing, and time travel."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.io.manifest import (
+    commit_append,
+    current_version,
+    read_table,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="manifest_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("k"))
+
+
+def test_commits_accumulate_and_version_increments(spark, root):
+    assert current_version(root) == 0
+    v1 = commit_append(_df(spark, 0, 10), root, "r1")
+    v2 = commit_append(_df(spark, 10, 30), root, "r2")
+    assert (v1, v2) == (1, 2)
+    assert read_table(spark, root).count() == 30
+
+
+def test_orphan_files_are_invisible(spark, root):
+    commit_append(_df(spark, 0, 10), root, "r1")
+    _df(spark, 1000, 2000).write.parquet(os.path.join(root, "data", "orphan"))
+    assert read_table(spark, root).count() == 10
+
+
+def test_retry_same_run_id_is_noop(spark, root):
+    commit_append(_df(spark, 0, 10), root, "r1")
+    v = commit_append(_df(spark, 0, 10), root, "r1")
+    assert v == 1
+    assert current_version(root) == 1
+    assert read_table(spark, root).count() == 10
+
+
+def test_time_travel_pins_old_snapshot(spark, root):
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 30), root, "r2")
+    assert read_table(spark, root, version=1).count() == 10
+    assert read_table(spark, root, version=2).count() == 30
+
+
+def test_version_race_retries_not_overwrites(spark, root):
+    """A competing writer grabs the next version file between our
+    staging and publish; the commit must land at a HIGHER version with
+    the competitor's manifest intact."""
+    commit_append(_df(spark, 0, 5), root, "r1")
+    # competitor publishes v2 out from under us
+    competitor = {
+        "version": 2,
+        "files": json.load(
+            open(os.path.join(root, "_manifest", "v0000000001.json"))
+        )["files"],
+        "run_ids": ["r1", "competitor"],
+    }
+    with open(os.path.join(root, "_manifest", "v0000000002.json"), "x") as f:
+        json.dump(competitor, f)
+    v = commit_append(_df(spark, 5, 9), root, "r2")
+    assert v == 3
+    # competitor's manifest untouched, our commit builds on it
+    assert read_table(spark, root).count() == 9
+    assert current_version(root) == 3
+
+
+def test_read_empty_table_raises(spark, root):
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root)
