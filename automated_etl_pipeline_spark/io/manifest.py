@@ -101,6 +101,55 @@ def commit_append(df: DataFrame, root: str, run_id: str) -> int:
             continue  # lost the race; re-read and retry at N+2
 
 
+def commit_rewrite(df: DataFrame, root: str, run_id: str) -> int:
+    """Stage ``df`` and publish a manifest naming ONLY the new files —
+    the compaction/rewrite commit: the logical table content is
+    whatever ``df`` holds, and the previously-live files drop out of
+    the new snapshot while remaining referenced by OLDER manifests
+    (time travel keeps working; a vacuum step would delete files no
+    manifest within the retention window names — documented, not
+    implemented).  Same idempotence and optimistic-versioning rules as
+    ``commit_append``."""
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    v = current_version(root)
+    prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
+    if run_id in prev["run_ids"]:
+        return v
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(stage)
+    new_files = sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    while True:
+        v = current_version(root)
+        cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
+        if run_id in cur["run_ids"]:
+            return v
+        manifest = {
+            "version": v + 1,
+            "files": new_files,
+            "run_ids": cur["run_ids"] + [run_id],
+        }
+        path = os.path.join(_manifest_dir(root), f"v{v + 1:010d}.json")
+        try:
+            with open(path, "x") as f:
+                json.dump(manifest, f)
+            return v + 1
+        except FileExistsError:
+            continue
+
+
+def manifest_files(root: str, version: int | None = None) -> list[str]:
+    """The file list a snapshot reads — for audits and file-count
+    accounting (compaction planning inputs)."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        return []
+    return list(_read_manifest(root, v)["files"])
+
+
 def read_table(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:

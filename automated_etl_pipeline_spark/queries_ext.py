@@ -6246,3 +6246,176 @@ def manifest_table_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return snap.orderBy("s_nationkey")
+
+
+_CSV_QUARANTINE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 != 0) AS BIGINT)
+         AS n_clean,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 97 = 0) AS BIGINT)
+         AS n_quarantined,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderkey % 97 != 0) AS DOUBLE)
+         AS clean_revenue
+FROM orders WHERE o_orderkey IS NOT NULL
+"""
+
+
+@query("csv_permissive_quarantine", _CSV_QUARANTINE_ORACLE)
+def csv_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine — the PERMISSIVE twin of the S1
+    FAILFAST gate: every 97th order's price is corrupted ('bad<price>')
+    before a CSV round-trip; the re-read uses an explicit schema plus
+    columnNameOfCorruptRecord, so damaged rows land in the quarantine
+    column instead of killing the job OR silently vanishing.  The gate
+    proves the exact split: quarantined count == planted count, clean
+    aggregate == the oracle's aggregate over the undamaged keys — a
+    row misrouted either way shifts a BIGINT.
+
+    Scale: quarantine is scan-time per-row routing (no extra pass);
+    the corrupt column is pruned away on the clean path.  This is the
+    badRecordsPath pattern every production CSV ingest runs; FAILFAST
+    (S1) remains the contract for schema-critical feeds."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    staged = (
+        orders.filter(F.col("o_orderkey").isNotNull())
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0,
+                F.concat(F.lit("bad"), F.col("o_totalprice").cast("string")),
+            )
+            .otherwise(F.col("o_totalprice").cast("string"))
+            .alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="csv_quarantine_") + "/orders"
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    try:
+        staged.write.option("header", True).mode("overwrite").csv(path)
+        back = (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+            # PERMISSIVE populates _corrupt_record lazily from the same
+            # scan; cache() is the documented requirement before
+            # referencing it alongside parsed columns
+            .cache()
+        )
+        bad = F.col("_corrupt_record").isNotNull()
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("n_clean"),
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quarantined"),
+            F.sum(F.when(~bad, F.col("o_totalprice").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("clean_revenue"),
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        back.unpersist()
+        shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
+    return snap
+
+
+_COMPACT_REWRITE_ORACLE = """
+SELECT CAST(15 AS BIGINT) AS n_files_fragmented,
+       CAST(1 AS BIGINT) AS n_files_compacted,
+       CAST(6 AS BIGINT) AS final_version,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_latest,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_pre_compaction,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS bal_latest
+FROM supplier
+"""
+
+
+@query("manifest_compaction_rewrite", _COMPACT_REWRITE_ORACLE)
+def manifest_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction as a REWRITE commit on the manifest table
+    (io/manifest.py): five fragmented appends (3 files each by
+    explicit repartition) are compacted by reading the snapshot and
+    committing a single-file rewrite.  The gate pins the whole ledger:
+    15 fragmented files before, 1 after, version 6 at the end, row
+    counts identical at version 5 (pre-compaction) and 6
+    (post-compaction), and the exact-decimal balance preserved — a
+    compaction that loses or duplicates a row, or a rewrite that
+    appends instead of replacing, shifts a BIGINT.
+
+    Scale: this is the maintenance loop compaction_bin_plan plans for;
+    on a real table the rewrite is per-partition (only touched
+    partitions' files swap) and old files age out via vacuum — the
+    manifest semantics here are exactly those, minus retention."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_rewrite,
+        current_version,
+        manifest_files,
+        read_table,
+    )
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    try:
+        for k in range(5):
+            commit_append(
+                sup.filter(F.col("s_suppkey") % 5 == k).repartition(3),
+                root,
+                f"frag-{k}",
+            )
+        n_frag = len(manifest_files(root))
+        pre = read_table(spark, root).count()
+        compacted = read_table(spark, root).repartition(1)
+        commit_rewrite(compacted, root, "compact-1")
+        n_comp = len(manifest_files(root))
+        ver = current_version(root)
+        latest = read_table(spark, root)
+        agg = latest.agg(
+            F.count(F.lit(1)).alias("n_rows_latest"),
+            dsum("s_acctbal", alias="bal_latest"),
+        ).collect()[0]
+        out = spark.createDataFrame(
+            [
+                (
+                    n_frag,
+                    n_comp,
+                    ver,
+                    agg["n_rows_latest"],
+                    pre,
+                    agg["bal_latest"],
+                )
+            ],
+            "n_files_fragmented long, n_files_compacted long, "
+            "final_version long, n_rows_latest long, "
+            "n_rows_pre_compaction long, bal_latest double",
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap

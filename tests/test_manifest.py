@@ -83,3 +83,32 @@ def test_version_race_retries_not_overwrites(spark, root):
 def test_read_empty_table_raises(spark, root):
     with pytest.raises(FileNotFoundError):
         read_table(spark, root)
+
+
+def test_rewrite_replaces_snapshot_keeps_history(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_rewrite,
+        manifest_files,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 20), root, "r2")
+    n_before = len(manifest_files(root))
+    commit_rewrite(
+        read_table(spark, root).repartition(1), root, "compact"
+    )
+    assert len(manifest_files(root)) == 1 < n_before
+    assert read_table(spark, root).count() == 20
+    # pre-compaction snapshot still readable, fragmented
+    assert read_table(spark, root, version=2).count() == 20
+    assert len(manifest_files(root, version=2)) == n_before
+
+
+def test_rewrite_retry_is_noop(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import commit_rewrite
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_rewrite(_df(spark, 0, 5), root, "rw")
+    v = commit_rewrite(_df(spark, 0, 5), root, "rw")
+    assert v == 2 and current_version(root) == 2
+    assert read_table(spark, root).count() == 5
