@@ -64,10 +64,19 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_append(df: DataFrame, root: str, run_id: str) -> int:
+def commit_append(
+    df: DataFrame, root: str, run_id: str, stats_col: str | None = None
+) -> int:
     """Stage ``df`` as parquet and atomically publish a new manifest
     including it; returns the committed version.  Re-committing an
-    already-committed ``run_id`` is a no-op (idempotent retry)."""
+    already-committed ``run_id`` is a no-op (idempotent retry).
+
+    With ``stats_col`` set, the commit records each new file's
+    [min, max] of that column in the manifest — the zone map that
+    lets ``read_table_pruned`` skip whole files on a range predicate.
+    Stats come from a per-file aggregate here (bounded: files per
+    commit); a production port reads them from the parquet footers
+    the writer already wrote."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = current_version(root)
     prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
@@ -80,6 +89,17 @@ def commit_append(df: DataFrame, root: str, run_id: str) -> int:
         for f in os.listdir(stage)
         if f.endswith(".parquet")
     )
+    new_stats: dict[str, list] = {}
+    if stats_col is not None:
+        from pyspark.sql import functions as F
+
+        for nf in new_files:
+            row = (
+                df.sparkSession.read.parquet(nf)
+                .agg(F.min(stats_col), F.max(stats_col))
+                .collect()[0]
+            )
+            new_stats[nf] = [row[0], row[1]]
     while True:
         v = current_version(root)
         cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
@@ -89,6 +109,7 @@ def commit_append(df: DataFrame, root: str, run_id: str) -> int:
             "version": v + 1,
             "files": cur["files"] + new_files,
             "run_ids": cur["run_ids"] + [run_id],
+            "stats": {**cur.get("stats", {}), **new_stats},
         }
         path = os.path.join(_manifest_dir(root), f"v{v + 1:010d}.json")
         try:
@@ -160,3 +181,40 @@ def read_table(
         raise FileNotFoundError(f"no committed version under {root}")
     files = _read_manifest(root, v)["files"]
     return spark.read.parquet(*files)
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Zone-map file skipping: read only the files whose recorded
+    [min, max] for ``col`` intersects [lo, hi] (files lacking stats —
+    e.g. committed without ``stats_col`` — are conservatively read).
+    Returns (frame, files_total, files_scanned).  The row-level
+    predicate must still be applied by the caller — the zone map
+    prunes FILES, it does not filter rows (exactly parquet row-group
+    skipping one level up)."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _read_manifest(root, v)
+    stats = m.get("stats", {})
+
+    def intersects(f: str) -> bool:
+        if f not in stats:
+            return True  # no zone info: must scan
+        mn, mx = stats[f]
+        if mn is None or mx is None:
+            return True  # all-NULL or statless file: must scan
+        return mn <= hi and mx >= lo
+
+    keep = [f for f in m["files"] if intersects(f)]
+    if not keep:
+        # empty selection: preserve schema via a zero-row read of one file
+        empty = spark.read.parquet(m["files"][0]).limit(0)
+        return empty, len(m["files"]), 0
+    return spark.read.parquet(*keep), len(m["files"]), len(keep)

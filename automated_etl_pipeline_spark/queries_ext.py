@@ -6419,3 +6419,102 @@ def manifest_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return snap
+
+
+_ZONE_MAP_ORACLE = """
+WITH s AS (
+  SELECT * FROM supplier WHERE s_acctbal IS NOT NULL
+), b AS (
+  SELECT s_acctbal,
+         CAST(floor((s_acctbal + 1000.0) / 1100.0) AS INT) AS bin
+  FROM s
+), fb AS (
+  SELECT bin, MIN(s_acctbal) AS mn, MAX(s_acctbal) AS mx
+  FROM b GROUP BY 1
+)
+SELECT CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS files_total,
+       CAST((SELECT COUNT(*) FROM fb
+             WHERE mn <= 9000.0 AND mx >= 7000.0) AS BIGINT)
+         AS files_scanned,
+       CAST((SELECT COUNT(*) FROM b
+             WHERE s_acctbal BETWEEN 7000.0 AND 9000.0) AS BIGINT)
+         AS n_rows_pred,
+       CAST((SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM b
+             WHERE s_acctbal BETWEEN 7000.0 AND 9000.0) AS DOUBLE)
+         AS bal_pred,
+       CAST((SELECT COUNT(*) FROM b
+             WHERE s_acctbal BETWEEN 7000.0 AND 9000.0) AS BIGINT)
+         AS n_rows_fullscan
+"""
+
+
+@query("zone_map_file_skipping", _ZONE_MAP_ORACLE)
+def zone_map_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping over the manifest table (io/manifest.py):
+    suppliers are committed one fixed-width s_acctbal bucket per file
+    with per-file [min, max] recorded at commit time; a range
+    predicate then reads ONLY the intersecting files.  The gate emits
+    the skip ledger — files_total, files_scanned (the oracle derives
+    both from per-bucket extremes), and the predicate result from the
+    PRUNED read proven equal to the full-scan result (n_rows_pred ==
+    n_rows_fullscan, exact-decimal balance) — so a zone map that
+    skips a qualifying file, or fails to skip, shifts a BIGINT.
+
+    Scale: this is min/max data skipping — the reason sorted/z-ordered
+    layouts (operators/zorder.py) pay off: at 100 TB a selective range
+    touches a handful of files instead of the table, before any scan
+    starts.  Stats ride the manifest (parquet footers in production);
+    pruning is driver-side metadata work."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_table,
+        read_table_pruned,
+    )
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    s = sup.filter(F.col("s_acctbal").isNotNull())
+    binned = s.withColumn(
+        "bin",
+        F.floor((F.col("s_acctbal") + 1000.0) / 1100.0).cast("int"),
+    )
+    bins = sorted(
+        r["bin"] for r in binned.select("bin").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_zonemap_")
+    try:
+        for b in bins:
+            commit_append(
+                binned.filter(F.col("bin") == b).drop("bin").coalesce(1),
+                root,
+                f"bin-{b}",
+                stats_col="s_acctbal",
+            )
+        pruned, n_total, n_scanned = read_table_pruned(
+            spark, root, "s_acctbal", 7000.0, 9000.0
+        )
+        pred = F.col("s_acctbal").between(7000.0, 9000.0)
+        agg = pruned.filter(pred).agg(
+            F.count(F.lit(1)).alias("n_rows_pred"),
+            dsum("s_acctbal", alias="bal_pred"),
+        ).collect()[0]
+        full_n = read_table(spark, root).filter(pred).count()
+        out = spark.createDataFrame(
+            [
+                (
+                    n_total,
+                    n_scanned,
+                    agg["n_rows_pred"],
+                    agg["bal_pred"],
+                    full_n,
+                )
+            ],
+            "files_total long, files_scanned long, n_rows_pred long, "
+            "bal_pred double, n_rows_fullscan long",
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap

@@ -112,3 +112,24 @@ def test_rewrite_retry_is_noop(spark, root):
     v = commit_rewrite(_df(spark, 0, 5), root, "rw")
     assert v == 2 and current_version(root) == 2
     assert read_table(spark, root).count() == 5
+
+
+def test_zone_map_prunes_and_is_conservative(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import read_table_pruned
+
+    # three files with disjoint ranges, stats recorded
+    for lo, hi, rid in [(0, 10, "a"), (100, 110, "b"), (200, 210, "c")]:
+        commit_append(
+            _df(spark, lo, hi).coalesce(1), root, rid, stats_col="k"
+        )
+    df, total, scanned = read_table_pruned(spark, root, "k", 100, 105)
+    assert (total, scanned) == (3, 1)
+    assert df.count() == 10  # whole middle file; caller applies row filter
+    # statless commit must be scanned conservatively
+    commit_append(_df(spark, 500, 505).coalesce(1), root, "nostats")
+    df2, total2, scanned2 = read_table_pruned(spark, root, "k", 100, 105)
+    assert (total2, scanned2) == (4, 2)
+    # empty selection keeps the schema
+    df3, _, scanned3 = read_table_pruned(spark, root, "k", -50, -10)
+    assert scanned3 == 1  # only the statless file survives pruning
+    assert df3.columns == ["k"]
