@@ -218,3 +218,31 @@ def read_table_pruned(
         empty = spark.read.parquet(m["files"][0]).limit(0)
         return empty, len(m["files"]), 0
     return spark.read.parquet(*keep), len(m["files"]), len(keep)
+
+
+def read_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change feed: the rows ADDED between two committed versions —
+    exactly the files present in ``to_version`` but not in
+    ``from_version``.  This is what lets a downstream consumer (the
+    streaming CDC merge, an incremental aggregate) tail the table by
+    version number instead of re-reading snapshots.  Only valid across
+    append commits: if a file present at ``from_version`` is gone at
+    ``to_version`` (a rewrite/compaction happened in between), the
+    delta is not representable as additions and this raises — resume
+    from the post-rewrite snapshot instead, as Delta's change feed
+    requires after a non-append commit."""
+    mf = _read_manifest(root, from_version) if from_version else {"files": []}
+    mt = _read_manifest(root, to_version)
+    old, new = set(mf["files"]), set(mt["files"])
+    removed = old - new
+    if removed:
+        raise ValueError(
+            f"non-append commit between v{from_version} and v{to_version}: "
+            f"{len(removed)} file(s) removed; resume from a snapshot"
+        )
+    added = sorted(new - old)
+    if not added:
+        return spark.read.parquet(*sorted(new)).limit(0)
+    return spark.read.parquet(*added)

@@ -6518,3 +6518,73 @@ def zone_map_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return snap
+
+
+_CHANGE_FEED_ORACLE = """
+SELECT CAST(COUNT(*) FILTER (WHERE s_nationkey >= 8)
+            AS BIGINT) AS n_changed_rows,
+       CAST(COUNT(DISTINCT s_nationkey) FILTER (WHERE s_nationkey >= 8)
+            AS BIGINT) AS n_changed_nations,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+              FILTER (WHERE s_nationkey >= 8) AS DOUBLE)
+         AS changed_bal,
+       CAST(COUNT(*) AS BIGINT) AS n_rows_snapshot
+FROM supplier
+"""
+
+
+@query("manifest_change_feed", _CHANGE_FEED_ORACLE)
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-tailing change feed on the manifest table
+    (io/manifest.read_changes): suppliers land in three append commits
+    (nationkey < 8, 8-16, > 16); a consumer that saw version 1 reads
+    the changes up to version 3 and must get EXACTLY the rows of
+    commits 2+3 — the incremental-consumption contract that lets the
+    streaming CDC merge and incremental aggregates tail the table by
+    version instead of re-reading snapshots.  The full snapshot count
+    is emitted alongside as the completeness cross-check.
+
+    Scale: change resolution is driver-side manifest set-difference
+    (file names); the read scans only the added files.  Rewrites
+    in-range raise by design — resume from the post-rewrite snapshot,
+    as any table format's change feed requires."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_changes,
+        read_table,
+    )
+
+    (sup,) = _t(spark, sf_dir, "supplier")
+    root = tempfile.mkdtemp(prefix="spark_graft_changefeed_")
+    try:
+        commit_append(sup.filter(F.col("s_nationkey") < 8), root, "r1")
+        commit_append(
+            sup.filter(F.col("s_nationkey").between(8, 16)), root, "r2"
+        )
+        commit_append(sup.filter(F.col("s_nationkey") > 16), root, "r3")
+        changes = read_changes(spark, root, 1, 3)
+        snap_n = read_table(spark, root).count()
+        agg = changes.agg(
+            F.count(F.lit(1)).alias("n_changed_rows"),
+            F.countDistinct("s_nationkey").alias("n_changed_nations"),
+            dsum("s_acctbal", alias="changed_bal"),
+        ).collect()[0]
+        out = spark.createDataFrame(
+            [
+                (
+                    agg["n_changed_rows"],
+                    agg["n_changed_nations"],
+                    agg["changed_bal"],
+                    snap_n,
+                )
+            ],
+            "n_changed_rows long, n_changed_nations long, "
+            "changed_bal double, n_rows_snapshot long",
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap

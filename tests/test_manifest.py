@@ -133,3 +133,25 @@ def test_zone_map_prunes_and_is_conservative(spark, root):
     df3, _, scanned3 = read_table_pruned(spark, root, "k", -50, -10)
     assert scanned3 == 1  # only the statless file survives pruning
     assert df3.columns == ["k"]
+
+
+def test_read_changes_tails_appends(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_rewrite,
+        read_changes,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 25), root, "r2")
+    commit_append(_df(spark, 25, 30), root, "r3")
+    assert read_changes(spark, root, 1, 2).count() == 15
+    assert read_changes(spark, root, 1, 3).count() == 20
+    assert read_changes(spark, root, 0, 1).count() == 10
+    assert read_changes(spark, root, 2, 2).count() == 0
+    # a rewrite breaks append-tailing across it
+    commit_rewrite(read_table(spark, root).repartition(1), root, "c")
+    with pytest.raises(ValueError):
+        read_changes(spark, root, 3, 4)
+    # but tailing resumes past the rewrite
+    commit_append(_df(spark, 30, 33), root, "r4")
+    assert read_changes(spark, root, 4, 5).count() == 3
