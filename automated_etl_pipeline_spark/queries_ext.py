@@ -6588,3 +6588,75 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return snap
+
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IS NOT NULL
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+@query("bucketed_colocated_join", _BUCKETED_JOIN_ORACLE)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketing: orders and lineitem
+    are written as 8-bucket tables on the join key (bucketBy + sortBy,
+    external-path tables), so the sort-merge join reads both sides
+    ALREADY co-partitioned — no exchange on either join input, the
+    layout IS the shuffle, paid once at write time and amortized over
+    every subsequent join.  This is the standard answer when BOTH
+    sides are too big to broadcast and the join repeats (the fact-fact
+    case broadcast can't touch); tests/test_plans.py asserts the
+    executed plan has zero join-input exchanges and bucketed scans.
+
+    The merge hint pins SMJ so the gate exercises the bucketed path
+    even at gate scale (AQE would otherwise broadcast the small side
+    here — at production scale neither side qualifies)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="spark_graft_buckets_")
+    to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    try:
+        (
+            orders.filter(F.col("o_orderkey").isNotNull())
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", f"{base}/{to}")
+            .saveAsTable(to)
+        )
+        (
+            li.filter(F.col("l_orderkey").isNotNull())
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", f"{base}/{tl}")
+            .saveAsTable(tl)
+        )
+        o = spark.table(to).hint("merge")
+        l = spark.table(tl)
+        out = (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
+        shutil.rmtree(base, ignore_errors=True)
+    return snap.orderBy("o_orderpriority")

@@ -513,3 +513,46 @@ def test_target_overlap_topk_and_hashed_join(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_input_exchange(spark, tmp_path):
+    """The bucketed_colocated_join contract: with both sides written
+    as 8-bucket tables on the join key, the sort-merge join's inputs
+    must arrive WITHOUT an exchange — the layout is the shuffle.  The
+    executed join plan must contain a SortMergeJoin over bucketed
+    scans and zero Exchange nodes."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    to, tl = "bkt_plan_orders", "bkt_plan_lineitem"
+    spark.sql(f"DROP TABLE IF EXISTS {to}")
+    spark.sql(f"DROP TABLE IF EXISTS {tl}")
+    try:
+        (
+            orders.filter(F.col("o_orderkey").isNotNull())
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", str(tmp_path / to))
+            .saveAsTable(to)
+        )
+        (
+            li.filter(F.col("l_orderkey").isNotNull())
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", str(tmp_path / tl))
+            .saveAsTable(tl)
+        )
+        o = spark.table(to).hint("merge")
+        l = spark.table(tl)
+        joined = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+            "o_orderpriority", "l_extendedprice"
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
