@@ -246,3 +246,46 @@ def read_changes(
     if not added:
         return spark.read.parquet(*sorted(new)).limit(0)
     return spark.read.parquet(*added)
+
+
+def vacuum(root: str, keep_last: int = 1) -> list[str]:
+    """Delete data files referenced by NO manifest within the
+    retention window (the newest ``keep_last`` versions) and drop the
+    manifests older than the window; returns the deleted file paths.
+    After a compaction rewrite, this is what reclaims the fragmented
+    files — and it is exactly why retention exists: a reader pinned to
+    a vacuumed version loses its snapshot, so production retention is
+    measured in days, not versions.  Orphan stages (never committed)
+    are also swept, since no retained manifest names them."""
+    newest = current_version(root)
+    if newest == 0:
+        return []
+    lo = max(1, newest - keep_last + 1)
+    live: set[str] = set()
+    for v in range(lo, newest + 1):
+        live.update(_read_manifest(root, v)["files"])
+    deleted: list[str] = []
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for stage in sorted(os.listdir(data_root)):
+            sdir = os.path.join(data_root, stage)
+            parquets = [
+                os.path.join(sdir, f)
+                for f in sorted(os.listdir(sdir))
+                if f.endswith(".parquet")
+            ]
+            dead = [p for p in parquets if p not in live]
+            for p in dead:
+                os.remove(p)
+                deleted.append(p)
+            if not any(p in live for p in parquets):
+                # no live data left in this stage: sweep the sidecars
+                # (_SUCCESS, .crc) and the directory itself
+                import shutil as _sh
+
+                _sh.rmtree(sdir, ignore_errors=True)
+    for v in range(1, lo):
+        mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
+        if os.path.exists(mp):
+            os.remove(mp)
+    return deleted

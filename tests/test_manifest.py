@@ -155,3 +155,37 @@ def test_read_changes_tails_appends(spark, root):
     # but tailing resumes past the rewrite
     commit_append(_df(spark, 30, 33), root, "r4")
     assert read_changes(spark, root, 4, 5).count() == 3
+
+
+def test_vacuum_reclaims_unreferenced_keeps_retained(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_rewrite,
+        manifest_files,
+        vacuum,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 20), root, "r2")
+    # an orphan stage that never committed
+    _df(spark, 900, 910).coalesce(1).write.parquet(
+        os.path.join(root, "data", "orphan")
+    )
+    commit_rewrite(read_table(spark, root).repartition(1), root, "compact")
+    deleted = vacuum(root, keep_last=1)
+    # fragmented files + the orphan are gone; the compacted file lives
+    assert deleted and all("orphan" in p or p not in manifest_files(root) for p in deleted)
+    assert read_table(spark, root).count() == 20
+    # pre-compaction manifests are dropped with their files
+    with pytest.raises(FileNotFoundError):
+        read_table(spark, root, version=1).count()
+
+
+def test_vacuum_respects_retention_window(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import vacuum
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 20), root, "r2")
+    deleted = vacuum(root, keep_last=2)
+    assert deleted == []  # both versions retained -> all files live
+    assert read_table(spark, root, version=1).count() == 10
+    assert read_table(spark, root, version=2).count() == 20
