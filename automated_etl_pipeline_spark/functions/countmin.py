@@ -34,15 +34,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.functions.hashutil import md5_double_hash
+
 DEPTH = 4
 WIDTH = 256
 
 
 def _cells(item: Column) -> list[Column]:
     """One (row, pos) struct per sketch row for ``item``."""
-    d = F.md5(item.cast("string"))
-    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    h1, h2 = md5_double_hash(item)
     return [
         F.struct(
             F.lit(r).alias("r"), ((h1 + F.lit(r) * h2) % WIDTH).alias("pos")

@@ -64,6 +64,11 @@ def extract_text(html: Column) -> Column:
     empty doc, the operators/cleaning.py posture)."""
     out = F.coalesce(html, F.lit(""))
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    # UNCLOSED comment (truncated payload): same degradation contract
+    # as the unclosed content-elements below — drop to end of string,
+    # or the comment body plus a literal '<!--' would leak through the
+    # generic tag strip (r12 review #2)
+    out = F.regexp_replace(out, r"(?s)<!--.*$", " ")
     for el in _CONTENT_ELEMENTS:
         # closer tolerates attribute junk (</script aria>) the way
         # browsers do; \b keeps </scripty> from closing a script

@@ -56,29 +56,32 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     wedges = a.join(
         b, (F.col("a.s") == F.col("b.s")) & (F.col("a.t") < F.col("b.t"))
     ).select(F.col("a.t").alias("wv"), F.col("b.t").alias("ww"))
-    tri = wedges.join(
-        edges, (F.col("wv") == F.col("u")) & (F.col("ww") == F.col("v"))
+    # one pass over the wedge join: edges (u, v) are unique, so the
+    # left join preserves wedge cardinality and count(u) counts the
+    # closed wedges — the expensive O(|E|^1.5) stage runs ONCE
+    wedge_tri = wedges.join(
+        edges, (F.col("wv") == F.col("u")) & (F.col("ww") == F.col("v")), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_wedges_oriented"),
+        F.count("u").alias("n_triangles"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n")).select("n")
     n_edges = edges.agg(F.count(F.lit(1)).alias("n")).select("n")
+    # exact integer: sum d(d-1) is even; >>1 halves without the
+    # double-division rounding that diverges from the oracle past 2^53
     n_wedges_total = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n")
+        F.shiftright(
+            F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint"), 1
+        ).alias("n")
     ).select("n")
-    n_wedges_oriented = wedges.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_triangles = tri.agg(F.count(F.lit(1)).alias("n")).select("n")
-    # five single-row aggregates combined broadcast-style
+    # four single-row aggregates combined broadcast-style
     out = (
         n_nodes.withColumnRenamed("n", "n_nodes")
         .crossJoin(F.broadcast(n_edges.withColumnRenamed("n", "n_edges")))
         .crossJoin(
             F.broadcast(n_wedges_total.withColumnRenamed("n", "n_wedges_total"))
         )
-        .crossJoin(
-            F.broadcast(
-                n_wedges_oriented.withColumnRenamed("n", "n_wedges_oriented")
-            )
-        )
-        .crossJoin(F.broadcast(n_triangles.withColumnRenamed("n", "n_triangles")))
+        .crossJoin(F.broadcast(wedge_tri))
     )
     return out.select(
         F.col("n_nodes").cast("bigint").alias("n_nodes"),

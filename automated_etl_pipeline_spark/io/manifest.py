@@ -64,19 +64,18 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_append(
-    df: DataFrame, root: str, run_id: str, stats_col: str | None = None
+def _commit(
+    df: DataFrame,
+    root: str,
+    run_id: str,
+    files_fn,
+    stats_col: str | None = None,
 ) -> int:
-    """Stage ``df`` as parquet and atomically publish a new manifest
-    including it; returns the committed version.  Re-committing an
-    already-committed ``run_id`` is a no-op (idempotent retry).
-
-    With ``stats_col`` set, the commit records each new file's
-    [min, max] of that column in the manifest — the zone map that
-    lets ``read_table_pruned`` skip whole files on a range predicate.
-    Stats come from a per-file aggregate here (bounded: files per
-    commit); a production port reads them from the parquet footers
-    the writer already wrote."""
+    """Shared commit protocol (stage -> idempotence check -> optimistic
+    exclusive-create retry loop); ``files_fn(cur_files, new_files)``
+    decides the published file list — append vs rewrite differ ONLY
+    there, so the race/retry/idempotence subtleties live in exactly
+    one place (r12 review #7)."""
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = current_version(root)
     prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
@@ -107,7 +106,7 @@ def commit_append(
             return v  # a racing retry of the same run won
         manifest = {
             "version": v + 1,
-            "files": cur["files"] + new_files,
+            "files": files_fn(cur["files"], new_files),
             "run_ids": cur["run_ids"] + [run_id],
             "stats": {**cur.get("stats", {}), **new_stats},
         }
@@ -122,44 +121,33 @@ def commit_append(
             continue  # lost the race; re-read and retry at N+2
 
 
+def commit_append(
+    df: DataFrame, root: str, run_id: str, stats_col: str | None = None
+) -> int:
+    """Stage ``df`` as parquet and atomically publish a new manifest
+    including it; returns the committed version.  Re-committing an
+    already-committed ``run_id`` is a no-op (idempotent retry).
+
+    With ``stats_col`` set, the commit records each new file's
+    [min, max] of that column in the manifest — the zone map that
+    lets ``read_table_pruned`` skip whole files on a range predicate.
+    Stats come from a per-file aggregate here (bounded: files per
+    commit); a production port reads them from the parquet footers
+    the writer already wrote."""
+    return _commit(
+        df, root, run_id, lambda cur, new: cur + new, stats_col=stats_col
+    )
+
+
 def commit_rewrite(df: DataFrame, root: str, run_id: str) -> int:
     """Stage ``df`` and publish a manifest naming ONLY the new files —
     the compaction/rewrite commit: the logical table content is
     whatever ``df`` holds, and the previously-live files drop out of
     the new snapshot while remaining referenced by OLDER manifests
-    (time travel keeps working; a vacuum step would delete files no
-    manifest within the retention window names — documented, not
-    implemented).  Same idempotence and optimistic-versioning rules as
-    ``commit_append``."""
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    v = current_version(root)
-    prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
-    if run_id in prev["run_ids"]:
-        return v
-    stage = os.path.join(root, "data", uuid.uuid4().hex)
-    df.write.mode("errorifexists").parquet(stage)
-    new_files = sorted(
-        os.path.join(stage, f)
-        for f in os.listdir(stage)
-        if f.endswith(".parquet")
-    )
-    while True:
-        v = current_version(root)
-        cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
-        if run_id in cur["run_ids"]:
-            return v
-        manifest = {
-            "version": v + 1,
-            "files": new_files,
-            "run_ids": cur["run_ids"] + [run_id],
-        }
-        path = os.path.join(_manifest_dir(root), f"v{v + 1:010d}.json")
-        try:
-            with open(path, "x") as f:
-                json.dump(manifest, f)
-            return v + 1
-        except FileExistsError:
-            continue
+    (time travel keeps working; ``vacuum`` reclaims files outside the
+    retention window).  Same idempotence and optimistic-versioning
+    rules as ``commit_append``."""
+    return _commit(df, root, run_id, lambda cur, new: new)
 
 
 def manifest_files(root: str, version: int | None = None) -> list[str]:
@@ -248,15 +236,26 @@ def read_changes(
     return spark.read.parquet(*added)
 
 
-def vacuum(root: str, keep_last: int = 1) -> list[str]:
+def vacuum(
+    root: str, keep_last: int = 1, min_orphan_age_s: float = 86400.0
+) -> list[str]:
     """Delete data files referenced by NO manifest within the
     retention window (the newest ``keep_last`` versions) and drop the
     manifests older than the window; returns the deleted file paths.
     After a compaction rewrite, this is what reclaims the fragmented
     files — and it is exactly why retention exists: a reader pinned to
     a vacuumed version loses its snapshot, so production retention is
-    measured in days, not versions.  Orphan stages (never committed)
-    are also swept, since no retained manifest names them."""
+    measured in days, not versions.
+
+    Files that appear in no manifest AT ALL are ambiguous: they are
+    either abandoned orphans or a concurrent writer's stage that has
+    not published yet — deleting the latter would let its commit
+    point at missing files.  So unreferenced files are swept only
+    when older than ``min_orphan_age_s`` (default one day, Delta's
+    convention); files referenced by an EXPIRED manifest were
+    committed and superseded, hence always safe to reclaim."""
+    import time
+
     newest = current_version(root)
     if newest == 0:
         return []
@@ -264,6 +263,12 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
     live: set[str] = set()
     for v in range(lo, newest + 1):
         live.update(_read_manifest(root, v)["files"])
+    ever_referenced: set[str] = set()
+    for v in range(1, newest + 1):
+        mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
+        if os.path.exists(mp):
+            ever_referenced.update(_read_manifest(root, v)["files"])
+    cutoff = time.time() - min_orphan_age_s
     deleted: list[str] = []
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
@@ -274,12 +279,26 @@ def vacuum(root: str, keep_last: int = 1) -> list[str]:
                 for f in sorted(os.listdir(sdir))
                 if f.endswith(".parquet")
             ]
-            dead = [p for p in parquets if p not in live]
+
+            def _dead(p: str) -> bool:
+                if p in live:
+                    return False
+                if p in ever_referenced:
+                    return True  # committed then superseded: safe
+                try:  # never committed: in-flight until aged out
+                    return os.path.getmtime(p) < cutoff
+                except OSError:
+                    return False
+            dead = [p for p in parquets if _dead(p)]
             for p in dead:
                 os.remove(p)
                 deleted.append(p)
-            if not any(p in live for p in parquets):
-                # no live data left in this stage: sweep the sidecars
+            remaining = [p for p in parquets if p not in dead]
+            sweep_dir = (parquets and not remaining) or (
+                not parquets and os.path.getmtime(sdir) < cutoff
+            )  # a parquet-less stage may be a writer mid-stage: age-gate it
+            if sweep_dir:
+                # no data left in this stage: sweep the sidecars
                 # (_SUCCESS, .crc) and the directory itself
                 import shutil as _sh
 

@@ -47,14 +47,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from automated_etl_pipeline_spark.functions.hashutil import md5_double_hash
+
 M_BITS = 1024
 K_HASHES = 4
 
 
 def _positions(key: Column) -> list[Column]:
-    d = F.md5(key.cast("string"))
-    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    h1, h2 = md5_double_hash(key)
     return [(h1 + F.lit(i) * h2) % M_BITS for i in range(K_HASHES)]
 
 

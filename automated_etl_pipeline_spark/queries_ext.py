@@ -5671,8 +5671,11 @@ def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         planned.select(
+            # exact long division (div), not floor(double /): the
+            # double path rounds past 2^53 and can land one bin off
+            # the oracle's integer // (r12 review #5)
             F.least(
-                F.floor(F.col("prev_cum") * 8 / F.col("total")), F.lit(7)
+                F.expr("(prev_cum * 8) div total"), F.lit(7)
             )
             .cast("bigint")
             .alias("bin_id"),
@@ -6310,6 +6313,7 @@ def csv_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("_corrupt_record", StringType()),
         ]
     )
+    back = None
     try:
         staged.write.option("header", True).mode("overwrite").csv(path)
         back = (
@@ -6336,7 +6340,8 @@ def csv_permissive_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         snap = spark.createDataFrame(out.collect(), out.schema)
     finally:
-        back.unpersist()
+        if back is not None:
+            back.unpersist()
         shutil.rmtree(path.rsplit("/", 1)[0], ignore_errors=True)
     return snap
 

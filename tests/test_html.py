@@ -111,3 +111,18 @@ def test_nesting_property(spark, words, seed):
     html = _wrap(words, random.Random(seed))
     [got] = _run(spark, [f"<html><body>{html}</body></html>"])
     assert got == " ".join(words)
+
+
+def test_unclosed_comment_does_not_leak(spark):
+    """Truncated payload ending mid-comment: the comment body and the
+    literal '<!--' must degrade to whitespace, matching the unclosed
+    content-element contract (r12 review #2)."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.functions.html import extract_text
+
+    df = spark.createDataFrame(
+        [("visible text <!-- tracking boilerplate <div>x",)], "h string"
+    )
+    got = df.select(extract_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert got == "visible text"

@@ -171,7 +171,9 @@ def test_vacuum_reclaims_unreferenced_keeps_retained(spark, root):
         os.path.join(root, "data", "orphan")
     )
     commit_rewrite(read_table(spark, root).repartition(1), root, "compact")
-    deleted = vacuum(root, keep_last=1)
+    # min_orphan_age_s=-1: treat the just-written orphan as aged out
+    # (production default is a day — in-flight stages must survive)
+    deleted = vacuum(root, keep_last=1, min_orphan_age_s=-1)
     # fragmented files + the orphan are gone; the compacted file lives
     assert deleted and all("orphan" in p or p not in manifest_files(root) for p in deleted)
     assert read_table(spark, root).count() == 20
@@ -189,3 +191,19 @@ def test_vacuum_respects_retention_window(spark, root):
     assert deleted == []  # both versions retained -> all files live
     assert read_table(spark, root, version=1).count() == 10
     assert read_table(spark, root, version=2).count() == 20
+
+
+def test_vacuum_spares_young_inflight_stage(spark, root):
+    """A staged-but-unpublished commit (a concurrent writer between
+    staging and manifest create) must survive vacuum: unreferenced
+    files are swept only past min_orphan_age_s."""
+    from automated_etl_pipeline_spark.io.manifest import vacuum
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    # simulate a writer mid-commit: staged files, no manifest yet
+    _df(spark, 50, 60).coalesce(1).write.parquet(
+        os.path.join(root, "data", "inflight")
+    )
+    deleted = vacuum(root, keep_last=1)  # default: one-day orphan age
+    assert deleted == []
+    assert os.path.isdir(os.path.join(root, "data", "inflight"))
