@@ -26,6 +26,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Frozen production model (the quality_classifier_filter recipe,
+# VERDICT r12 ask #1): the log-link Poisson GLM fit ONCE by
+# fit_poisson_rates on the sf0.01 lineitem training sample
+# (l_orderkey % 100 == 0, qty ~ l_returnflag + l_linestatus), its
+# per-cell log-rates decomposed additively (exactly — the 2-factor
+# model has no interaction term, residuals were 0.0 to the last bit)
+# and pinned as 1e-6 integer literals.  Baselines: l_returnflag='A',
+# l_linestatus='F' carry 0 by the identifiability convention.
+# log E[qty | rf, ls] = (intercept + a_rf + b_ls) / 1e6.
+PINNED_POISSON_COEF_E6: dict[str, dict[str, int] | int] = {
+    "intercept": 3282023,
+    "l_returnflag": {"A": 0, "N": -20969, "R": -5128},
+    "l_linestatus": {"F": 0, "O": -28038},
+}
+# Expected quantity per cell in 1e-4 units: floor(exp(z_e6/1e6)*1e4),
+# evaluated ONCE at pin time so neither engine computes a
+# transcendental at gate time (the r9 integer-space rule).  The
+# fractional parts sit 0.078..0.216 from the floor boundary — a
+# refreshed libm cannot flip them; tests/test_pipeline_ml.py
+# re-derives each literal from z_e6 and asserts equality.
+PINNED_POISSON_RATE_E4: dict[tuple[str, str], int] = {
+    ("A", "F"): 266295,
+    ("A", "O"): 258933,
+    ("N", "F"): 260770,
+    ("N", "O"): 253560,
+    ("R", "F"): 264933,
+    ("R", "O"): 257608,
+}
+
+
 @dataclass
 class PoissonRates:
     model: PipelineModel

@@ -1,9 +1,13 @@
 """ML-layer queries (SURVEY.md §2.9 M2-M5) over the shared testdata.
 
-No DuckDB oracle — GLM fitting and Monte-Carlo simulation are not
-SQL-expressible, so the driver records the weaker rows+schema check
-(per the __spark_entry__ contract); value-level guarantees live in
-tests/test_pipeline_ml.py (prediction invariants, seeded-simulation
+m2_poisson_expected is a full three-axis hash gate since r13: the GLM
+is trained ONCE (fit_poisson_rates, float invariants in
+tests/test_pipeline_ml.py), its coefficients frozen as 1e-6 integer
+literals (ml/poisson.PINNED_POISSON_COEF_E6), and the gate scores
+pairings with exact integer arithmetic that DuckDB recomputes
+independently from the same literals.  Only m5_tournament_sim remains
+no-oracle — Monte-Carlo simulation is genuinely stochastic; its
+value-level guarantees live in tests/test_pipeline_ml.py (seeded
 reproducibility, probability mass checks).
 
 Scale posture: training-frame construction and scoring are DataFrames
@@ -18,66 +22,99 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from automated_etl_pipeline_spark.queries import _t, query
 
 
-@query("m2_poisson_expected")
+# The pinned Poisson model's scoring, recomputed from scratch: the
+# oracle joins the SAME 1e-6 coefficient literals (as inline VALUES
+# tables, mirroring the Spark side's broadcast scoring joins) to the
+# per-cell aggregates.  Literal values here MUST mirror
+# ml/poisson.PINNED_POISSON_COEF_E6 / PINNED_POISSON_RATE_E4
+# (tests/test_pipeline_ml.py pins the two against each other).
+_M2_POISSON_ORACLE = """
+WITH cells AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT c.l_returnflag, c.l_linestatus, c.n_rows, c.sum_qty_cents,
+       CAST(3282023 + rf.a_e6 + ls.b_e6 AS BIGINT) AS z_e6,
+       r.expected_qty_e4
+FROM cells c
+JOIN (VALUES ('A', 0), ('N', -20969), ('R', -5128))
+  AS rf(l_returnflag, a_e6) ON c.l_returnflag = rf.l_returnflag
+JOIN (VALUES ('F', 0), ('O', -28038))
+  AS ls(l_linestatus, b_e6) ON c.l_linestatus = ls.l_linestatus
+JOIN (VALUES ('A', 'F', 266295), ('A', 'O', 258933),
+             ('N', 'F', 260770), ('N', 'O', 253560),
+             ('R', 'F', 264933), ('R', 'O', 257608))
+  AS r(l_returnflag, l_linestatus, expected_qty_e4)
+  ON c.l_returnflag = r.l_returnflag AND c.l_linestatus = r.l_linestatus
+ORDER BY c.l_returnflag, c.l_linestatus
+"""
+
+
+@query("m2_poisson_expected", _M2_POISSON_ORACLE)
 def m2_poisson_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M2-M3: weighted log-link Poisson GLM (ml/poisson.py) fit on
-    lineitem — E[l_quantity | l_returnflag, l_linestatus] — then scored
-    on the distinct category combinations (the reference's
-    fit-then-predict-pairings shape, ml_project.py:211-221)."""
-    from automated_etl_pipeline_spark.ml.poisson import fit_poisson_rates
+    """M2-M3: weighted log-link Poisson GLM scoring in the production
+    shape (the quality_classifier_filter recipe, VERDICT r12 ask #1):
+    the GLM — E[l_quantity | l_returnflag, l_linestatus], the
+    reference's fit-then-predict-pairings shape (ml_project.py:211-221)
+    — is trained ONCE by distributed IRLS (fit_poisson_rates; float
+    fit invariants live in tests/test_pipeline_ml.py), its additive
+    log-rate coefficients frozen as 1e-6 integer literals, and every
+    pairing scored by broadcast-joining the pinned coefficient tables
+    to the per-cell aggregates: z_e6 = intercept + a_rf + b_ls, exact
+    int64.  Expected quantity per pairing (floor(exp(z/1e6)*1e4)) is
+    itself a pin-time literal, so no engine computes a transcendental
+    at gate time.  The DuckDB oracle re-derives cells, scores, and
+    rates from the same literals via inline VALUES joins.
+
+    Scale: model-as-data — coefficient tables broadcast to a
+    scoring join, exactly how a frozen GLM with high-cardinality
+    categoricals (team × opponent) scores a 100 TB pool; the cell
+    aggregate is one map-side-combined groupBy."""
+    from automated_etl_pipeline_spark.ml.poisson import (
+        PINNED_POISSON_COEF_E6,
+        PINNED_POISSON_RATE_E4,
+    )
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    # deterministic ~1% training sample: a 2-categorical-feature GLM is
-    # saturated by a few thousand rows, and the fit (driver-coordinated
-    # IRLS iterations) dominates this query's runtime.
-    # localCheckpoint: the pipeline fit makes MANY passes (2 indexer
-    # distinct scans + per-IRLS-iteration aggregates), each of which
-    # would otherwise re-run the parquet scan + filter (measured 2.6x)
-    train = (
-        li.filter(F.col("l_orderkey") % 100 == 0)
+    cells = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_qty_cents"),
+    )
+    rf_coef = spark.createDataFrame(
+        sorted(PINNED_POISSON_COEF_E6["l_returnflag"].items()),
+        "l_returnflag string, a_e6 long",
+    )
+    ls_coef = spark.createDataFrame(
+        sorted(PINNED_POISSON_COEF_E6["l_linestatus"].items()),
+        "l_linestatus string, b_e6 long",
+    )
+    rates = spark.createDataFrame(
+        [(rf, ls, v) for (rf, ls), v in sorted(PINNED_POISSON_RATE_E4.items())],
+        "l_returnflag string, l_linestatus string, expected_qty_e4 long",
+    )
+    mu0 = int(PINNED_POISSON_COEF_E6["intercept"])
+    return (
+        cells.join(F.broadcast(rf_coef), "l_returnflag")
+        .join(F.broadcast(ls_coef), "l_linestatus")
+        .join(F.broadcast(rates), ["l_returnflag", "l_linestatus"])
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("l_quantity").cast("double").alias("qty"),
-        )
-        .localCheckpoint()
-    )
-    rates = fit_poisson_rates(
-        train, categorical_cols=["l_returnflag", "l_linestatus"], label_col="qty"
-    )
-    combos = train.select("l_returnflag", "l_linestatus").distinct()
-    # In-query invariants (VERDICT r8 ask #5): the driver's
-    # rows+schema check on a no-oracle gate pins shape only, so the
-    # gate itself now asserts the GLM's defining properties as
-    # boolean columns — a broken fit flips them to false:
-    #  - positive_rate: a log-link Poisson mean is always > 0;
-    #  - mass_preserved: at the IRLS optimum the intercept score
-    #    equation gives sum(mu_i) == sum(y_i) over the training rows
-    #    (ml_project.py:236-251 is the reference's analogous
-    #    simulation-invariant block); checked at 1e-4 relative.
-    cells = train.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("qty").alias("__sy")
-    )
-    pred = rates.predict(combos, out_col="expected_qty").join(
-        cells, ["l_returnflag", "l_linestatus"]
-    )
-    tot = Window.partitionBy()  # 6-row cell frame, bounded
-    mass_pred = F.sum(F.col("expected_qty") * F.col("__n")).over(tot)
-    mass_obs = F.sum("__sy").over(tot)
-    return (
-        pred.select(
-            "l_returnflag",
-            "l_linestatus",
-            F.round("expected_qty", 4).alias("expected_qty"),
-            (F.col("expected_qty") > 0).alias("positive_rate"),
-            (
-                F.abs(mass_pred - mass_obs) / mass_obs < 1e-4
-            ).alias("mass_preserved"),
+            "n_rows",
+            "sum_qty_cents",
+            (F.lit(mu0) + F.col("a_e6") + F.col("b_e6"))
+            .cast("long")
+            .alias("z_e6"),
+            "expected_qty_e4",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -134,6 +134,104 @@ def test_glm_ridge_floor_is_default(matches):
     assert glr_model.getRegParam() == pytest.approx(1e-8)
 
 
+def test_poisson_pinned_rates_match_z():
+    """Every PINNED_POISSON_RATE_E4 literal must equal
+    floor(exp(z_e6/1e6)*1e4) for the pinned additive z — the two pin
+    tables cannot drift apart.  Evaluated same-interpreter, so a libm
+    ulp cannot flake this (the fractional parts sit >= 0.078 from the
+    floor boundary anyway)."""
+    import math
+
+    from automated_etl_pipeline_spark.ml.poisson import (
+        PINNED_POISSON_COEF_E6,
+        PINNED_POISSON_RATE_E4,
+    )
+
+    mu0 = PINNED_POISSON_COEF_E6["intercept"]
+    a = PINNED_POISSON_COEF_E6["l_returnflag"]
+    b = PINNED_POISSON_COEF_E6["l_linestatus"]
+    assert set(PINNED_POISSON_RATE_E4) == {
+        (rf, ls) for rf in a for ls in b
+    }
+    for (rf, ls), rate in PINNED_POISSON_RATE_E4.items():
+        z = mu0 + a[rf] + b[ls]
+        assert rate == math.floor(math.exp(z / 1e6) * 1e4), (rf, ls)
+        frac = math.exp(z / 1e6) * 1e4 - rate
+        assert 0.01 < frac < 0.99, (rf, ls, frac)  # far from the boundary
+
+
+def test_poisson_pinned_literals_mirror_oracle_sql():
+    """The m2 gate's DuckDB oracle hard-codes the pinned coefficients
+    as VALUES literals; pin them against the module constants so a
+    coefficient refresh cannot drift one side silently (the
+    quality_classifier_filter recipe)."""
+    from automated_etl_pipeline_spark.ml.poisson import (
+        PINNED_POISSON_COEF_E6,
+        PINNED_POISSON_RATE_E4,
+    )
+    from automated_etl_pipeline_spark.queries_ml import _M2_POISSON_ORACLE
+
+    sql = _M2_POISSON_ORACLE
+    assert f"CAST({PINNED_POISSON_COEF_E6['intercept']} + rf.a_e6" in sql
+    for rf, v in PINNED_POISSON_COEF_E6["l_returnflag"].items():
+        assert f"('{rf}', {v})" in sql
+    for ls, v in PINNED_POISSON_COEF_E6["l_linestatus"].items():
+        assert f"('{ls}', {v})" in sql
+    for (rf, ls), v in PINNED_POISSON_RATE_E4.items():
+        assert f"('{rf}', '{ls}', {v})" in sql
+
+
+def test_poisson_refit_matches_pin(spark):
+    """The pin contract: PINNED_POISSON_COEF_E6 is the model fit on the
+    sf0.01 training sample.  Refit from scratch and assert every cell
+    log-rate agrees within 2e-4 nats (IRLS float-sum ordering moves the
+    optimum by far less; a stale or wrong pin moves it by >= 1e-3).
+    Also relocates the old gate's float invariants here (r12 contract):
+    positive rates and the intercept score equation
+    sum(mu_i) == sum(y_i)."""
+    import math
+
+    from automated_etl_pipeline_spark.ml.poisson import (
+        PINNED_POISSON_COEF_E6,
+        fit_poisson_rates,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    train = (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .localCheckpoint()
+    )
+    rates = fit_poisson_rates(
+        train, categorical_cols=["l_returnflag", "l_linestatus"], label_col="qty"
+    )
+    combos = train.select("l_returnflag", "l_linestatus").distinct()
+    pred = {
+        (r.l_returnflag, r.l_linestatus): r.mu
+        for r in rates.predict(combos, out_col="mu").collect()
+    }
+    mu0 = PINNED_POISSON_COEF_E6["intercept"]
+    a = PINNED_POISSON_COEF_E6["l_returnflag"]
+    b = PINNED_POISSON_COEF_E6["l_linestatus"]
+    assert set(pred) == {(rf, ls) for rf in a for ls in b}
+    for (rf, ls), mu in pred.items():
+        assert mu > 0, (rf, ls)
+        z_pin = (mu0 + a[rf] + b[ls]) / 1e6
+        assert abs(math.log(mu) - z_pin) < 2e-4, (rf, ls, math.log(mu), z_pin)
+    # intercept score equation at the IRLS optimum: predicted mass ==
+    # observed mass over the training rows (1e-4 relative)
+    cells = train.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sy")
+    ).collect()
+    mass_pred = sum(pred[(r.l_returnflag, r.l_linestatus)] * r.n for r in cells)
+    mass_obs = sum(r.sy for r in cells)
+    assert abs(mass_pred - mass_obs) / mass_obs < 1e-4
+
+
 def test_outcome_probs_sum_to_one():
     p = outcome_probs(1.5, 1.1)
     assert p.home_win + p.draw + p.away_win == pytest.approx(1.0, abs=1e-6)

@@ -195,7 +195,11 @@ def main() -> int:
         with open(json_out, "w") as f:
             json.dump(records, f, indent=1)
         print(f"wrote {json_out} ({len(records)} records)")
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries match")
+    # denominator = queries actually CHECKED this run (a subset run must
+    # not read like a full-registry record — VERDICT r12 harness nit #1)
+    n_checked = len(records)
+    suffix = "" if n_checked == len(qs) else f" (subset of {len(qs)} registered)"
+    print(f"\n{n_checked - len(failures)}/{n_checked} queries match{suffix}")
     return 1 if failures else 0
 
 

@@ -45,7 +45,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as entry
 
-    spark = get_spark()
+    # no console progress bars: the \r fragments glue onto report lines
+    # when redirected to a file (VERDICT r12 harness nit #2)
+    spark = get_spark(extra_conf={"spark.ui.showConsoleProgress": "false"})
     qs = entry.queries()
     for name in sorted(qs):
         try:
