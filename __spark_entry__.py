@@ -60,6 +60,10 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # r12: rebuilt_checksum re-reduced mod 1e12 after an exact decimal
     # sum (r11 ADVICE: bare long sum wraps past ~9.2M docs/bucket).
     "line_dedup_rebuild": 12,
+    # r13: pinned-coefficient integer scoring replaces the no-oracle
+    # IRLS-invariant contract (VERDICT r12 ask #1) — prior rows-only
+    # greens are stale.
+    "m2_poisson_expected": 13,
 }
 
 

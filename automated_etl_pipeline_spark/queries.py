@@ -99,6 +99,35 @@ def probe(name: str, oracle: str):
     return deco
 
 
+# Retired gates (VERDICT r12 ask #2): solved single-purpose registry
+# entries whose semantics a parent gate subsumes (a cascade stage whose
+# e2e parent is gated, the DISTINCT case of a gated ALL-variant, a
+# window shape a broader gate also exercises).  Keeping them in the
+# driver registry spends rotation slots and bench seconds re-proving
+# solved problems — at 225 gates / ~50 sampled per round, worst-case
+# staleness was 4.5 rounds.  Retired gates keep their FULL three-axis
+# oracle contract: tests/test_retired_gates.py checks every one against
+# its DuckDB oracle on each pytest run (same compare as
+# tools/check_correctness.py).  If a parent goes driver-red, flip the
+# relevant retirees back to @query so the rotation localizes the stage.
+RETIRED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+RETIRED_ORACLES: dict[str, str] = {}
+# name -> the registry gate(s) that subsume it (documentation + the
+# shape test asserts every entry names a live registry gate)
+RETIRED_SUBSUMED: dict[str, str] = {}
+
+
+def retired_query(name: str, oracle: str | None = None, *, subsumed_by: str):
+    def deco(fn):
+        RETIRED[name] = fn
+        if oracle is not None:
+            RETIRED_ORACLES[name] = oracle
+        RETIRED_SUBSUMED[name] = subsumed_by
+        return fn
+
+    return deco
+
+
 # ----------------------------------------------------------------------
 # Flagship (SURVEY.md §7.1): scan → groupBy multi-agg → orderBy.
 # A2 multi-aggregate + A5 aliased outputs (ml_project.py:131-132).
@@ -531,7 +560,7 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- set ops (SURVEY.md §2.6).
-@query(
+@retired_query(
     "set_intersect",
     """
     SELECT c_nationkey AS nation_key FROM customer
@@ -539,6 +568,7 @@ def a5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_nationkey FROM supplier
     ORDER BY nation_key
     """,
+    subsumed_by="set_intersect_all",
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, supplier = _t(spark, sf_dir, "customer", "supplier")
@@ -549,7 +579,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "set_except",
     """
     SELECT DISTINCT o_orderdate AS d FROM orders
@@ -557,6 +587,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT l_shipdate FROM lineitem
     ORDER BY d
     """,
+    subsumed_by="set_except_all",
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT DISTINCT (order dates on which nothing shipped) — chosen
@@ -631,7 +662,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "pagination_offset",
     """
     SELECT o_orderkey, o_totalprice
@@ -639,6 +670,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25 OFFSET 50
     """,
+    subsumed_by="w2_topk_count + w4_window_rank",
 )
 def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless pagination (page 3 of a price-ranked listing): ORDER BY
@@ -660,7 +692,7 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "histogram_price_buckets",
     """
     SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
@@ -668,6 +700,7 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY bucket ORDER BY bucket
     """,
+    subsumed_by="equi_depth_histogram + doc_length_histogram",
 )
 def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (50k-wide price buckets): the profiling
@@ -691,7 +724,7 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "filtered_agg_orders",
     """
     SELECT o_orderpriority,
@@ -704,6 +737,7 @@ def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS big_spenders
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    subsumed_by="dq_orders_checks + q12_late_shipment_priority",
 )
 def filtered_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (SQL FILTER clause): several
@@ -785,7 +819,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "grouped_concat_topk",
     """
     WITH r AS (
@@ -799,6 +833,7 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r WHERE rn <= 3
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    subsumed_by="user_journey_top_paths + top_terms_per_lang",
 )
 def grouped_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic group-concat (string_agg / GROUP_CONCAT): the
@@ -1071,7 +1106,7 @@ def star_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 # events: batch event-time windows + JSON props (SURVEY.md §2.7/§2.8)
 # ----------------------------------------------------------------------
-@query(
+@retired_query(
     "events_tumbling_1h",
     """
     SELECT date_trunc('hour', ts) AS window_start,
@@ -1079,6 +1114,7 @@ def star_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY window_start ORDER BY window_start
     """,
+    subsumed_by="events_sliding_1h_15m + streaming_tumbling_1h",
 )
 def events_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window as batch groupBy(window(...)) — the

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from automated_etl_pipeline_spark.queries import _t, dsum, probe, query
+from automated_etl_pipeline_spark.queries import _t, dsum, probe, query, retired_query
 
 
 @query(
@@ -70,7 +70,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "percentile_price",
     """
     SELECT l_returnflag,
@@ -79,6 +79,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
+    subsumed_by="approx_percentile_price + weighted_median_price + equi_depth_histogram",
 )
 def percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -262,7 +263,7 @@ def f4_initcap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
-@query(
+@retired_query(
     "above_nation_avg_balance",
     """
     SELECT c_custkey, c_acctbal, nation_avg FROM (
@@ -274,6 +275,7 @@ def f4_initcap_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE c_acctbal > nation_avg
     ORDER BY c_custkey
     """,
+    subsumed_by="q17_scalar_subquery + q22_idle_balances",
 )
 def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated-subquery pattern (balance above nation average)
@@ -292,7 +294,7 @@ def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "first_last_order",
     """
     SELECT DISTINCT o_custkey,
@@ -304,6 +306,7 @@ def above_nation_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY o_custkey
     """,
+    subsumed_by="window_first_last_nth",
 )
 def first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
@@ -375,7 +378,7 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q17_SCALAR_SQL)
 
 
-@query(
+@retired_query(
     "event_funnel_conversion",
     """
     WITH firsts AS (
@@ -389,6 +392,7 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND first_purchase > first_signup) AS n_converted
     FROM firsts
     """,
+    subsumed_by="events_funnel_conversion",
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel (signup → later purchase) in one conditional-aggregation
@@ -772,7 +776,7 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(orders, checks).orderBy("check_name")
 
 
-@query(
+@retired_query(
     "rolling_avg_order_price",
     """
     SELECT o_custkey, o_orderkey,
@@ -783,6 +787,7 @@ def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     ORDER BY o_custkey, o_orderkey
     """,
+    subsumed_by="rolling_90d_peak_spend + rolling_anomaly_zscores",
 )
 def rolling_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-order moving average per customer — a ROWS-framed sliding
@@ -1004,7 +1009,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start")
 
 
-@query(
+@retired_query(
     "mom_order_growth",
     """
     WITH monthly AS (
@@ -1017,6 +1022,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mom_growth
     FROM monthly ORDER BY order_month
     """,
+    subsumed_by="customer_order_gaps + trend_slope_per_key",
 )
 def mom_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-aggregate composition: monthly revenue plus
@@ -1069,7 +1075,7 @@ def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "nation_revenue_share",
     """
     WITH per_nation AS (
@@ -1084,6 +1090,7 @@ def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(revenue / SUM(revenue) OVER (), 6) AS share
     FROM per_nation ORDER BY n_name
     """,
+    subsumed_by="q8_market_share + q14_promo_revenue_share",
 )
 def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total: per-nation revenue over a window-summed global
@@ -1417,7 +1424,7 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scd2_priority_history_chunked", _SCD2_PRIORITY_ORACLE)
+@retired_query("scd2_priority_history_chunked", _SCD2_PRIORITY_ORACLE, subsumed_by="scd2_priority_history")
 def scd2_priority_history_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scd2_priority_history via the hot-key-safe chunked operator
     (operators/scd.scd2_history_chunked): the change stream is
@@ -2193,7 +2200,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "ntile_quartile_spend",
     """
     WITH spend AS (
@@ -2208,6 +2215,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(s) AS DOUBLE) AS max_spend
     FROM q GROUP BY quartile ORDER BY quartile
     """,
+    subsumed_by="window_ntile_quartiles",
 )
 def ntile_quartile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-surface breadth: ntile bucketing over a pre-aggregated series

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from automated_etl_pipeline_spark.io.sources import spread
-from automated_etl_pipeline_spark.queries import _t, probe, query
+from automated_etl_pipeline_spark.queries import _t, probe, query, retired_query
 
 # ----------------------------------------------------------------------
 # Deduplication (exact). Scale: one shuffle on the 128-bit content hash;
@@ -28,7 +28,7 @@ from automated_etl_pipeline_spark.queries import _t, probe, query
 # ----------------------------------------------------------------------
 
 
-@query(
+@retired_query(
     "dedup_exact",
     """
     SELECT md5(text) AS content_hash,
@@ -36,6 +36,7 @@ from automated_etl_pipeline_spark.queries import _t, probe, query
            COUNT(*) AS n_copies
     FROM documents GROUP BY content_hash ORDER BY content_hash
     """,
+    subsumed_by="corpus_curation_e2e + dedup_cascade_stats (exact stage)",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the lowest doc_id."""
@@ -50,7 +51,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "dedup_fingerprint",
     """
     SELECT fingerprint,
@@ -62,6 +63,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) GROUP BY fingerprint ORDER BY fingerprint
     """,
+    subsumed_by="corpus_curation_e2e + dedup_cascade_stats (fingerprint stage)",
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-fingerprint near-dup candidates: hash of the first 8
@@ -229,7 +231,7 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "bpe_pair_merge_counts",
     """
     WITH tok AS (
@@ -243,6 +245,7 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pairs GROUP BY pair
     ORDER BY n DESC, pair LIMIT 20
     """,
+    subsumed_by="bpe_fidelity_roundtrip",
 )
 def bpe_pair_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One round of BPE-style merge statistics — the kernel of
@@ -315,7 +318,7 @@ def _cosine_to_query(emb: DataFrame, query_vec_id: int) -> DataFrame:
     return both.select("vec_id", "label", sim.alias("cosine_sim"))
 
 
-@query(
+@retired_query(
     "ann_cosine_topk",
     """
     WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
@@ -331,6 +334,7 @@ def _cosine_to_query(emb: DataFrame, query_vec_id: int) -> DataFrame:
     FROM embeddings e CROSS JOIN q
     ORDER BY cosine_sim DESC, vec_id LIMIT 20
     """,
+    subsumed_by="ann_ivf_topk + ann_int8_topk",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 to the vec_id=0 embedding — the exact
@@ -418,7 +422,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sh.with_simhash(spread(docs)).orderBy("doc_id")
 
 
-@query("dedup_simhash_pairs", _sh.pairs_oracle_sql(max_hamming=3))
+@retired_query(
+    "dedup_simhash_pairs",
+    _sh.pairs_oracle_sql(max_hamming=3),
+    subsumed_by="dedup_simhash",
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs between distinct-fingerprint
     representatives: 4x16-bit quarter banding (complete for hamming <= 3
@@ -938,7 +946,11 @@ def _clusters_oracle() -> str:
     """
 
 
-@query("dedup_minhash_clusters", _clusters_oracle())
+@retired_query(
+    "dedup_minhash_clusters",
+    _clusters_oracle(),
+    subsumed_by="dedup_minhash_lsh + cc_stars_clusters",
+)
 def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: every document labeled with the
     min doc_id of its connected component in the jaccard>=0.8 MinHash
@@ -1327,7 +1339,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removal_spans(spread(docs), w=_SPAN_W)
 
 
-@query(
+@retired_query(
     "dedup_exact_spans",
     f"""
     WITH tok AS (
@@ -1353,6 +1365,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc p JOIN tok USING (doc_id)
     ORDER BY doc_id
     """,
+    subsumed_by="dedup_span_removal + curation_suffix_e2e",
 )
 def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (the exact-substring dedup
@@ -4117,7 +4130,7 @@ FROM fullpos GROUP BY 1 ORDER BY 1
 """
 
 
-@query("suffix_array_stats", _SUFFIX_STATS_ORACLE)
+@retired_query("suffix_array_stats", _SUFFIX_STATS_ORACLE, subsumed_by="curation_suffix_e2e")
 def suffix_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array exact-substring statistics (dedup/suffix_array.py,
     Lee et al. arXiv:2107.06499 semantics), three-axis hash-gated
@@ -4567,7 +4580,7 @@ FROM doc GROUP BY 1 ORDER BY 1
 """
 
 
-@query("suffix_span_removal", _SUFFIX_SPANS_ORACLE)
+@retired_query("suffix_span_removal", _SUFFIX_SPANS_ORACLE, subsumed_by="curation_suffix_e2e")
 def suffix_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The APPLY step of suffix-array dedup (dedup/suffix_array.py
     remove_duplicate_spans, Lee et al. arXiv:2107.06499 §4): cut every
@@ -5797,7 +5810,7 @@ FROM tot, chance
 """
 
 
-@query("lang_id_cohen_kappa", _KAPPA_ORACLE)
+@retired_query("lang_id_cohen_kappa", _KAPPA_ORACLE, subsumed_by="lang_id_confusion")
 def lang_id_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa for the language-ID heuristic against the labeled
     lang column — chance-corrected agreement, the honest metric when

@@ -317,10 +317,13 @@ def test_int8_ann_recall_vs_float_baseline(spark):
 
     from tests.conftest import SF_SMOKE
 
+    from automated_etl_pipeline_spark.queries import RETIRED
+
     qs = entry_mod.queries()
     int8 = {r.vec_id for r in qs["ann_int8_topk"](spark, SF_SMOKE).collect()}
     exact = {
-        r.vec_id for r in qs["ann_cosine_topk"](spark, SF_SMOKE).collect()
+        r.vec_id
+        for r in RETIRED["ann_cosine_topk"](spark, SF_SMOKE).collect()
     }
     assert len(int8) == 20 and len(exact) == 20
     assert len(int8 & exact) >= 15, sorted(int8 & exact)

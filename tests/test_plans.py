@@ -18,7 +18,12 @@ from tests.conftest import SF_SMOKE
 
 
 def plan_of(spark, name: str) -> str:
-    return executed_plan(entry_mod.queries()[name](spark, SF_SMOKE))
+    # retired gates (queries.RETIRED) keep their plan assertions too —
+    # they still run on every pytest pass
+    from automated_etl_pipeline_spark.queries import RETIRED
+
+    fn = entry_mod.queries().get(name) or RETIRED[name]
+    return executed_plan(fn(spark, SF_SMOKE))
 
 
 def test_filter_and_projection_pushed_to_scan(spark):

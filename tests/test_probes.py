@@ -35,16 +35,22 @@ def _oracle_rows(sf_dir: str, sql: str) -> tuple[list[str], list[tuple]]:
         con.close()
 
 
-def _check(spark, name: str, sf_dir: str) -> None:
-    sdf = PROBES[name](spark, sf_dir)
+def _check_against(spark, name: str, sf_dir: str, fn, oracle: str) -> None:
+    """Three-axis compare of one (callable, oracle) pair — shared with
+    tests/test_retired_gates.py."""
+    sdf = fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
-    oracle_cols, oracle_rows = _oracle_rows(sf_dir, PROBE_ORACLES[name])
+    oracle_cols, oracle_rows = _oracle_rows(sf_dir, oracle)
     assert spark_cols == oracle_cols, f"{name}: column mismatch"
     assert len(spark_rows) == len(oracle_rows), f"{name}: rowcount mismatch"
     a, b = normalize(spark_rows), normalize(oracle_rows)
     diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
     assert a == b, f"{name}: values differ, first: {diff}"
+
+
+def _check(spark, name: str, sf_dir: str) -> None:
+    _check_against(spark, name, sf_dir, PROBES[name], PROBE_ORACLES[name])
 
 
 def test_probe_registry_shape():

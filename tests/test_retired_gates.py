@@ -1,0 +1,78 @@
+"""Retired registry gates vs their DuckDB oracles (r13).
+
+VERDICT r12 ask #2: at 225 gates / ~50 driver-sampled per round,
+worst-case rotation staleness hit 4.5 rounds, so the 26 solved
+single-purpose gates whose semantics a parent registry gate subsumes
+(``queries.RETIRED_SUBSUMED`` names each parent) left the driver
+registry.  Retirement does NOT weaken their contract: every retiree
+keeps its full three-axis oracle check (rows + sorted columns +
+normalized values — the exact tools/check_correctness.py compare) on
+each pytest run at sf0.001, with one rotating member re-checked at the
+driver's sf0.01 gate scale.  If a parent goes driver-red, flip its
+retirees back to ``@query`` so the rotation localizes the stage.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+import automated_etl_pipeline_spark.queries_ext  # noqa: F401  (registers)
+import automated_etl_pipeline_spark.queries_llm  # noqa: F401  (registers)
+import automated_etl_pipeline_spark.queries_ml  # noqa: F401  (registers)
+from automated_etl_pipeline_spark.queries import (
+    QUERIES,
+    RETIRED,
+    RETIRED_ORACLES,
+    RETIRED_SUBSUMED,
+)
+from tests.test_probes import _check_against, _oracle_rows  # shared protocol
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_retired_registry_shape():
+    assert len(RETIRED) == 26
+    # every retiree has a FULL oracle (no weak rows-only contracts here)
+    assert set(RETIRED) == set(RETIRED_ORACLES) == set(RETIRED_SUBSUMED)
+    # no name is simultaneously live and retired
+    assert not set(RETIRED) & set(QUERIES)
+
+
+def test_every_subsuming_parent_is_a_live_gate():
+    """The retirement justification must stay true: each documented
+    parent is still a driver-registry gate (a retired or deleted parent
+    would orphan the retiree's coverage claim)."""
+    for name, parents in RETIRED_SUBSUMED.items():
+        toks = [
+            t
+            for t in parents.replace("(", " ").replace(")", " ")
+            .replace("+", " ")
+            .split()
+            if "_" in t
+        ]
+        assert toks, f"{name}: no parent gate named"
+        for t in toks:
+            assert t in QUERIES, f"{name}: parent {t} not in live registry"
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED))
+def test_retired_matches_oracle(spark, name):
+    _check_against(
+        spark, name, SF_DIR, RETIRED[name], RETIRED_ORACLES[name]
+    )
+
+
+def test_one_retired_at_gate_scale(spark):
+    # rotate one member through the driver's sf0.01 gate scale per
+    # round (same scheme as tests/test_probes.py — the round count
+    # advances the index)
+    names = sorted(RETIRED)
+    rounds = len(
+        list(Path(__file__).resolve().parents[1].glob("CORRECTNESS_r*.json"))
+    )
+    name = names[rounds % len(names)]
+    _check_against(
+        spark, name, "/root/testdata/sf0.01", RETIRED[name], RETIRED_ORACLES[name]
+    )

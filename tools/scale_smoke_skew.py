@@ -199,7 +199,9 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    qs = entry_mod.queries()
+    from automated_etl_pipeline_spark.queries import RETIRED
+
+    qs = {**RETIRED, **entry_mod.queries()}  # retired gates still smokeable
     WARM = "/root/testdata/sf0.001"
 
     results: dict[str, float] = {}
