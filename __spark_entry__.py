@@ -64,6 +64,11 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # IRLS-invariant contract (VERDICT r12 ask #1) — prior rows-only
     # greens are stale.
     "m2_poisson_expected": 13,
+    # r13: exact z-buckets moved from ntile (needed a single-partition
+    # window — plan-sweep rule 4) to the closed-form balanced tile
+    # rank*256 div N over distributed ranks; bucket values shift where
+    # N % 256 != 0, so the oracle changed with the query.
+    "zorder_bucket_stats": 13,
 }
 
 

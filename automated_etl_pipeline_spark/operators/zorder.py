@@ -17,16 +17,21 @@ applied per-row as a *binary-search tree of literal comparisons*
 (depth = bits, stays inside whole-stage codegen).  No global sort, no
 window, no shuffle: the plan is scan → project, which survives 100 TB.
 
-``exact=True`` keeps the original ``ntile`` over a total order
-(single-partition window) — deterministic and oracle-checkable, used
-only by the DuckDB-parity gate query, never for real layout work.
+``exact=True`` computes EXACT quantile-bucket ranks without a
+single-partition window (the r13 plan-sweep rule 4 fix): 0-based
+global ranks via the two-phase range-partition + offset construction
+(``operators/ranks.global_ranks``), then the closed-form balanced
+tile ``bucket = rank * 2^bits div N`` — deterministic, DuckDB-
+mirrorable (same closed form over ``row_number``), and never funnels
+the table through one task.  Still costs two materialized range
+shuffles, so real layout work keeps the approxQuantile default.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BITS = 8
@@ -92,9 +97,11 @@ def with_zvalue(
 
     Default (``exact=False``) uses approxQuantile cutpoints + binary
     search — no window, no global sort, scales to arbitrary input.
-    ``exact=True`` uses ntile over a total order (ties broken by
+    ``exact=True`` computes exact balanced buckets (ties broken by
     ``tiebreak`` so the assignment is deterministic and
-    oracle-checkable) — a single-partition window, gate-query only.
+    oracle-checkable) from two-phase distributed global ranks —
+    ``bucket = rank0 * 2^bits div N`` — never a single-partition
+    window (plan-sweep rule 4).
     """
     if len(cols) != 2:
         raise ValueError("v1 z-ordering interleaves exactly 2 columns")
@@ -104,14 +111,20 @@ def with_zvalue(
         raise ValueError(f"bits must be in [1, 31] (got {bits})")
     n = 1 << bits
     if exact:
+        from automated_etl_pipeline_spark.operators.ranks import global_ranks
+
+        out = df
+        total = None
+        for i, c in enumerate(cols):
+            out, total = global_ranks(out, [c, tiebreak], f"__zr{i}")
         ranks = [
-            (F.ntile(n).over(Window.orderBy(F.col(c), F.col(tiebreak))) - 1).cast(
-                "long"
-            )
-            for c in cols
+            F.expr(f"__zr{i} * {n} div {total}").cast("long")
+            for i in range(2)
         ]
-    else:
-        ranks = [quantile_bucket(df, c, bits, eps) for c in cols]
+        return out.withColumn(
+            out_col, interleave2(ranks[0], ranks[1], bits)
+        ).drop("__zr0", "__zr1")
+    ranks = [quantile_bucket(df, c, bits, eps) for c in cols]
     return df.withColumn(out_col, interleave2(ranks[0], ranks[1], bits))
 
 

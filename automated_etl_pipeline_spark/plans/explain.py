@@ -87,6 +87,108 @@ def _node_depth_and_name(line: str) -> tuple[int, str]:
     return -1, line.strip()
 
 
+# --- partition-less Window guard (the 100-TB single-task class) ------
+
+# Physical nodes that bound (or reduce) the row count feeding a window:
+# any aggregate (partial+final pairs collapse SF-scaling rows to group
+# cardinality), any limit/top-k, or a literal in-memory frame.  A
+# group-by's key cardinality is not statically provable, so an
+# aggregate is ACCEPTED as bounding — the rule catches the outright
+# anti-pattern (a global window directly over an SF-scaling scan,
+# which serializes the whole table through one task at 100 TB), per
+# VERDICT r12 ask #4.
+_WINDOW_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "AggregateInPandas",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",
+)
+
+_CODEGEN_PREFIX = re.compile(r"^\*\(\d+\) ")
+_WINDOW_NODE = re.compile(r"^Window(InPandas)? \[")
+
+
+def _toplevel_bracket_groups(node_text: str) -> list[str]:
+    """Top-level ``[...]`` group contents of a plan-node line.
+    WindowExec prints ``Window [exprs], [partitionSpec], [orderSpec]``
+    and omits EMPTY trailing specs — so 3 groups is unambiguously
+    partitioned, while a 2-group node is ``[exprs], [partitionSpec]``
+    (partitionBy with no orderBy) or ``[exprs], [orderSpec]`` (global
+    ordered window); the two are told apart by the sort-direction
+    markers only an orderSpec carries."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in node_text:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+                continue
+        if depth >= 1:
+            buf.append(ch)
+    return groups
+
+
+_SORT_MARKER = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+
+
+def _window_is_partitioned(node_text: str) -> bool:
+    groups = _toplevel_bracket_groups(node_text)
+    if len(groups) >= 3:
+        return True
+    if len(groups) == 2:
+        # [exprs], [partitionSpec] iff the trailing group is NOT a
+        # sort spec
+        return not _SORT_MARKER.search(groups[1])
+    return False
+
+
+def unpartitioned_window_violations(df: DataFrame) -> list[str]:
+    """Window nodes with NO partition spec whose input subtree contains
+    no row-bounding node (aggregate / limit / literal frame), in the
+    executed physical plan.  Returns the offending node texts
+    (truncated; [] = clean).
+
+    The repo rule (tests/test_plans.py rule 4): a global window — ntile
+    over a corpus rollup, a B-row bootstrap replica mean, a k-row top-k
+    rerank — is legitimate ONLY after something shrank the frame;
+    directly over an SF-scaling table it funnels every row through one
+    task and is exactly the shape that dies at 100 TB."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    lines = text.splitlines()
+    parsed = [_node_depth_and_name(l) for l in lines]
+    out: list[str] = []
+    for i, (d, raw_name) in enumerate(parsed):
+        name = _CODEGEN_PREFIX.sub("", raw_name)
+        if not _WINDOW_NODE.match(name):
+            continue
+        if _window_is_partitioned(name):
+            continue
+        bounded = False
+        j = i + 1
+        while j < len(parsed) and parsed[j][0] > d:
+            jname = _CODEGEN_PREFIX.sub("", parsed[j][1])
+            if jname.startswith(_WINDOW_BOUNDING_NODES):
+                bounded = True
+                break
+            j += 1
+        if not bounded:
+            out.append(name[:100])
+    return out
+
+
 def forced_broadcast_violations(df: DataFrame) -> list[str]:
     """SF-scaling tables broadcast-hinted with NO cardinality-reducing
     node (Filter/Aggregate/Limit/...) between the hint and the scan, in

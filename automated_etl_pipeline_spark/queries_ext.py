@@ -854,7 +854,11 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _zorder_oracle() -> str:
-    # DuckDB mirror of interleave2 over ntile(256) ranks
+    # DuckDB mirror of interleave2 over exact balanced-bucket ranks:
+    # bucket = rank0 * 256 // N, the same closed form the Spark side
+    # derives from two-phase distributed global ranks (r13 — the old
+    # ntile formulation needed a single-partition window on the Spark
+    # side, plan-sweep rule 4's anti-pattern)
     inter = " + ".join(
         f"(((ca >> {i}) & 1) << {2 * i + 1}) + (((cb >> {i}) & 1) << {2 * i})"
         for i in range(8)
@@ -862,8 +866,10 @@ def _zorder_oracle() -> str:
     return f"""
     WITH ranked AS (
       SELECT o_orderkey,
-             ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS ca,
-             ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS cb
+             (row_number() OVER (ORDER BY o_custkey, o_orderkey) - 1) * 256
+               // COUNT(*) OVER () AS ca,
+             (row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1) * 256
+               // COUNT(*) OVER () AS cb
       FROM orders
     ), z AS (
       SELECT o_orderkey, {inter} AS zvalue FROM ranked
@@ -879,8 +885,10 @@ def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout (operators/zorder.py): orders ranked on
     (o_custkey, o_totalprice), Morton-interleaved, rolled up into 64
     z-buckets — the per-file row distribution a zordered write would
-    produce.  Uses the exact ntile path (deterministic, DuckDB-
-    mirrorable); real layout work uses the approxQuantile default."""
+    produce.  Uses the exact path (deterministic, DuckDB-mirrorable):
+    two-phase distributed global ranks + the closed-form balanced tile
+    rank*256 div N — no single-partition window (plan-sweep rule 4);
+    real layout work uses the approxQuantile default."""
     from automated_etl_pipeline_spark.operators.zorder import with_zvalue
 
     (orders,) = _t(spark, sf_dir, "orders")

@@ -207,21 +207,24 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     + token sum) is what a writer consumes as partitionBy values and
     what an SLA check reads for imbalance.
 
-    Scale note: the global rank is a single-partition window over
-    (n_tok, doc_id) pairs — two longs per doc, the same driver-scale
-    bottleneck class as pack_sequences' offsets, which documents the
-    two-phase prefix-sum alternative when even that is too wide; at
-    that point swap the rank for hash-mod sharding (still deterministic,
-    slightly worse balance)."""
+    Scale note (r13, plan-sweep rule 4): the global rank is the
+    two-phase range-partition + offset construction
+    (operators/ranks.global_ranks) — never a single-partition window;
+    the only driver materialization is one row per shuffle partition.
+    Descending token order is expressed as an ascending rank on
+    (-n_tok, doc_id), so the rank values (and the oracle's
+    row_number() ... DESC) are unchanged."""
+    from automated_etl_pipeline_spark.operators.ranks import global_ranks
+
     (docs,) = _t(spark, sf_dir, "documents")
     sized = spread(docs).select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        (-F.size(F.split("text", " "))).alias("__negtok"),
     )
-    w = Window.orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    ranked, _ = global_ranks(sized, ["__negtok", "doc_id"], "__rk")
     return (
-        sized.withColumn(
-            "shard", ((F.row_number().over(w) - 1) % _N_SHARDS).cast("int")
-        )
+        ranked.withColumn("shard", (F.col("__rk") % _N_SHARDS).cast("int"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

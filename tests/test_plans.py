@@ -96,8 +96,9 @@ def test_minhash_signatures_have_no_python_udf(spark, name):
 
 def test_zorder_default_path_has_no_window(spark):
     """The default (approxQuantile cutpoint) z-order path must plan as
-    scan -> project: no WindowExec, no single-partition exchange — the
-    exact-ntile global window is gate-query-only (exact=True)."""
+    scan -> project: no WindowExec, no exchange at all — even the exact
+    path (exact=True, gate-query-only) now uses two-phase distributed
+    ranks rather than a single-partition window (rule 4, r13)."""
     from automated_etl_pipeline_spark.operators.zorder import with_zvalue
 
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").select(
@@ -358,10 +359,15 @@ def test_registry_scale_rules_sweep(spark):
     3. No BatchEvalPython — row-wise Python evaluation; the only
        Python boundaries allowed are Arrow-vectorized
        (ArrowEvalPython / MapInPandas / AggregateInPandas /
-       FlatMapGroupsInPandas*)."""
+       FlatMapGroupsInPandas*).
+    4. No partition-less Window over an unbounded input (VERDICT r12
+       ask #4) — a global window is allowed only downstream of an
+       aggregate / limit / literal frame that bounds the rows; over an
+       SF-scaling scan it funnels the whole table through ONE task."""
     from automated_etl_pipeline_spark.plans.explain import (
         executed_plan,
         forced_broadcast_violations,
+        unpartitioned_window_violations,
     )
 
     bad = {}
@@ -373,6 +379,9 @@ def test_registry_scale_rules_sweep(spark):
         viol = forced_broadcast_violations(df)
         if viol:
             flags.append(f"forced-broadcast:{viol}")
+        wviol = unpartitioned_window_violations(df)
+        if wviol:
+            flags.append(f"unbounded-global-window:{wviol}")
         plan = executed_plan(df)
         if "CartesianProduct" in plan:
             flags.append("CartesianProduct")
@@ -381,6 +390,57 @@ def test_registry_scale_rules_sweep(spark):
         if flags:
             bad[name] = flags
     assert not bad, f"scale-rule violations: {bad}"
+
+
+def test_unpartitioned_window_detector_positive_and_negative(spark):
+    """Rule 4's detector must fire on the anti-pattern (a global window
+    directly over an SF-scaling scan) and stay quiet on the two
+    legitimate shapes: a partitioned window over the same scan, and a
+    global window downstream of an aggregate or limit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.plans.explain import (
+        unpartitioned_window_violations,
+    )
+
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    w_global = Window.orderBy("o_orderdate", "o_orderkey")
+
+    # anti-pattern: global rank over the raw fact table
+    assert unpartitioned_window_violations(
+        orders.withColumn("r", F.row_number().over(w_global))
+    ), "detector must fire on a global window over a raw scan"
+
+    # partitioned over the same scan: clean
+    w_part = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    assert (
+        unpartitioned_window_violations(
+            orders.withColumn("r", F.row_number().over(w_part))
+        )
+        == []
+    )
+
+    # global window AFTER the aggregate shrank the frame: clean
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+    assert (
+        unpartitioned_window_violations(
+            agg.withColumn("r", F.row_number().over(Window.orderBy("s")))
+        )
+        == []
+    )
+
+    # global window after a LIMIT: clean
+    assert (
+        unpartitioned_window_violations(
+            orders.limit(50).withColumn(
+                "r", F.row_number().over(w_global)
+            )
+        )
+        == []
+    )
 
 
 def test_forced_broadcast_detector_positive_and_negative(spark):
