@@ -82,15 +82,25 @@ def containment_pairs(
         F.col(id_col).alias("sub"), F.col("s").alias("s_sub"), F.col("sz")
     )
     sb = sh.select(F.col(id_col).alias("sup"), F.col("s").alias("s_sup"))
+    # Admission on the UNROUNDED ratio, as the integer inequality
+    # |sub∩super| >= ceil(t*|sub| - eps) — the exact bound the prefix
+    # filter is complete for.  Admitting on the ROUNDED value (the old
+    # rule) accepts pairs with true containment in [t - 5e-7, t) for
+    # sub docs past ~2M shingles, which the prefix filter can miss
+    # (r12 ADVICE); the rounded value is still what gets EMITTED.
     scored = (
         cand.join(sa, "sub")
         .join(sb, "sup")
         .select(
             F.col("sub").alias("doc_sub"),
             F.col("sup").alias("doc_super"),
-            F.round(
-                F.size(F.array_intersect("s_sub", "s_sup")) / F.col("sz"), 6
-            ).alias("containment"),
+            F.size(F.array_intersect("s_sub", "s_sup")).alias("__inter"),
+            F.col("sz"),
         )
+        .filter(F.col("__inter") >= F.ceil(threshold * F.col("sz") - 1e-9))
     )
-    return scored.filter(F.col("containment") >= threshold)
+    return scored.select(
+        "doc_sub",
+        "doc_super",
+        F.round(F.col("__inter") / F.col("sz"), 6).alias("containment"),
+    )

@@ -42,6 +42,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+# How many committed run_ids a manifest remembers for idempotent-retry
+# detection.  Bounded so the manifest stays O(live files + window), not
+# O(total commits ever): a duplicate retry arriving after this many
+# NEWER commits is outside the idempotence window (Delta's
+# setTransactionRetentionDuration is the same trade, in time units).
+RUN_ID_RETENTION = 10_000
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifest")
 
@@ -104,11 +112,27 @@ def _commit(
         cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
         if run_id in cur["run_ids"]:
             return v  # a racing retry of the same run won
+        files = files_fn(cur["files"], new_files)
+        live = set(files)
         manifest = {
             "version": v + 1,
-            "files": files_fn(cur["files"], new_files),
-            "run_ids": cur["run_ids"] + [run_id],
-            "stats": {**cur.get("stats", {}), **new_stats},
+            "files": files,
+            # bounded idempotence ledger: keep only the newest
+            # RUN_ID_RETENTION entries (r12 ADVICE — unbounded, every
+            # commit rewrote the full history).  A retry arriving
+            # after that many subsequent commits falls outside the
+            # idempotence window, the same retention contract real
+            # formats put on their txn app-ids.
+            "run_ids": (cur["run_ids"] + [run_id])[-RUN_ID_RETENTION:],
+            # zone-map stats only for files this snapshot still
+            # references: a rewrite/compaction drops the stale
+            # entries instead of accreting O(history) dead stats
+            # (r12 ADVICE)
+            "stats": {
+                f: s
+                for f, s in {**cur.get("stats", {}), **new_stats}.items()
+                if f in live
+            },
         }
         path = os.path.join(_manifest_dir(root), f"v{v + 1:010d}.json")
         try:
@@ -274,9 +298,13 @@ def vacuum(
     if os.path.isdir(data_root):
         for stage in sorted(os.listdir(data_root)):
             sdir = os.path.join(data_root, stage)
+            try:
+                entries = sorted(os.listdir(sdir))
+            except OSError:
+                continue  # concurrently removed: nothing to sweep
             parquets = [
                 os.path.join(sdir, f)
-                for f in sorted(os.listdir(sdir))
+                for f in entries
                 if f.endswith(".parquet")
             ]
 
@@ -294,8 +322,19 @@ def vacuum(
                 os.remove(p)
                 deleted.append(p)
             remaining = [p for p in parquets if p not in dead]
+
+            def _older_than_cutoff(path: str) -> bool:
+                try:
+                    return os.path.getmtime(path) < cutoff
+                except OSError:
+                    # a concurrent writer created/removed it between
+                    # listdir and stat: treat as young, skip this pass
+                    # (r12 ADVICE — the unguarded stat aborted the
+                    # whole vacuum)
+                    return False
+
             sweep_dir = (parquets and not remaining) or (
-                not parquets and os.path.getmtime(sdir) < cutoff
+                not parquets and _older_than_cutoff(sdir)
             )  # a parquet-less stage may be a writer mid-stage: age-gate it
             if sweep_dir:
                 # no data left in this stage: sweep the sidecars

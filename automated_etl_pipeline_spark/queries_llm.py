@@ -5740,7 +5740,7 @@ WITH aug AS (
 SELECT doc_sub, doc_super,
        ROUND(shared / sub_sz, 6) AS containment
 FROM pairs
-WHERE ROUND(shared / sub_sz, 6) >= 0.8
+WHERE shared >= CEIL(0.8 * sub_sz - 1e-9)
 ORDER BY doc_sub, doc_super
 """
 

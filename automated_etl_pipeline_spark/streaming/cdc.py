@@ -49,7 +49,21 @@ def run_cdc_merge_stream(
 ) -> DataFrame:
     """Drain all change files under ``drop_dir`` (schema ``schema``)
     into an epoch-versioned snapshot seeded from ``base``; returns the
-    final merged snapshot as a batch DataFrame."""
+    final merged snapshot as a batch DataFrame.
+
+    ``state_root`` must be FRESH: the snapshot is re-seeded from
+    ``base`` on every call, but a leftover streaming checkpoint makes
+    the file source skip change files it has already seen — those
+    updates would be lost silently (r12 ADVICE).  Enforced here rather
+    than documented-only."""
+    ckpt = os.path.join(state_root, "ckpt")
+    if os.path.exists(ckpt):
+        raise ValueError(
+            f"state_root {state_root!r} has a leftover checkpoint "
+            f"({ckpt}): a reused checkpoint skips already-seen change "
+            "files while the snapshot re-seeds from base, silently "
+            "losing their updates — pass a fresh state_root per drain"
+        )
     base_path = os.path.join(state_root, "epoch_base")
     base.write.mode("overwrite").parquet(base_path)
     current = {"path": base_path}

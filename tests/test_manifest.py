@@ -207,3 +207,68 @@ def test_vacuum_spares_young_inflight_stage(spark, root):
     deleted = vacuum(root, keep_last=1)  # default: one-day orphan age
     assert deleted == []
     assert os.path.isdir(os.path.join(root, "data", "inflight"))
+
+
+def test_rewrite_trims_stale_stats_and_manifest_stays_bounded(spark, root):
+    """r12 ADVICE: a rewrite must drop zone-map stats for files it
+    unreferences — the manifest is O(live files + idempotence window),
+    not O(history)."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        commit_rewrite,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1", stats_col="k")
+    commit_append(_df(spark, 10, 20), root, "r2", stats_col="k")
+    v = commit_rewrite(_df(spark, 0, 20).coalesce(1), root, "compact-1")
+    m = _read_manifest(root, v)
+    # every stats key references a live file; the superseded files'
+    # stats are gone
+    assert set(m.get("stats", {})) <= set(m["files"])
+    old = _read_manifest(root, v - 1)
+    stale = set(old["files"]) - set(m["files"])
+    assert stale and not (stale & set(m.get("stats", {})))
+
+
+def test_run_id_ledger_is_bounded(spark, root, monkeypatch):
+    """The idempotence ledger keeps only the newest RUN_ID_RETENTION
+    entries (r12 ADVICE: unbounded growth, rewritten on every commit).
+    Outside the window a duplicate run_id re-commits — the documented
+    retention trade."""
+    import automated_etl_pipeline_spark.io.manifest as mf
+
+    monkeypatch.setattr(mf, "RUN_ID_RETENTION", 3)
+    for i in range(5):
+        commit_append(_df(spark, i, i + 1), root, f"run-{i}")
+    m = mf._read_manifest(root, current_version(root))
+    assert m["run_ids"] == ["run-2", "run-3", "run-4"]
+    # inside the window: still a no-op
+    v = current_version(root)
+    assert commit_append(_df(spark, 0, 1), root, "run-3") == v
+    # outside the window: re-commits (the retention contract)
+    assert commit_append(_df(spark, 0, 1), root, "run-0") == v + 1
+
+
+def test_vacuum_survives_concurrently_removed_stage(spark, root, monkeypatch):
+    """r12 ADVICE: a stage directory vanishing between listdir and
+    stat must not abort the vacuum pass."""
+    import os as _os
+
+    from automated_etl_pipeline_spark.io.manifest import vacuum
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    # plant an empty stage dir, then make stat on it raise as if a
+    # concurrent writer removed it mid-pass
+    ghost = os.path.join(root, "data", "ghost-stage")
+    os.makedirs(ghost)
+    real_getmtime = _os.path.getmtime
+
+    def flaky_getmtime(p):
+        if p == ghost:
+            raise OSError("concurrently removed")
+        return real_getmtime(p)
+
+    monkeypatch.setattr(_os.path, "getmtime", flaky_getmtime)
+    deleted = vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    assert deleted == []  # no live file touched, no crash
+    assert os.path.isdir(ghost)  # treated as young, spared this pass

@@ -101,3 +101,25 @@ def test_single_trigger_multi_version_batch_still_lww(spark, tmpdirs):
     )
     got = {r["k"]: r["version"] for r in final.collect()}
     assert got[4] == 3 and got[12] == 2 and got[0] == 1 and got[1] == 0
+
+
+def test_leftover_checkpoint_is_rejected(spark, tmpdirs):
+    """r12 ADVICE: a reused state_root would let the file source skip
+    already-seen change files while the snapshot re-seeds from base —
+    silent update loss.  The runner must refuse to start."""
+    import os
+
+    import pytest
+
+    drop, state = tmpdirs
+    base = _base(spark)
+    for b in _batches(spark):
+        b.coalesce(1).write.mode("append").parquet(drop)
+    run_cdc_merge_stream(
+        spark, base, drop, base.schema, ["k"], "version", state
+    )
+    assert os.path.exists(os.path.join(state, "ckpt"))
+    with pytest.raises(ValueError, match="leftover checkpoint"):
+        run_cdc_merge_stream(
+            spark, base, drop, base.schema, ["k"], "version", state
+        )
