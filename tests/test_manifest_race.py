@@ -1,0 +1,189 @@
+"""True multi-process racing of the manifest commit protocol
+(VERDICT r12 ask #6).
+
+The in-process race test (tests/test_manifest.py) interleaves two
+committers on one thread of control; THIS file spawns real OS
+processes that hammer the same table root concurrently through
+``io/manifest._publish`` — the exact optimistic loop ``commit_append``
+uses, factored so the children need no SparkSession.  Asserted:
+exactly one winner per version (exclusive create), zero lost appends
+(every staged file reaches the final manifest and reads back), the
+idempotence ledger holds each run_id once, and vacuum never reclaims
+a fresh loser's retry stage.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import tempfile
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _stage_one_file(root: str, payload: int) -> str:
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    os.makedirs(stage)
+    path = os.path.join(stage, "part-0.parquet")
+    pq.write_table(pa.table({"payload": [payload]}), path)
+    return path
+
+
+def _append_worker(root: str, pid: int, n_commits: int, barrier) -> None:
+    # runs in a CHILD process (spawn): import inside so the parent's
+    # test collection doesn't pay for it twice
+    from automated_etl_pipeline_spark.io.manifest import _publish
+
+    barrier.wait()  # maximize contention: all children publish at once
+    for i in range(n_commits):
+        path = _stage_one_file(root, pid * 1000 + i)
+        _publish(
+            root,
+            f"p{pid}-c{i}",
+            [path],
+            {},
+            lambda cur, new: cur + new,
+        )
+
+
+def _dup_runid_worker(root: str, pid: int, barrier, out_q) -> None:
+    from automated_etl_pipeline_spark.io.manifest import _publish
+
+    path = _stage_one_file(root, 9000 + pid)
+    barrier.wait()
+    v = _publish(root, "dup-run", [path], {}, lambda cur, new: cur + new)
+    out_q.put((pid, path, v))
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="manifest_race_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+N_PROCS = 4
+N_COMMITS = 12
+
+
+def test_multiprocess_appends_lose_nothing(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        current_version,
+        read_table,
+    )
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(N_PROCS)
+    procs = [
+        ctx.Process(target=_append_worker, args=(root, p, N_COMMITS, barrier))
+        for p in range(N_PROCS)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0, "committer process failed"
+
+    total = N_PROCS * N_COMMITS
+    # exactly one winner per version, versions contiguous
+    assert current_version(root) == total
+    mdir = os.path.join(root, "_manifest")
+    versions = sorted(os.listdir(mdir))
+    assert len(versions) == total
+    # monotone append: each snapshot has exactly one more file
+    prev_files: set[str] = set()
+    seen_run_ids: list[str] = []
+    for v in range(1, total + 1):
+        m = _read_manifest(root, v)
+        files = set(m["files"])
+        assert prev_files < files and len(files) == len(prev_files) + 1, v
+        prev_files = files
+        seen_run_ids = m["run_ids"]
+    # idempotence ledger: every run_id exactly once
+    assert len(seen_run_ids) == total == len(set(seen_run_ids))
+    # zero lost appends, end to end: every staged row reads back
+    got = sorted(r["payload"] for r in read_table(spark, root).collect())
+    assert got == sorted(p * 1000 + i for p in range(N_PROCS) for i in range(N_COMMITS))
+
+
+def test_duplicate_run_id_race_single_commit_and_vacuum_spares_loser(
+    spark, root
+):
+    """Two processes race the SAME run_id (the duplicated-scheduler
+    retry): exactly one version appears, exactly one of the two staged
+    files is published, and vacuum within the orphan-age window never
+    reclaims the loser's stage (it may be an in-flight writer)."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        current_version,
+        vacuum,
+    )
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_dup_runid_worker, args=(root, p, barrier, out_q))
+        for p in range(2)
+    ]
+    for p in procs:
+        p.start()
+    results = [out_q.get(timeout=300) for _ in range(2)]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+
+    assert current_version(root) == 1  # one commit, not two
+    m = _read_manifest(root, 1)
+    assert m["run_ids"] == ["dup-run"]
+    staged = {path for _, path, _ in results}
+    published = set(m["files"])
+    assert len(published) == 1 and published < staged | published
+    assert published <= staged  # the winner's file, nothing else
+    loser_file = next(iter(staged - published))
+    # both callers were told the same committed version
+    assert {v for _, _, v in results} == {1}
+    # fresh loser stage is age-gated: a vacuum now must spare it
+    assert vacuum(root, keep_last=1, min_orphan_age_s=3600.0) == []
+    assert os.path.exists(loser_file)
+    # aged out, it is reclaimable — and the winner's file survives
+    deleted = vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    assert loser_file in deleted
+    assert all(os.path.exists(f) for f in published)
+
+
+def test_publish_matches_commit_append_protocol(spark, root):
+    """The factored _publish and the Spark-side commit_append must stay
+    ONE protocol: files staged by commit_append and by _publish
+    interleave into a single consistent version chain."""
+    from pyspark.sql import functions as F
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        _publish,
+        commit_append,
+        current_version,
+        read_table,
+    )
+
+    commit_append(
+        spark.range(0, 5).select(F.col("id").alias("payload")), root, "spark-1"
+    )
+    _publish(
+        root,
+        "raw-1",
+        [_stage_one_file(root, 100)],
+        {},
+        lambda cur, new: cur + new,
+    )
+    commit_append(
+        spark.range(5, 8).select(F.col("id").alias("payload")), root, "spark-2"
+    )
+    assert current_version(root) == 3
+    got = sorted(r["payload"] for r in read_table(spark, root).collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 100]
