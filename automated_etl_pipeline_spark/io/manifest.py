@@ -70,6 +70,15 @@ def current_version(root: str) -> int:
     return max(vs, default=0)
 
 
+def _json_stat(v):
+    """Zone-map stat values must survive the JSON manifest: date /
+    timestamp minima come back as datetime objects — store their ISO
+    form, which compares LEXICOGRAPHICALLY in the same order as the
+    values themselves, so ``read_table_pruned``'s interval test works
+    unchanged against ISO-string bounds."""
+    return v.isoformat() if hasattr(v, "isoformat") else v
+
+
 def _read_manifest(root: str, version: int) -> dict:
     with open(os.path.join(_manifest_dir(root), f"v{version:010d}.json")) as f:
         return json.load(f)
@@ -109,7 +118,7 @@ def _commit(
                 .agg(F.min(stats_col), F.max(stats_col))
                 .collect()[0]
             )
-            new_stats[nf] = [row[0], row[1]]
+            new_stats[nf] = [_json_stat(row[0]), _json_stat(row[1])]
     return _publish(root, run_id, new_files, new_stats, files_fn)
 
 
