@@ -76,3 +76,35 @@ def test_one_retired_at_gate_scale(spark):
     _check_against(
         spark, name, "/root/testdata/sf0.01", RETIRED[name], RETIRED_ORACLES[name]
     )
+
+
+def test_retired_scale_rules_sweep(spark):
+    """Retirement must not become a scale-rule escape hatch: the same
+    four rules tests/test_plans.py asserts registry-wide (no forced
+    broadcast of an unreduced SF-scaling table, no CartesianProduct,
+    no BatchEvalPython, no partition-less Window over unbounded input)
+    hold for every retired gate on every pytest run."""
+    from automated_etl_pipeline_spark.plans.explain import (
+        executed_plan,
+        forced_broadcast_violations,
+        unpartitioned_window_violations,
+    )
+
+    bad = {}
+    for name, fn in RETIRED.items():
+        df = fn(spark, SF_DIR)
+        flags = []
+        viol = forced_broadcast_violations(df)
+        if viol:
+            flags.append(f"forced-broadcast:{viol}")
+        wviol = unpartitioned_window_violations(df)
+        if wviol:
+            flags.append(f"unbounded-global-window:{wviol}")
+        plan = executed_plan(df)
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"scale-rule violations in retired gates: {bad}"
