@@ -208,13 +208,15 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     what an SLA check reads for imbalance.
 
     Scale note (r13, plan-sweep rule 4): the global rank is the
-    two-phase range-partition + offset construction
-    (operators/ranks.global_ranks) — never a single-partition window;
-    the only driver materialization is one row per shuffle partition.
-    Descending token order is expressed as an ascending rank on
-    (-n_tok, doc_id), so the rank values (and the oracle's
-    row_number() ... DESC) are unchanged."""
-    from automated_etl_pipeline_spark.operators.ranks import global_ranks
+    bucketed two-phase construction (operators/ranks.
+    bucketed_global_ranks) — never a single-partition window; the only
+    driver materializations are the approxQuantile cut set and one
+    count per bucket.  Descending token order is expressed as an
+    ascending rank on (-n_tok, doc_id), so the rank values (and the
+    oracle's row_number() ... DESC) are unchanged."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
 
     (docs,) = _t(spark, sf_dir, "documents")
     sized = spread(docs).select(
@@ -222,7 +224,7 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tok"),
         (-F.size(F.split("text", " "))).alias("__negtok"),
     )
-    ranked, _ = global_ranks(sized, ["__negtok", "doc_id"], "__rk")
+    ranked = bucketed_global_ranks(sized, ["__negtok", "doc_id"], "__rk")
     return (
         ranked.withColumn("shard", (F.col("__rk") % _N_SHARDS).cast("int"))
         .groupBy("shard")

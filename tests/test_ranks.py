@@ -56,3 +56,95 @@ def test_non_numeric_shuffle_conf_falls_back(spark, monkeypatch):
     ranked, total = global_ranks(df, ["v"])
     assert total == 3
     assert [r["v"] for r in ranked.orderBy("__rank").collect()] == [1, 2, 3]
+
+
+def test_bucketed_global_ranks_matches_global_ranks(spark):
+    """The materialization-free sibling (r13) must agree with
+    global_ranks row-for-row on a frame with duplicates on the bucket
+    column (ties resolved by the tiebreak), NULLs (bucket 0, ASC NULLS
+    FIRST), and values straddling cut boundaries."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
+
+    rows = [(None, 0), (5, 1), (5, 2), (1, 3), (9, 4), (1, 5), (7, 6),
+            (None, 7), (3, 8), (9, 9), (0, 10), (2, 11)]
+    df = spark.createDataFrame(rows, "v long, tid long")
+    got = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(df, ["v", "tid"], n_buckets=4).collect()
+    }
+    ref, total = global_ranks(df, ["v", "tid"])
+    want = {r["tid"]: r["__rank"] for r in ref.collect()}
+    assert got == want and len(got) == total == 12
+
+
+def test_bucketed_global_ranks_cut_invariance(spark):
+    """Cutpoints only balance work: wildly different cut sets must
+    yield the identical rank assignment."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate([42, 7, 7, 99, -3, 0, 42, 13])],
+        "v long, tid long",
+    )
+    a = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(
+            df, ["v", "tid"], cuts=[0.0, 10.0, 50.0]
+        ).collect()
+    }
+    b = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(
+            df, ["v", "tid"], cuts=[7.0]
+        ).collect()
+    }
+    c = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(df, ["v", "tid"], cuts=[]).collect()
+    }
+    assert a == b == c
+
+
+def test_bucketed_global_ranks_rejects_reserved_columns(spark):
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "__b int, v long")
+    with pytest.raises(ValueError, match="__b"):
+        bucketed_global_ranks(df, ["v"])
+
+
+def test_exact_zvalue_fused_matches_per_column_ranks(spark):
+    """The fused z-rank construction must equal independently computed
+    per-column global ranks pushed through the same closed-form tile."""
+    from automated_etl_pipeline_spark.operators.ranks import global_ranks
+    from automated_etl_pipeline_spark.operators.zorder import (
+        interleave2,
+        with_zvalue,
+    )
+
+    rows = [(i, (i * 37) % 50, float((i * 61) % 83)) for i in range(200)]
+    df = spark.createDataFrame(rows, "rid long, a long, b double")
+    got = {
+        r["rid"]: r["zvalue"]
+        for r in with_zvalue(
+            df, ["a", "b"], tiebreak="rid", bits=4, exact=True
+        ).collect()
+    }
+    r0, total = global_ranks(df, ["a", "rid"], "__r0")
+    r1, _ = global_ranks(r0, ["b", "rid"], "__r1")
+    ref = r1.withColumn(
+        "zref",
+        interleave2(
+            F.expr(f"__r0 * 16 div {total}").cast("long"),
+            F.expr(f"__r1 * 16 div {total}").cast("long"),
+            4,
+        ),
+    )
+    want = {r["rid"]: r["zref"] for r in ref.collect()}
+    assert got == want and len(got) == 200
