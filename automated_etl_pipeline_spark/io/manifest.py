@@ -248,7 +248,13 @@ def read_table_pruned(
     Returns (frame, files_total, files_scanned).  The row-level
     predicate must still be applied by the caller — the zone map
     prunes FILES, it does not filter rows (exactly parquet row-group
-    skipping one level up)."""
+    skipping one level up).
+
+    For date/timestamp stats columns, pass ``lo``/``hi`` as ISO
+    strings (``"1995-01-01"``): stats persist in ISO form
+    (``_json_stat``), whose lexicographic order matches value order —
+    a raw datetime bound would TypeError against the stored
+    strings."""
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")

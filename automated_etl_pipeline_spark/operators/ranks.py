@@ -146,7 +146,14 @@ def bucketed_global_ranks(
     window shuffle, no checkpoint, no spark_partition_id.
 
     NULLs in the first order column land in bucket 0, matching the
-    window's default ASC NULLS FIRST order."""
+    window's default ASC NULLS FIRST order.
+
+    CONTRACT: ``df``'s lineage must be DETERMINISTIC — the bucket
+    counts are collected in one action and the final plan re-executes
+    the lineage; a nondeterministic input (a sample, rand(), a
+    non-idempotent source) could yield offsets that disagree with the
+    final execution.  That is exactly what ``global_ranks``'s eager
+    checkpoint buys — use IT for nondeterministic inputs."""
     clash = {"__b", "__off", out_col} & set(df.columns)
     if clash:
         raise ValueError(

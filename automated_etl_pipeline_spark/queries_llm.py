@@ -210,8 +210,8 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note (r13, plan-sweep rule 4): the global rank is the
     bucketed two-phase construction (operators/ranks.
     bucketed_global_ranks) — never a single-partition window; the only
-    driver materializations are the approxQuantile cut set and one
-    count per bucket.  Descending token order is expressed as an
+    driver materializations are the min/max cut bounds and one count
+    per bucket.  Descending token order is expressed as an
     ascending rank on (-n_tok, doc_id), so the rank values (and the
     oracle's row_number() ... DESC) are unchanged."""
     from automated_etl_pipeline_spark.operators.ranks import (
