@@ -53,6 +53,14 @@ from pyspark.sql import DataFrame, SparkSession
 RUN_ID_RETENTION = 10_000
 
 
+class CommitConflictError(RuntimeError):
+    """A REPLACE commit found the table advanced past the snapshot it
+    rewrote — publishing would silently DROP every file committed in
+    between (the lost-update anomaly real formats conflict-check
+    REPLACE/OVERWRITE commits for).  The caller re-reads the new
+    snapshot, recomputes, and retries."""
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifest")
 
@@ -90,6 +98,7 @@ def _commit(
     run_id: str,
     files_fn,
     stats_col: str | None = None,
+    expected_base: int | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
@@ -119,7 +128,10 @@ def _commit(
                 .collect()[0]
             )
             new_stats[nf] = [_json_stat(row[0]), _json_stat(row[1])]
-    return _publish(root, run_id, new_files, new_stats, files_fn)
+    return _publish(
+        root, run_id, new_files, new_stats, files_fn,
+        expected_base=expected_base,
+    )
 
 
 def _publish(
@@ -128,6 +140,7 @@ def _publish(
     new_files: list[str],
     new_stats: dict[str, list],
     files_fn,
+    expected_base: int | None = None,
 ) -> int:
     """The pure-filesystem commit point, factored from ``_commit`` so
     the optimistic-concurrency loop is testable under true
@@ -140,6 +153,16 @@ def _publish(
         cur = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
         if run_id in cur["run_ids"]:
             return v  # a racing retry of the same run won
+        if expected_base is not None and v != expected_base:
+            # REPLACE conflict detection: the table moved past the
+            # snapshot this rewrite was computed from — publishing
+            # would drop the interleaved commits' files.  The check
+            # re-runs on every retry, so losing the exclusive-create
+            # race to ANY commit (append or rewrite) surfaces here.
+            raise CommitConflictError(
+                f"table at v{v}, rewrite computed from v{expected_base}: "
+                "recompute from the current snapshot and retry"
+            )
         files = files_fn(cur["files"], new_files)
         live = set(files)
         manifest = {
@@ -202,15 +225,29 @@ def commit_append(
     )
 
 
-def commit_rewrite(df: DataFrame, root: str, run_id: str) -> int:
+def commit_rewrite(
+    df: DataFrame, root: str, run_id: str, expected_base: int | None = None
+) -> int:
     """Stage ``df`` and publish a manifest naming ONLY the new files —
     the compaction/rewrite commit: the logical table content is
     whatever ``df`` holds, and the previously-live files drop out of
     the new snapshot while remaining referenced by OLDER manifests
     (time travel keeps working; ``vacuum`` reclaims files outside the
     retention window).  Same idempotence and optimistic-versioning
-    rules as ``commit_append``."""
-    return _commit(df, root, run_id, lambda cur, new: new)
+    rules as ``commit_append``.
+
+    ``expected_base`` (r13): the version this rewrite was computed
+    FROM.  When set, the publish raises ``CommitConflictError`` if the
+    table has advanced past it — without the check, a rewrite racing a
+    concurrent append would win the next version and silently DROP the
+    appended files from the new snapshot (they would survive only in
+    history).  Pass it whenever the input ``df`` was read from the
+    table itself (compaction always should); leave ``None`` only when
+    the caller owns the table exclusively or intends
+    last-writer-wins replacement."""
+    return _commit(
+        df, root, run_id, lambda cur, new: new, expected_base=expected_base
+    )
 
 
 def manifest_files(root: str, version: int | None = None) -> list[str]:
@@ -391,4 +428,19 @@ def vacuum(
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
         if os.path.exists(mp):
             os.remove(mp)
+    # aged publish temp files: a writer that died between writing its
+    # temp manifest and linking it leaves a v*.json.tmp-* behind
+    # (invisible to readers — current_version only matches *.json);
+    # sweep them under the same age gate as in-flight data stages
+    mdir = _manifest_dir(root)
+    if os.path.isdir(mdir):
+        for f in os.listdir(mdir):
+            if ".json.tmp-" not in f:
+                continue
+            p = os.path.join(mdir, f)
+            try:
+                if os.path.getmtime(p) < cutoff:
+                    os.remove(p)
+            except OSError:
+                pass  # concurrently removed or mid-write: skip
     return deleted

@@ -6413,7 +6413,12 @@ def manifest_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_frag = len(manifest_files(root))
         pre = read_table(spark, root).count()
         compacted = read_table(spark, root).repartition(1)
-        commit_rewrite(compacted, root, "compact-1")
+        # production shape (r13): compaction always conflict-checks
+        # against the snapshot it read, so a racing append can never
+        # be silently dropped from the post-compaction snapshot
+        commit_rewrite(
+            compacted, root, "compact-1", expected_base=current_version(root)
+        )
         n_comp = len(manifest_files(root))
         ver = current_version(root)
         latest = read_table(spark, root)

@@ -272,3 +272,70 @@ def test_vacuum_survives_concurrently_removed_stage(spark, root, monkeypatch):
     deleted = vacuum(root, keep_last=1, min_orphan_age_s=0.0)
     assert deleted == []  # no live file touched, no crash
     assert os.path.isdir(ghost)  # treated as young, spared this pass
+
+
+def test_rewrite_conflict_detection(spark, root):
+    """r13: a REPLACE commit computed from version B must refuse to
+    publish once the table advanced past B — without the check it
+    would silently drop the interleaved append's files from the new
+    snapshot (the lost-update anomaly).  Recomputing from the current
+    snapshot succeeds."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        commit_rewrite,
+        read_table,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    base = current_version(root)
+    compacted = read_table(spark, root).coalesce(1)
+    # a concurrent append lands between the read and the publish
+    commit_append(_df(spark, 10, 15), root, "r2")
+    with pytest.raises(CommitConflictError, match="computed from v1"):
+        commit_rewrite(compacted, root, "compact-1", expected_base=base)
+    # table unchanged by the failed attempt
+    assert current_version(root) == 2
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == list(range(15))
+    # recompute from the CURRENT snapshot: conflict clears
+    v = commit_rewrite(
+        read_table(spark, root).coalesce(1),
+        root,
+        "compact-2",
+        expected_base=current_version(root),
+    )
+    assert v == 3
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == list(range(15))
+
+
+def test_rewrite_without_base_is_last_writer_wins(spark, root):
+    """expected_base=None keeps the documented replacement semantics:
+    the publish succeeds and the snapshot is exactly df's content."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_rewrite,
+        read_table,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "r1")
+    commit_append(_df(spark, 10, 15), root, "r2")
+    commit_rewrite(_df(spark, 100, 103), root, "replace-all")
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == [100, 101, 102]
+
+
+def test_vacuum_sweeps_aged_publish_tmp(spark, root):
+    """A writer that died between writing its temp manifest and the
+    hard-link leaves a v*.json.tmp-* file; vacuum reclaims it only
+    past the orphan-age gate, and readers never see it either way."""
+    from automated_etl_pipeline_spark.io.manifest import vacuum
+
+    commit_append(_df(spark, 0, 5), root, "r1")
+    tmp = os.path.join(root, "_manifest", "v0000000002.json.tmp-deadbeef")
+    with open(tmp, "w") as f:
+        f.write("{}")
+    assert current_version(root) == 1  # invisible to version resolution
+    vacuum(root, keep_last=1, min_orphan_age_s=3600.0)
+    assert os.path.exists(tmp)  # young: spared
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    assert not os.path.exists(tmp)  # aged: reclaimed
