@@ -187,3 +187,77 @@ def test_publish_matches_commit_append_protocol(spark, root):
     assert current_version(root) == 3
     got = sorted(r["payload"] for r in read_table(spark, root).collect())
     assert got == [0, 1, 2, 3, 4, 5, 6, 7, 100]
+
+
+def _conflict_rewrite_worker(root: str, barrier, out_q) -> None:
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        _publish,
+        _read_manifest,
+        current_version,
+    )
+
+    base = current_version(root)
+    base_files = _read_manifest(root, base)["files"] if base else []
+    # "compact": one staged file standing in for the merged base
+    path = _stage_one_file(root, 777_000 + base)
+    barrier.wait()
+    try:
+        v = _publish(
+            root,
+            "rewrite-race",
+            [path],
+            {},
+            lambda cur, new: new,
+            expected_base=base,
+        )
+        out_q.put(("win", base, len(base_files), v))
+    except CommitConflictError:
+        out_q.put(("conflict", base, len(base_files), None))
+
+
+def test_rewrite_racing_appends_never_loses_an_append(spark, root):
+    """A conflict-checked rewrite races a stream of appends: whatever
+    the interleaving, every append that COMMITTED after the rewrite's
+    base must survive in the final snapshot — the rewrite either wins
+    cleanly at its base version or raises, never silently drops."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        current_version,
+    )
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    appender = ctx.Process(
+        target=_append_worker, args=(root, 0, 10, barrier)
+    )
+    rewriter = ctx.Process(
+        target=_conflict_rewrite_worker, args=(root, barrier, out_q)
+    )
+    appender.start()
+    rewriter.start()
+    outcome, base, n_base_files, won_v = out_q.get(timeout=300)
+    for p in (appender, rewriter):
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    final_v = current_version(root)
+    final_files = set(_read_manifest(root, final_v)["files"])
+    if outcome == "win":
+        # clean win: the rewrite published at base+1; every append
+        # versioned AFTER it must still be present on top of it
+        assert won_v == base + 1
+        appended_after = [
+            f
+            for v in range(won_v + 1, final_v + 1)
+            for f in _read_manifest(root, v)["files"]
+            if f not in _read_manifest(root, v - 1)["files"]
+        ]
+        assert set(appended_after) <= final_files
+        assert len(final_files) == 1 + len(appended_after)
+    else:
+        # conflict: table untouched by the rewriter — all 10 appends
+        # plus the original base files survive
+        assert outcome == "conflict"
+        assert final_v == base + 10
+        assert len(final_files) == n_base_files + 10
