@@ -54,9 +54,17 @@ def test_no_oracle_emits_hugeint_or_decimal():
             f"CREATE VIEW {t} AS SELECT * FROM"
             f" read_parquet('{SF_DIR}/{t}.parquet')"
         )
+    from automated_etl_pipeline_spark.queries import (
+        PROBE_ORACLES,
+        RETIRED_ORACLES,
+    )
+
     bad: dict[str, list[tuple[str, str]]] = {}
     described = 0
-    for name, sql in se.oracle_sql().items():
+    # registry + retired + probe oracles: retirement must not exempt
+    # an oracle from the type discipline (r13)
+    all_oracles = {**PROBE_ORACLES, **RETIRED_ORACLES, **se.oracle_sql()}
+    for name, sql in all_oracles.items():
         cols = con.execute("DESCRIBE " + sql).fetchall()
         described += 1
         hits = [
