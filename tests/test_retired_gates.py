@@ -27,7 +27,7 @@ from automated_etl_pipeline_spark.queries import (
     RETIRED_ORACLES,
     RETIRED_SUBSUMED,
 )
-from tests.test_probes import _check_against, _oracle_rows  # shared protocol
+from tests.test_probes import _check_against  # shared t2 protocol
 
 SF_DIR = "/root/testdata/sf0.001"
 
