@@ -75,3 +75,31 @@ def test_one_probe_at_gate_scale(spark):
         "CORRECTNESS_r*.json"
     )))
     _check(spark, names[rounds % len(names)], "/root/testdata/sf0.01")
+
+
+def test_probe_scale_rules_sweep(spark):
+    """The four registry plan rules hold for the probe gates too (r13,
+    same closure as tests/test_retired_gates.py): leaving the driver
+    registry must not exempt a gate from the scale discipline."""
+    from automated_etl_pipeline_spark.plans.explain import (
+        executed_plan,
+        forced_broadcast_violations,
+        unpartitioned_window_violations,
+    )
+
+    bad = {}
+    for name, fn in PROBES.items():
+        df = fn(spark, SF_DIR)
+        flags = []
+        if forced_broadcast_violations(df):
+            flags.append("forced-broadcast")
+        if unpartitioned_window_violations(df):
+            flags.append("unbounded-global-window")
+        plan = executed_plan(df)
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"scale-rule violations in probe gates: {bad}"

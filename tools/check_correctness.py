@@ -8,6 +8,7 @@ mismatches surface before the round gate does.
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
        python tools/check_correctness.py [sf_dir] --json OUT.json
        python tools/check_correctness.py [sf_dir] --vanilla [--tz ZONE] ...
+       python tools/check_correctness.py [sf_dir] --retired ...   # the 26 retired gates
 
 ``--json`` additionally writes per-query records in the driver's
 CORRECTNESS_r{N}.json shape (rows_match/schema_match/hash_match/
@@ -96,6 +97,9 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    retired = "--retired" in args
+    if retired:
+        args.remove("--retired")
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
@@ -126,7 +130,18 @@ def main() -> int:
     con = duckdb.connect()
     register_views(con, sf_dir)
 
-    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if retired:
+        # the 26 gates retired from the driver registry (r13): same
+        # three-axis compare, so their sf0.1 greens can be committed as
+        # a round record alongside the registry matrix
+        from automated_etl_pipeline_spark.queries import (
+            RETIRED,
+            RETIRED_ORACLES,
+        )
+
+        qs, oracles = dict(RETIRED), dict(RETIRED_ORACLES)
+    else:
+        qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
     records: dict[str, dict] = {}
     import gc
