@@ -160,6 +160,19 @@ def bucketed_global_ranks(
             f"bucketed_global_ranks appends {sorted(clash)} — rename first"
         )
     c0 = order_cols[0]
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(df.schema[c0].dataType, NumericType):
+        # a non-numeric first column would cast to NULL in
+        # linspace_cuts and silently collapse every row into bucket 0 —
+        # a single-task window wearing a partitioned disguise.  Fail
+        # loudly; use global_ranks for arbitrary tuple orders (or
+        # derive a numeric order key first, e.g. unix_timestamp).
+        raise TypeError(
+            f"bucketed_global_ranks needs a NUMERIC first order "
+            f"column, got {df.schema[c0].dataType} for {c0!r} — use "
+            "global_ranks for non-numeric orders"
+        )
     if cuts is None:
         cuts = linspace_cuts(df, c0, n_buckets)
     rows = df.withColumn("__b", order_bucket(c0, cuts))

@@ -148,3 +148,15 @@ def test_exact_zvalue_fused_matches_per_column_ranks(spark):
     )
     want = {r["rid"]: r["zref"] for r in ref.collect()}
     assert got == want and len(got) == 200
+
+
+def test_bucketed_global_ranks_rejects_non_numeric_order(spark):
+    """A string first order column would silently collapse to one
+    bucket (cast-to-double NULLs) — must fail loudly instead."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "s string, tid long")
+    with pytest.raises(TypeError, match="NUMERIC first order"):
+        bucketed_global_ranks(df, ["s", "tid"])
