@@ -120,6 +120,151 @@ def m2_poisson_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------------
+# M4 as a full hash gate (r13): the outcome-probability matrix in
+# normalized truncated form.  P(i,j) = exp(-lh-lv) lh^i lv^j / (i! j!)
+# — the exp factor is COMMON to every cell, so the win/draw/loss
+# probabilities conditioned on both scores <= G are ratios of pure
+# POLYNOMIAL sums in (lh, lv): no transcendental anywhere (the r9
+# integer-space rule, extended to rationals).  Both engines evaluate
+# THE SAME generated fully-parenthesized SQL fragment (fixed
+# associativity, shared literals), so every double is bit-identical
+# and floor(p * 1e6) cannot flake.
+# ----------------------------------------------------------------------
+
+_M4_MAX_GOALS = 6
+_M4_FACT = [1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0]
+
+
+def _m4_pow(col: str, k: int) -> str:
+    """lam^k as an explicit left-associated product — identical parse
+    in Spark SQL and DuckDB (pow() is libm-backed and banned here)."""
+    if k == 0:
+        return _m4_dbl("1.0")
+    out = col
+    for _ in range(k - 1):
+        out = f"({out} * {col})"
+    return out
+
+
+def _m4_sum(cells: list[tuple[int, int]]) -> str:
+    """Fully-parenthesized left-associated sum of Poisson-kernel terms
+    lh^i/i! * lv^j/j! over the given (i, j) cells."""
+    terms = [
+        f"(({_m4_pow('lh', i)} / {_M4_FACT_LIT[i]})"
+        f" * ({_m4_pow('lv', j)} / {_M4_FACT_LIT[j]}))"
+        for i, j in cells
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+def _m4_dbl(lit: str) -> str:
+    """A numeric literal FORCED to DOUBLE: both Spark and DuckDB parse
+    bare decimal-point literals as DECIMAL and then apply their own
+    (different!) decimal division scale rules — the gate's first cut
+    diverged by one ulp exactly that way.  CAST(x AS DOUBLE) pins both
+    engines to IEEE double arithmetic."""
+    return f"CAST({lit} AS DOUBLE)"
+
+
+_M4_FACT_LIT = [_m4_dbl(f"{f:.1f}") for f in _M4_FACT]
+_M4_CELLS = [
+    (i, j)
+    for i in range(_M4_MAX_GOALS + 1)
+    for j in range(_M4_MAX_GOALS + 1)
+]
+_M4_S_HOME = _m4_sum([(i, j) for i, j in _M4_CELLS if i > j])
+_M4_S_DRAW = _m4_sum([(i, j) for i, j in _M4_CELLS if i == j])
+_M4_S_AWAY = _m4_sum([(i, j) for i, j in _M4_CELLS if i < j])
+_M4_TOT = f"(({_M4_S_HOME} + {_M4_S_DRAW}) + {_M4_S_AWAY})"
+_M4_E6 = _m4_dbl("1000000.0")
+_M4_PROB_EXPRS = {
+    "p_home_e6": f"CAST(floor(({_M4_S_HOME} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
+    "p_draw_e6": f"CAST(floor(({_M4_S_DRAW} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
+    "p_away_e6": f"CAST(floor(({_M4_S_AWAY} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
+}
+_M4_LAMBDA_H = (
+    f"{_m4_dbl('0.5')} + ({_m4_dbl('2.0')} * s_a) / (s_a + s_b)"
+)
+_M4_LAMBDA_V = (
+    f"{_m4_dbl('0.5')} + ({_m4_dbl('2.0')} * s_b) / (s_a + s_b)"
+)
+
+_M4_ORACLE = f"""
+WITH s AS (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+  ORDER BY cnt DESC, n_name LIMIT 8
+), p AS (
+  SELECT a.n_name AS team_a, b.n_name AS team_b,
+         a.cnt AS s_a, b.cnt AS s_b
+  FROM s a, s b WHERE a.n_name != b.n_name
+), lam AS (
+  SELECT team_a, team_b,
+         {_M4_LAMBDA_H} AS lh,
+         {_M4_LAMBDA_V} AS lv
+  FROM p
+)
+SELECT team_a, team_b,
+       {_M4_PROB_EXPRS["p_home_e6"]} AS p_home_e6,
+       {_M4_PROB_EXPRS["p_draw_e6"]} AS p_draw_e6,
+       {_M4_PROB_EXPRS["p_away_e6"]} AS p_away_e6
+FROM lam ORDER BY team_a, team_b
+"""
+
+
+@query("m4_outcome_matrix", _M4_ORACLE)
+def m4_outcome_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — the win/draw/loss outcome matrix (ml_project.py:218-239's
+    tril/diag/triu sums) as a FULL hash gate: probabilities conditioned
+    on both scores <= 6 are ratios of polynomial sums in the two
+    expected-goal rates (exp(-lh-lv) cancels in the normalization), so
+    the whole computation is shared-text SQL arithmetic both engines
+    evaluate bit-identically — no exp, no pow, no aggregate float sums
+    (each sum is one fixed-association expression).  Strengths are the
+    top-8 nations by customer count, the exact frame m5_tournament_sim
+    simulates from; tests/test_pipeline_ml.py pins these probabilities
+    against ml/simulate.outcome_probs normalized to the same
+    truncation.
+
+    Scale: strengths are one broadcast-joined groupBy; the 56-pair
+    cross of two 8-row frames is a k-row broadcast nested loop
+    (policy-allowed); scoring is a map-side expression."""
+    nation, customer = _t(spark, sf_dir, "nation", "customer")
+    s = (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "n_name")
+        .limit(8)
+    )
+    a = s.select(F.col("n_name").alias("team_a"), F.col("cnt").alias("s_a"))
+    b = s.select(F.col("n_name").alias("team_b"), F.col("cnt").alias("s_b"))
+    lam = (
+        a.crossJoin(b)
+        .filter(F.col("team_a") != F.col("team_b"))
+        .selectExpr(
+            "team_a",
+            "team_b",
+            f"{_M4_LAMBDA_H} AS lh",
+            f"{_M4_LAMBDA_V} AS lv",
+        )
+    )
+    return lam.selectExpr(
+        "team_a",
+        "team_b",
+        f"{_M4_PROB_EXPRS['p_home_e6']} AS p_home_e6",
+        f"{_M4_PROB_EXPRS['p_draw_e6']} AS p_draw_e6",
+        f"{_M4_PROB_EXPRS['p_away_e6']} AS p_away_e6",
+    ).orderBy("team_a", "team_b")
+
+
 @query("m5_tournament_sim")
 def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4-M5: Poisson outcome matrices + seeded Monte-Carlo tournament

@@ -387,3 +387,51 @@ def test_cents_sq_mod_sum_negative_matches_sql_semantics(spark):
 
     exp = sum(srem(srem(math.floor(v * 100)) ** 2) for v in vals)
     assert got == via_spark == via_duck == exp
+
+
+def test_m4_gate_matches_outcome_probs(spark):
+    """The m4 gate's polynomial-ratio probabilities must equal
+    ml/simulate.outcome_probs normalized to the same <= 6-goal
+    truncation (the exp factor cancels in normalization) — pins the
+    shared-text SQL arithmetic to the reference implementation."""
+    import automated_etl_pipeline_spark.queries_ml  # noqa: F401
+    from automated_etl_pipeline_spark.ml.simulate import outcome_probs
+    from automated_etl_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["m4_outcome_matrix"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 56  # 8 teams, directed pairs
+    # rebuild the strengths the gate used
+    import duckdb
+
+    con = duckdb.connect()
+    s = con.execute(
+        """
+        SELECT n_name, COUNT(*) AS cnt
+        FROM read_parquet('/root/testdata/sf0.001/customer.parquet') c
+        JOIN read_parquet('/root/testdata/sf0.001/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 8
+        """
+    ).fetchall()
+    cnt = dict(s)
+    for r in rows:
+        sa, sb = cnt[r["team_a"]], cnt[r["team_b"]]
+        lh = 0.5 + (2.0 * sa) / (sa + sb)
+        lv = 0.5 + (2.0 * sb) / (sa + sb)
+        p = outcome_probs(lh, lv, max_goals=6)
+        tot = p.home_win + p.draw + p.away_win
+        import math
+
+        for col, val in (
+            ("p_home_e6", p.home_win / tot),
+            ("p_draw_e6", p.draw / tot),
+            ("p_away_e6", p.away_win / tot),
+        ):
+            # numpy's summation order differs from the gate's fixed
+            # chain, so allow the one-ulp-at-the-floor-boundary slack
+            assert abs(r[col] - math.floor(val * 1e6)) <= 1, (
+                r["team_a"], r["team_b"], col, r[col], val,
+            )
+        assert 999997 <= r["p_home_e6"] + r["p_draw_e6"] + r["p_away_e6"] <= 1000000
