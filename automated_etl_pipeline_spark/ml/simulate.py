@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
 from itertools import combinations
 
 import numpy as np
@@ -26,11 +27,15 @@ class MatchProbs:
     away_win: float
 
 
+@lru_cache(maxsize=8192)
 def outcome_probs(
     exp_home: float, exp_away: float, max_goals: int = 10
 ) -> MatchProbs:
     """M4 — win/draw/loss from the outer product of two Poisson pmfs
-    (ml_project.py:218-239: tril/diag/triu sums)."""
+    (ml_project.py:218-239: tril/diag/triu sums).  Memoized (r14): a
+    tournament revisits the same ~k^2 pairings every simulation, and
+    the matrix build dominated n_sims scaling; the cache is bounded
+    and the result is a frozen dataclass."""
     goals = np.arange(max_goals + 1)
     facts = np.array([math.factorial(int(g)) for g in goals], dtype=float)
     ph = np.exp(-exp_home) * exp_home**goals / facts

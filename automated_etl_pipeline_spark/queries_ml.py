@@ -5,10 +5,12 @@ is trained ONCE (fit_poisson_rates, float invariants in
 tests/test_pipeline_ml.py), its coefficients frozen as 1e-6 integer
 literals (ml/poisson.PINNED_POISSON_COEF_E6), and the gate scores
 pairings with exact integer arithmetic that DuckDB recomputes
-independently from the same literals.  Only m5_tournament_sim remains
-no-oracle — Monte-Carlo simulation is genuinely stochastic; its
-value-level guarantees live in tests/test_pipeline_ml.py (seeded
-reproducibility, probability mass checks).
+independently from the same literals.  Since r14 even M5 is a full
+hash gate: the tournament is exactly enumerable over m4's polynomial
+outcome ratios (ml/bracket.py), so m5_bracket_exact pins champion
+probabilities three-axis and the registry carries ZERO no-oracle rows;
+the seeded Monte-Carlo simulator remains the operator surface
+(ml/simulate.py), property-tested against the exact values.
 
 Scale posture: training-frame construction and scoring are DataFrames
 end-to-end (distributed IRLS in GeneralizedLinearRegression); only the
@@ -132,65 +134,16 @@ def m2_poisson_expected(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and floor(p * 1e6) cannot flake.
 # ----------------------------------------------------------------------
 
-_M4_MAX_GOALS = 6
-_M4_FACT = [1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0]
-
-
-def _m4_pow(col: str, k: int) -> str:
-    """lam^k as an explicit left-associated product — identical parse
-    in Spark SQL and DuckDB (pow() is libm-backed and banned here)."""
-    if k == 0:
-        return _m4_dbl("1.0")
-    out = col
-    for _ in range(k - 1):
-        out = f"({out} * {col})"
-    return out
-
-
-def _m4_sum(cells: list[tuple[int, int]]) -> str:
-    """Fully-parenthesized left-associated sum of Poisson-kernel terms
-    lh^i/i! * lv^j/j! over the given (i, j) cells."""
-    terms = [
-        f"(({_m4_pow('lh', i)} / {_M4_FACT_LIT[i]})"
-        f" * ({_m4_pow('lv', j)} / {_M4_FACT_LIT[j]}))"
-        for i, j in cells
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = f"({out} + {t})"
-    return out
-
-
-def _m4_dbl(lit: str) -> str:
-    """A numeric literal FORCED to DOUBLE: both Spark and DuckDB parse
-    bare decimal-point literals as DECIMAL and then apply their own
-    (different!) decimal division scale rules — the gate's first cut
-    diverged by one ulp exactly that way.  CAST(x AS DOUBLE) pins both
-    engines to IEEE double arithmetic."""
-    return f"CAST({lit} AS DOUBLE)"
-
-
-_M4_FACT_LIT = [_m4_dbl(f"{f:.1f}") for f in _M4_FACT]
-_M4_CELLS = [
-    (i, j)
-    for i in range(_M4_MAX_GOALS + 1)
-    for j in range(_M4_MAX_GOALS + 1)
-]
-_M4_S_HOME = _m4_sum([(i, j) for i, j in _M4_CELLS if i > j])
-_M4_S_DRAW = _m4_sum([(i, j) for i, j in _M4_CELLS if i == j])
-_M4_S_AWAY = _m4_sum([(i, j) for i, j in _M4_CELLS if i < j])
-_M4_TOT = f"(({_M4_S_HOME} + {_M4_S_DRAW}) + {_M4_S_AWAY})"
-_M4_E6 = _m4_dbl("1000000.0")
-_M4_PROB_EXPRS = {
-    "p_home_e6": f"CAST(floor(({_M4_S_HOME} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
-    "p_draw_e6": f"CAST(floor(({_M4_S_DRAW} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
-    "p_away_e6": f"CAST(floor(({_M4_S_AWAY} / {_M4_TOT}) * {_M4_E6}) AS BIGINT)",
-}
-_M4_LAMBDA_H = (
-    f"{_m4_dbl('0.5')} + ({_m4_dbl('2.0')} * s_a) / (s_a + s_b)"
-)
-_M4_LAMBDA_V = (
-    f"{_m4_dbl('0.5')} + ({_m4_dbl('2.0')} * s_b) / (s_a + s_b)"
+# The generator machinery (m4_pow/m4_sum/m4_dbl, the polynomial sums,
+# the lambda formulas) lives in ml/bracket.py since r14 so the exact
+# bracket gate below can build on it without a circular import; the
+# aliases keep this module's fragment names stable (the oracle text is
+# pinned byte-identical by tests/test_pipeline_ml.py).
+from automated_etl_pipeline_spark.ml.bracket import (  # noqa: E402
+    LAMBDA_H as _M4_LAMBDA_H,
+    LAMBDA_V as _M4_LAMBDA_V,
+    M4_PROB_EXPRS as _M4_PROB_EXPRS,
+    bracket_exact_sql as _bracket_exact_sql,
 )
 
 _M4_ORACLE = f"""
@@ -226,8 +179,8 @@ def m4_outcome_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole computation is shared-text SQL arithmetic both engines
     evaluate bit-identically — no exp, no pow, no aggregate float sums
     (each sum is one fixed-association expression).  Strengths are the
-    top-8 nations by customer count, the exact frame m5_tournament_sim
-    simulates from; tests/test_pipeline_ml.py pins these probabilities
+    top-8 nations by customer count, the exact frame m5_bracket_exact
+    propagates through the bracket; tests/test_pipeline_ml.py pins these probabilities
     against ml/simulate.outcome_probs normalized to the same
     truncation.
 
@@ -265,57 +218,38 @@ def m4_outcome_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("team_a", "team_b")
 
 
-@query("m5_tournament_sim")
-def m5_tournament_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M4-M5: Poisson outcome matrices + seeded Monte-Carlo tournament
-    (ml/simulate.py) over 8 'teams' = the most-populous nations, with
-    expected goals derived from relative customer counts. The strength
-    aggregation is distributed; the 8-team bracket simulation is
-    driver-side by design (see module docstring)."""
-    from automated_etl_pipeline_spark.ml.simulate import tournament_win_probability
+_M5_BRACKET_ORACLE = _bracket_exact_sql()
 
-    nation, customer = _t(spark, sf_dir, "nation", "customer")
-    strengths = (
-        customer.join(
-            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
-        )
-        .groupBy("n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.desc("n_customers"), "n_name")
-        .limit(8)
-        .collect()
-    )
-    teams = [r.n_name for r in strengths]
-    s = {r.n_name: r.n_customers for r in strengths}
-    expected = {
-        (a, b): 0.5 + 2.0 * s[a] / (s[a] + s[b])
-        for a in teams
-        for b in teams
-        if a != b
-    }
-    groups = [teams[:4], teams[4:]]
-    p_win = tournament_win_probability(groups, expected, n_sims=200, seed=42)
-    # In-query invariants (VERDICT r8 ask #5), mirroring the
-    # reference's simulation sanity block (ml_project.py:236-251):
-    #  - wins: integer win counts (p * n_sims, exact by construction);
-    #  - mass_ok: the win counts partition the simulations exactly;
-    #  - rank_sane: the strongest seed beats the weakest seed;
-    #  - seed_stable: a second seeded run reproduces bit-identically.
-    p_win2 = tournament_win_probability(groups, expected, n_sims=200, seed=42)
-    n_sims = 200
-    wins = {t: int(round(p * n_sims)) for t, p in p_win.items()}
-    mass_ok = sum(wins.values()) == n_sims
-    strongest, weakest = teams[0], teams[-1]
-    rank_sane = p_win.get(strongest, 0.0) >= p_win.get(weakest, 0.0)
-    seed_stable = p_win == p_win2
-    return spark.createDataFrame(
-        [
-            (t, float(p), wins[t], mass_ok, rank_sane, seed_stable)
-            for t, p in sorted(p_win.items())
-        ],
-        "team string, p_win double, wins long, mass_ok boolean,"
-        " rank_sane boolean, seed_stable boolean",
-    )
+
+@query("m5_bracket_exact", _M5_BRACKET_ORACLE)
+def m5_bracket_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 as a FULL hash gate (r14, VERDICT r13 ask #1): exact
+    tournament champion probabilities — no Monte-Carlo anywhere.  M4's
+    derandomization finishes the job: with match outcomes exact
+    polynomial ratios, the group stage is an exact enumeration of the
+    3^6 outcome vectors per group (probability = fixed-association
+    product of six ratios; standings = integer points with
+    ml/simulate.round_robin_table's input-order tiebreak) and the
+    knockout propagates as scalar arithmetic over the 24 qualifier-pair
+    masses (semifinal = group first vs second, final = group-1 side at
+    home — knockout_bracket's pairing of ml_project.py:346-350).  Both
+    engines run the IDENTICAL generated SQL text (Spark via temp views,
+    DuckDB as the oracle); the only aggregations are over BIGINTs —
+    per-vector probabilities floor onto a 1e-15 grid before class
+    masses sum, so no float-sum association order can leak into the
+    hash.  The seeded MC simulator stays the operator surface
+    (ml/simulate.py), property-tested against ml/bracket.
+    exact_champion_probs in tests/test_pipeline_ml.py.
+
+    Scale: strengths are one broadcast-joined groupBy + top-8; all
+    downstream frames are <= 1458 rows of compile-time enumeration —
+    k-row arithmetic, the same model-as-data posture as m2/m4.
+    Reference semantics: ml_project.py:245-350."""
+    for name, df in zip(
+        ("customer", "nation"), _t(spark, sf_dir, "customer", "nation")
+    ):
+        df.createOrReplaceTempView(name)
+    return spark.sql(_M5_BRACKET_ORACLE)
 
 
 # ----------------------------------------------------------------------

@@ -83,6 +83,51 @@ def newest_anchors(path: Path) -> dict[str, float]:
     return anchors
 
 
+# A "self-anchor" layer re-anchors a handful of gates mid-stream
+# (legitimately only when a gate's implementation contract changed —
+# r13_local re-anchored the two rule-4 rewrites).  Layers this small
+# must carry a _note naming the change (tests/test_bench.py enforces
+# it), and bench records must show the prior-round ratio alongside, so
+# a self-anchor can never silently normalize a regression out of the
+# ≥1.9× adjudication (VERDICT r13 ask #2).
+SELF_ANCHOR_MAX_ENTRIES = 30
+
+
+def anchors_with_provenance(path: Path) -> dict[str, dict]:
+    """Per-query newest anchor WITH provenance: value, source layer,
+    whether that layer is a self-anchor (a targeted, sub-30-entry
+    re-anchor rather than a full-sweep round record), and — for
+    self-anchored gates — the newest anchor from a FULL layer, so both
+    ratios can be reported side by side."""
+    try:
+        rounds = json.loads(path.read_text())["rounds"]
+    except (OSError, KeyError, ValueError):
+        return {}
+    out: dict[str, dict] = {}
+    full_anchor: dict[str, float] = {}
+    for rname, vals in rounds.items():
+        if rname.endswith("_cold") or not isinstance(vals, dict):
+            continue
+        n_queries = sum(
+            1
+            for k, v in vals.items()
+            if not k.startswith("_") and isinstance(v, (int, float))
+        )
+        is_self = n_queries < SELF_ANCHOR_MAX_ENTRIES
+        for q, v in vals.items():
+            if q.startswith("_") or not isinstance(v, (int, float)) or v <= 0:
+                continue
+            if not is_self:
+                full_anchor[q] = float(v)
+            out[q] = {
+                "value": float(v),
+                "layer": rname,
+                "self_anchor": is_self,
+                "prior": None if not is_self else full_anchor.get(q),
+            }
+    return out
+
+
 def standalone_median(
     fn, sf_dir: str, warm_dir: str, reps: int = 3, warm: bool = True
 ) -> list[float]:
@@ -281,11 +326,26 @@ def main() -> None:
         print(json.dumps({"timings": timings, "errors": errors}))
         return
 
+    # Host-load self-description (VERDICT r13 ask #6): a bench record
+    # taken under ambient contention (f32718b's 387.6s vs the driver's
+    # idle 284.1s) must say so INSIDE the artifact, so cross-round
+    # comparisons can filter on conditions instead of needing commit
+    # archaeology.
+    try:
+        load_start = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_start = None
+
     if os.environ.get("SPARK_GRAFT_BENCH_CHUNKED", "1") not in ("", "0"):
         chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK_SIZE", "12"))
         timings, errors = _chunked_sweep(list(qs), chunk_size)
     else:
         timings, errors = run_queries(qs, sf_dir, WARM_DIR, COLD)
+
+    try:
+        load_end = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_end = None
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -294,6 +354,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "conditions": {
+            "loadavg_start": load_start,
+            "loadavg_end": load_end,
+            "cpus": os.cpu_count(),
+        },
     }
     if errors:
         out["errors"] = errors
@@ -315,14 +380,35 @@ def main() -> None:
     # adjudication contexts are built in an idle JVM — the same
     # fresh-session protocol rounds 4-7 used manually.
     if os.environ.get("SPARK_GRAFT_BENCH_NO_ADJ", "") in ("", "0") and sf >= 0.1:
-        anchors = newest_anchors(
-            Path(
-                os.environ.get(
-                    "SPARK_GRAFT_BENCH_ANCHORS",
-                    Path(__file__).resolve().parent / "BASELINE_BENCH.json",
-                )
+        anchors_path = Path(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_ANCHORS",
+                Path(__file__).resolve().parent / "BASELINE_BENCH.json",
             )
         )
+        anchors = newest_anchors(anchors_path)
+        # Dual-ratio reporting for self-anchored gates (VERDICT r13 ask
+        # #2): every gate whose newest anchor comes from a targeted
+        # re-anchor layer ALSO records its ratio vs the newest
+        # full-sweep anchor, so the record itself shows what the
+        # re-anchor absorbed.
+        prov = anchors_with_provenance(anchors_path)
+        self_anchored = {
+            q: {
+                "wall": timings[q],
+                "anchor": p["value"],
+                "layer": p["layer"],
+                "ratio": round(timings[q] / p["value"], 2),
+                "prior_anchor": p["prior"],
+                "prior_ratio": (
+                    round(timings[q] / p["prior"], 2) if p["prior"] else None
+                ),
+            }
+            for q, p in prov.items()
+            if p["self_anchor"] and q in timings
+        }
+        if self_anchored:
+            out["self_anchored"] = self_anchored
         flagged = sorted(
             (
                 (t / anchors[q], q)

@@ -199,3 +199,71 @@ def test_bench_self_adjudicates_2x_readings(tmp_path):
     assert adj["ratio"] >= 2.0
     assert len(adj["standalone_reps"]) == 3
     assert adj["standalone_median"] >= 0.25
+
+
+# Layers that predate the r14 governance rule (VERDICT r13 ask #2);
+# the rule applies to everything added from r13 on.
+_GRANDFATHERED_SMALL_LAYERS = {
+    "r6_adjudications",
+    "r7_adjudications",
+    "r8_adjudications",
+}
+
+
+def test_baseline_bench_small_layers_carry_note():
+    """Anchor governance (VERDICT r13 ask #2a): any targeted re-anchor
+    layer (sub-30-entry, non-cold) in the committed BASELINE_BENCH.json
+    must carry a ``_note`` naming the contract change it re-anchors —
+    a bare self-anchor could silently normalize a regression."""
+    import bench
+
+    data = json.loads((REPO / "BASELINE_BENCH.json").read_text())
+    for rname, vals in data["rounds"].items():
+        if rname.endswith("_cold") or not isinstance(vals, dict):
+            continue
+        if rname in _GRANDFATHERED_SMALL_LAYERS:
+            continue
+        n = sum(
+            1
+            for k, v in vals.items()
+            if not k.startswith("_") and isinstance(v, (int, float))
+        )
+        if n < bench.SELF_ANCHOR_MAX_ENTRIES:
+            assert "_note" in vals, (
+                f"self-anchor layer {rname!r} ({n} entries) lacks a _note"
+            )
+
+
+def test_anchors_with_provenance_reports_prior(tmp_path):
+    """Anchor governance (VERDICT r13 ask #2b): a gate whose newest
+    anchor is a targeted self-anchor keeps its newest FULL-layer anchor
+    as ``prior``, so bench records can show both ratios."""
+    import bench
+
+    full = {f"q{i}": 1.0 for i in range(bench.SELF_ANCHOR_MAX_ENTRIES)}
+    p = tmp_path / "anchors.json"
+    p.write_text(
+        json.dumps(
+            {
+                "rounds": {
+                    "r1_local": full,
+                    "r2_local": {**full, "q0": 0.8},
+                    "r3_local": {"_note": "q0 contract changed", "q0": 2.0},
+                }
+            }
+        )
+    )
+    prov = bench.anchors_with_provenance(p)
+    assert prov["q0"] == {
+        "value": 2.0,
+        "layer": "r3_local",
+        "self_anchor": True,
+        "prior": 0.8,
+    }
+    # a gate never self-anchored: newest full layer, no prior
+    assert prov["q1"]["self_anchor"] is False and prov["q1"]["prior"] is None
+    # real committed file: the r13_local self-anchors must resolve a prior
+    real = bench.anchors_with_provenance(REPO / "BASELINE_BENCH.json")
+    r13 = {q: v for q, v in real.items() if v["layer"] == "r13_local"}
+    assert r13, "r13_local self-anchor layer disappeared"
+    assert all(v["self_anchor"] and v["prior"] for v in r13.values())

@@ -435,3 +435,87 @@ def test_m4_gate_matches_outcome_probs(spark):
                 r["team_a"], r["team_b"], col, r[col], val,
             )
         assert 999997 <= r["p_home_e6"] + r["p_draw_e6"] + r["p_away_e6"] <= 1000000
+
+
+def test_bracket_exact_gate_matches_python_mirror(spark):
+    """The m5_bracket_exact shared-text SQL must agree with the
+    independent Python enumeration (ml/bracket.exact_champion_probs)
+    on every team, up to the gate's e15/e6 quantization — two
+    implementations of the same exact computation, so disagreement
+    beyond floor slack means one of them mis-propagates the bracket."""
+    import math
+
+    import duckdb
+
+    import automated_etl_pipeline_spark.queries_ml  # noqa: F401
+    from automated_etl_pipeline_spark.ml.bracket import (
+        exact_champion_probs,
+    )
+    from automated_etl_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["m5_bracket_exact"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 8 and [r["seed"] for r in rows] == list(range(1, 9))
+
+    con = duckdb.connect()
+    s = con.execute(
+        """
+        SELECT n_name, COUNT(*) AS cnt
+        FROM read_parquet('/root/testdata/sf0.001/customer.parquet') c
+        JOIN read_parquet('/root/testdata/sf0.001/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name ORDER BY cnt DESC, n_name LIMIT 8
+        """
+    ).fetchall()
+    teams = [r[0] for r in s]
+    st = dict(s)
+    expected = {
+        (a, b): 0.5 + 2.0 * st[a] / (st[a] + st[b])
+        for a in teams
+        for b in teams
+        if a != b
+    }
+    exact = exact_champion_probs([teams[:4], teams[4:]], expected)
+    assert sum(exact.values()) == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        want = math.floor(exact[r["team"]] * 1e6)
+        # e15 mass flooring (<= 729 ulps per class) can move the e6
+        # floor by at most one at a boundary
+        assert abs(r["p_champ_e6"] - want) <= 1, (r["team"], r["p_champ_e6"], want)
+    total = sum(r["p_champ_e6"] for r in rows)
+    assert 999990 <= total <= 1000000
+
+
+def test_mc_tournament_converges_to_exact():
+    """The seeded Monte-Carlo operator surface (ml/simulate.py) must
+    converge to ml/bracket.exact_champion_probs under the SAME outcome
+    model (max_goals=10) — the r14 derandomization's property bridge:
+    the exact gate pins values, the simulator is validated against
+    them instead of against nothing."""
+    from automated_etl_pipeline_spark.ml.bracket import (
+        exact_champion_probs,
+    )
+
+    teams = ["T1", "T2", "T3", "T4", "T5", "T6", "T7", "T8"]
+    strength = {t: 100 - 9 * i for i, t in enumerate(teams)}
+    expected = {
+        (a, b): 0.5 + 2.0 * strength[a] / (strength[a] + strength[b])
+        for a in teams
+        for b in teams
+        if a != b
+    }
+    groups = [teams[:4], teams[4:]]
+    exact = exact_champion_probs(groups, expected, max_goals=10)
+    n_sims = 4000
+    mc = tournament_win_probability(expected=expected, groups=groups, n_sims=n_sims, seed=7)
+    # 4σ for a binomial proportion at p≈0.3, n=4000 is ~0.029
+    for t in teams:
+        assert abs(mc.get(t, 0.0) - exact[t]) < 0.035, (
+            t, mc.get(t, 0.0), exact[t],
+        )
+    # truncation sensitivity is tiny at these rates: the gate's 6-goal
+    # model and the simulator's 10-goal model agree within 2e-3
+    exact6 = exact_champion_probs(groups, expected, max_goals=6)
+    for t in teams:
+        assert abs(exact6[t] - exact[t]) < 2e-3
