@@ -700,7 +700,7 @@ def pagination_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders GROUP BY bucket ORDER BY bucket
     """,
-    subsumed_by="equi_depth_histogram + doc_length_histogram",
+    subsumed_by="equi_depth_histogram + length_bucketed_batches",
 )
 def histogram_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram (50k-wide price buckets): the profiling
@@ -1032,7 +1032,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "date_spine_gaps",
     """
     WITH bounds AS (
@@ -1051,6 +1051,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.d IS NULL
     GROUP BY yr ORDER BY yr
     """,
+    subsumed_by="locf_hourly_gap_fill",
 )
 def date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap detection: generate every day between the
@@ -1196,7 +1197,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "events_funnel_conversion",
     """
     WITH v AS (
@@ -1216,6 +1217,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'c_purchase', CAST(COUNT(*) AS BIGINT) FROM p
     ORDER BY stage
     """,
+    subsumed_by="streaming_funnel_completions",
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel (view → click → purchase): per user,

@@ -151,7 +151,7 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "sessionize_events",
     """
     WITH ordered AS (
@@ -175,6 +175,7 @@ def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM numbered GROUP BY user_id, session_id
     ORDER BY user_id, session_id
     """,
+    subsumed_by="events_session_window",
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) via gaps-and-islands:
@@ -392,7 +393,7 @@ def q17_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND first_purchase > first_signup) AS n_converted
     FROM firsts
     """,
-    subsumed_by="events_funnel_conversion",
+    subsumed_by="streaming_funnel_completions",
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel (signup → later purchase) in one conditional-aggregation
@@ -658,7 +659,7 @@ def asof_last_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "asof_next_purchase_value",
     """
     WITH l AS (
@@ -671,6 +672,7 @@ def asof_last_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
     ORDER BY l.event_id
     """,
+    subsumed_by="asof_last_view_value",
 )
 def asof_next_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join (operators/asof.py direction='forward'):
@@ -810,7 +812,7 @@ def rolling_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "customer_order_gaps",
     """
     WITH gaps AS (
@@ -830,6 +832,7 @@ def rolling_avg_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(gap_days) > 0
     ORDER BY o_custkey
     """,
+    subsumed_by="events_session_window + trend_slope_per_key",
 )
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-order gap statistics per customer via lag + datediff —
@@ -1030,7 +1033,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mom_growth
     FROM monthly ORDER BY order_month
     """,
-    subsumed_by="customer_order_gaps + trend_slope_per_key",
+    subsumed_by="trend_slope_per_key",
 )
 def mom_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-over-aggregate composition: monthly revenue plus
@@ -1051,7 +1054,7 @@ def mom_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("order_month")
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "event_type_bigrams",
     """
     WITH seq AS (
@@ -1065,6 +1068,7 @@ def mom_order_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type, next_type
     ORDER BY event_type, next_type
     """,
+    subsumed_by="user_journey_top_paths",
 )
 def event_type_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Path analysis: counts of consecutive event-type transitions per
@@ -1122,7 +1126,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("n_name")
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "doc_length_histogram",
     """
     SELECT CAST(n_chars // 100 AS BIGINT) AS bucket,
@@ -1131,6 +1135,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(n_chars) AS BIGINT) AS max_chars
     FROM documents GROUP BY bucket ORDER BY bucket
     """,
+    subsumed_by="length_bucketed_batches",
 )
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of document lengths (100-char buckets) —
@@ -1508,7 +1513,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "snapshot_diff_orders",
     """
     WITH new_snap AS (
@@ -1530,6 +1535,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
     GROUP BY change ORDER BY change
     """,
+    subsumed_by="merge_upsert_orders + manifest_change_feed",
 )
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the table-versioning audit between two states of
@@ -4160,7 +4166,7 @@ def _incr_frames(spark: SparkSession, sf_dir: str):
     return old_part, new_batch, merged, full
 
 
-@query("incremental_agg_merge", _INCR_MERGE_ORACLE)
+@retired_query("incremental_agg_merge", _INCR_MERGE_ORACLE, subsumed_by="incr_join_view_maintenance")
 def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge stored pre-2024-01-25 per-event-type partials with the
     newer raw slice and prove, in-query, that the merge equals the

@@ -36,7 +36,7 @@ from automated_etl_pipeline_spark.queries import _t, probe, query, retired_query
            COUNT(*) AS n_copies
     FROM documents GROUP BY content_hash ORDER BY content_hash
     """,
-    subsumed_by="corpus_curation_e2e + dedup_cascade_stats (exact stage)",
+    subsumed_by="corpus_curation_e2e (exact stage)",
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the lowest doc_id."""
@@ -63,7 +63,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ) GROUP BY fingerprint ORDER BY fingerprint
     """,
-    subsumed_by="corpus_curation_e2e + dedup_cascade_stats (fingerprint stage)",
+    subsumed_by="corpus_curation_e2e (fingerprint stage)",
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-fingerprint near-dup candidates: hash of the first 8
@@ -353,7 +353,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "emb_label_centroid_norm",
     """
     SELECT label,
@@ -367,6 +367,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY label, pos
     ) GROUP BY label, n_vecs ORDER BY label
     """,
+    subsumed_by="kmeans_cluster_stats",
 )
 def emb_label_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid L2 norm — the aggregation building block for
@@ -464,9 +465,10 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _km.kmeans_cluster_stats(emb, k=8, iters=3)
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "kmeans_balanced_sample",
     _km.duckdb_balanced_sample_sql(k=8, iters=3, cap=10),
+    subsumed_by="kmeans_cluster_stats + quota_stratified_sample",
 )
 def kmeans_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced sampling over the k-means output (VERDICT r5
@@ -726,7 +728,7 @@ def _cascade_oracle() -> str:
     """
 
 
-@query("dedup_cascade_stats", _cascade_oracle())
+@retired_query("dedup_cascade_stats", _cascade_oracle(), subsumed_by="corpus_curation_e2e")
 def dedup_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivor counts after each cascade stage (raw → exact →
     fingerprint → MinHash near-dedup), stages applied sequentially.
@@ -1276,7 +1278,7 @@ def winnow_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPAN_W = 20
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "dedup_span_removal",
     f"""
     WITH tok AS (
@@ -1320,6 +1322,7 @@ _SPAN_W = 20
     FROM spans sp JOIN tok USING (doc_id)
     GROUP BY sp.doc_id, len(t) ORDER BY sp.doc_id
     """,
+    subsumed_by="curation_suffix_e2e",
 )
 def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL plan (completes dedup_exact_spans'
@@ -1370,7 +1373,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc p JOIN tok USING (doc_id)
     ORDER BY doc_id
     """,
-    subsumed_by="dedup_span_removal + curation_suffix_e2e",
+    subsumed_by="curation_suffix_e2e",
 )
 def dedup_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span detection (the exact-substring dedup
@@ -1565,7 +1568,7 @@ def _dedup_apply_oracle() -> str:
     """
 
 
-@query("dedup_apply_survivors", _dedup_apply_oracle())
+@retired_query("dedup_apply_survivors", _dedup_apply_oracle(), subsumed_by="corpus_curation_e2e + cc_stars_clusters")
 def dedup_apply_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup APPLICATION step the cascade exists for: keep one
     representative (min doc_id) per near-dup component, drop the rest,
@@ -1603,7 +1606,7 @@ _KNN_NE = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] A
 _KNN_NQ = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))"
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "knn_batch_topk",
     f"""
     WITH sims AS (
@@ -1620,6 +1623,7 @@ _KNN_NQ = "sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] A
     SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cosine_sim
     FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk
     """,
+    subsumed_by="ann_ivf_topk",
 )
 def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch kNN join — top-10 exact-cosine neighbors for EACH of a
@@ -2064,7 +2068,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "split_train_val_test",
     """
     WITH tagged AS (
@@ -2081,6 +2085,7 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n) AS BIGINT) AS n_tokens
     FROM tagged GROUP BY split, lang ORDER BY split, lang
     """,
+    subsumed_by="split_leakage_audit",
 )
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by md5 bucket of
@@ -2176,7 +2181,7 @@ def pii_denylist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "source_cap_sample",
     """
     WITH ranked AS (
@@ -2189,6 +2194,7 @@ def pii_denylist_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n) AS BIGINT) AS kept_tokens
     FROM ranked WHERE rk <= 15 GROUP BY source ORDER BY source
     """,
+    subsumed_by="quota_stratified_sample",
 )
 def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (anti-over-representation: no single
@@ -2224,7 +2230,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "emb_quantize_int8",
     """
     WITH q AS (
@@ -2249,6 +2255,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(MAX(max_err), 6) AS max_q_err
     FROM c GROUP BY label ORDER BY label
     """,
+    subsumed_by="ann_int8_topk",
 )
 def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (similarity/quantize.py):
@@ -2936,7 +2943,7 @@ def curation_suffix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-@query(
+@retired_query(  # r14, registry 200 -> 180
     "heavy_hitter_tokens",
     """
     WITH t AS (
@@ -2947,6 +2954,7 @@ def curation_suffix_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= 0.02 * (SELECT n FROM n)
     ORDER BY token
     """,
+    subsumed_by="streaming_heavy_tokens",
 )
 def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phi-heavy tokens (count >= 2% of all token instances)
@@ -4309,7 +4317,7 @@ SELECT part, CAST(n_docs AS BIGINT) AS n_docs FROM (
 """
 
 
-@query("ccnet_partition_sizes", _CCNET_SIZES_ORACLE)
+@retired_query("ccnet_partition_sizes", _CCNET_SIZES_ORACLE, subsumed_by="kn_perplexity_partition")
 def ccnet_partition_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity partitioning (functions/
     perplexity.py, Wenzek et al. arXiv:1911.00359) gated on the part
