@@ -304,12 +304,20 @@ def _commit(
     files_fn,
     stats_col: str | None = None,
     expected_base: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
     decides the published file list — append vs rewrite differ ONLY
     there, so the race/retry/idempotence subtleties live in exactly
-    one place (r12 review #7)."""
+    one place (r12 review #7).
+
+    Zone-map stats: ``stats_cols`` records per-file [min, max] of
+    SEVERAL columns in ONE aggregate pass per file (manifest format
+    ``{file: {col: [mn, mx]}}``); ``stats_col`` is the legacy
+    single-column spelling, stored in the same multi-column format
+    since r14 (readers accept both shapes)."""
+    cols = list(stats_cols or ([] if stats_col is None else [stats_col]))
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = current_version(root)
     prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
@@ -322,17 +330,19 @@ def _commit(
         for f in os.listdir(stage)
         if f.endswith(".parquet")
     )
-    new_stats: dict[str, list] = {}
-    if stats_col is not None:
+    new_stats: dict[str, dict] = {}
+    if cols:
         from pyspark.sql import functions as F
 
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c), F.max(c)]
         for nf in new_files:
-            row = (
-                df.sparkSession.read.parquet(nf)
-                .agg(F.min(stats_col), F.max(stats_col))
-                .collect()[0]
-            )
-            new_stats[nf] = [_json_stat(row[0]), _json_stat(row[1])]
+            row = df.sparkSession.read.parquet(nf).agg(*aggs).collect()[0]
+            new_stats[nf] = {
+                c: [_json_stat(row[2 * i]), _json_stat(row[2 * i + 1])]
+                for i, c in enumerate(cols)
+            }
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base,
@@ -415,20 +425,33 @@ def _publish(
 
 
 def commit_append(
-    df: DataFrame, root: str, run_id: str, stats_col: str | None = None
+    df: DataFrame,
+    root: str,
+    run_id: str,
+    stats_col: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Stage ``df`` as parquet and atomically publish a new manifest
     including it; returns the committed version.  Re-committing an
     already-committed ``run_id`` is a no-op (idempotent retry).
 
-    With ``stats_col`` set, the commit records each new file's
-    [min, max] of that column in the manifest — the zone map that
-    lets ``read_table_pruned`` skip whole files on a range predicate.
-    Stats come from a per-file aggregate here (bounded: files per
-    commit); a production port reads them from the parquet footers
-    the writer already wrote."""
+    With ``stats_col`` (one column) or ``stats_cols`` (several — r14,
+    VERDICT r13 ask #8) set, the commit records each new file's
+    [min, max] per column in the manifest — the zone map that lets
+    ``read_table_pruned`` skip whole files on range predicates.  A
+    PARTITION column is the degenerate case: per-file min == max, so
+    partition-value pruning and sort-column pruning are one mechanism
+    (exactly how Iceberg/Delta file stats subsume hive-style partition
+    pruning).  Stats come from one per-file aggregate pass here
+    (bounded: files per commit x columns); a production port reads
+    them from the parquet footers the writer already wrote."""
     return _commit(
-        df, root, run_id, lambda cur, new: cur + new, stats_col=stats_col
+        df,
+        root,
+        run_id,
+        lambda cur, new: cur + new,
+        stats_col=stats_col,
+        stats_cols=stats_cols,
     )
 
 
@@ -481,37 +504,60 @@ def read_table(
 def read_table_pruned(
     spark: SparkSession,
     root: str,
-    col: str,
-    lo,
-    hi,
+    col: str | None = None,
+    lo=None,
+    hi=None,
     version: int | None = None,
+    predicates: dict[str, tuple] | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Zone-map file skipping: read only the files whose recorded
-    [min, max] for ``col`` intersects [lo, hi] (files lacking stats —
-    e.g. committed without ``stats_col`` — are conservatively read).
-    Returns (frame, files_total, files_scanned).  The row-level
-    predicate must still be applied by the caller — the zone map
-    prunes FILES, it does not filter rows (exactly parquet row-group
-    skipping one level up).
+    [min, max] intersects the given range on EVERY predicate column
+    (files lacking stats for a column are conservatively read for that
+    column).  ``predicates`` is ``{col: (lo, hi)}`` — several columns
+    AND together (r14: a partition-value column plus sort columns is
+    the 100-TB layout this models); the positional ``col/lo/hi`` form
+    is the single-column spelling.  Returns (frame, files_total,
+    files_scanned).  The row-level predicate must still be applied by
+    the caller — the zone map prunes FILES, it does not filter rows
+    (exactly parquet row-group skipping one level up).
 
-    For date/timestamp stats columns, pass ``lo``/``hi`` as ISO
-    strings (``"1995-01-01"``): stats persist in ISO form
-    (``_json_stat``), whose lexicographic order matches value order —
-    a raw datetime bound would TypeError against the stored
-    strings."""
+    For date/timestamp stats columns, pass bounds as ISO strings
+    (``"1995-01-01"``): stats persist in ISO form (``_json_stat``),
+    whose lexicographic order matches value order — a raw datetime
+    bound would TypeError against the stored strings."""
+    if predicates is None:
+        if col is None:
+            raise ValueError("pass col/lo/hi or predicates")
+        predicates = {col: (lo, hi)}
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
     m = _read_manifest(root, v)
     stats = m.get("stats", {})
 
+    def col_bounds(f: str, c: str):
+        """[mn, mx] for column ``c`` of file ``f``; None = no info.
+        Accepts both the r14 ``{col: [mn, mx]}`` format and the legacy
+        single-column ``[mn, mx]`` list (which carried no column name
+        — it applies to whatever single column the table recorded)."""
+        s = stats.get(f)
+        if s is None:
+            return None
+        if isinstance(s, dict):
+            return s.get(c)
+        return s  # legacy single-column list
+
     def intersects(f: str) -> bool:
-        if f not in stats:
-            return True  # no zone info: must scan
-        mn, mx = stats[f]
-        if mn is None or mx is None:
-            return True  # all-NULL or statless file: must scan
-        return mn <= hi and mx >= lo
+        for c, (c_lo, c_hi) in predicates.items():
+            b = col_bounds(f, c)
+            if b is None:
+                continue  # no zone info for this column: can't skip on it
+            mn, mx = b
+            if mn is None or mx is None:
+                continue  # all-NULL stats: can't skip on it
+            if mn > c_hi or mx < c_lo:
+                return False  # provably disjoint on this column: skip
+        return True
 
     keep = [f for f in m["files"] if intersects(f)]
     if not keep:

@@ -6490,7 +6490,11 @@ SELECT CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS files_total,
 """
 
 
-@query("zone_map_file_skipping", _ZONE_MAP_ORACLE)
+@retired_query(  # r14: single-column pruning is the degenerate case
+    "zone_map_file_skipping",
+    _ZONE_MAP_ORACLE,
+    subsumed_by="zone_map_multicol_pruning",
+)
 def zone_map_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map file skipping over the manifest table (io/manifest.py):
     suppliers are committed one fixed-width s_acctbal bucket per file
@@ -6542,6 +6546,132 @@ def zone_map_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows_pred"),
             dsum("s_acctbal", alias="bal_pred"),
         ).collect()[0]
+        full_n = read_table(spark, root).filter(pred).count()
+        out = spark.createDataFrame(
+            [
+                (
+                    n_total,
+                    n_scanned,
+                    agg["n_rows_pred"],
+                    agg["bal_pred"],
+                    full_n,
+                )
+            ],
+            "files_total long, files_scanned long, n_rows_pred long, "
+            "bal_pred double, n_rows_fullscan long",
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap
+
+
+_ZONE_MAP_MULTICOL_ORACLE = """
+WITH o AS (
+  SELECT CAST(floor((EXTRACT(year FROM o_orderdate) - 1992) / 2.0) AS BIGINT)
+           AS ybin,
+         CAST(floor(o_totalprice / 200000.0) AS BIGINT) AS band,
+         o_totalprice
+  FROM orders
+), fb AS (
+  SELECT ybin, band,
+         MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+  FROM o GROUP BY 1, 2
+), hit AS (
+  SELECT * FROM o
+  WHERE ybin BETWEEN 1 AND 2
+    AND o_totalprice BETWEEN 150000.0 AND 380000.0
+)
+SELECT CAST((SELECT COUNT(*) FROM fb) AS BIGINT) AS files_total,
+       CAST((SELECT COUNT(*) FROM fb
+             WHERE ybin BETWEEN 1 AND 2
+               AND mn <= 380000.0 AND mx >= 150000.0) AS BIGINT)
+         AS files_scanned,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows_pred,
+       CAST((SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) FROM hit) AS DOUBLE) AS bal_pred,
+       CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_rows_fullscan
+"""
+
+
+@query("zone_map_multicol_pruning", _ZONE_MAP_MULTICOL_ORACLE)
+def zone_map_multicol_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column zone maps + partition-value pruning (r14, VERDICT
+    r13 ask #8): orders land one file per (ybin, band) cell — ybin =
+    2-year partition bucket (a PARTITION-VALUE column: per-file
+    min == max by construction), band = a 200k totalprice band (a
+    SORT-style column whose per-file [min, max] is a real range) —
+    with BOTH columns' stats recorded at commit time
+    (``stats_cols=["o_ybin", "o_totalprice"]``).  A conjunctive
+    predicate (ybin range AND totalprice range) must then scan exactly
+    the files whose stats intersect on EVERY column: the oracle
+    re-derives files_total and files_scanned from per-cell extremes,
+    and the pruned read's result is proven equal to the full-scan
+    result (row count + exact-decimal balance).  A pruner that drops a
+    qualifying file, fails to skip a disjoint one, or ANDs the columns
+    wrong shifts a BIGINT.
+
+    Scale: this is the 100-TB layout — hive-style partition values and
+    within-partition sort columns pruned by ONE mechanism (file stats
+    in the manifest, parquet footers in production): a selective
+    2-dimensional predicate touches the handful of (partition, band)
+    cells it names, independent of table size.  Partition pruning is
+    the min == max degenerate case, exactly as in Iceberg/Delta."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_table,
+        read_table_pruned,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.floor((F.year("o_orderdate") - F.lit(1992)) / F.lit(2.0))
+        .cast("long")
+        .alias("o_ybin"),
+        F.floor(F.col("o_totalprice") / F.lit(200000.0))
+        .cast("long")
+        .alias("o_band"),
+        "o_totalprice",
+    )
+    cells = sorted(
+        (r["o_ybin"], r["o_band"])
+        for r in binned.select("o_ybin", "o_band").distinct().collect()
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_zm_multi_")
+    try:
+        for yb, bd in cells:
+            commit_append(
+                binned.filter(
+                    (F.col("o_ybin") == yb) & (F.col("o_band") == bd)
+                )
+                .drop("o_band")
+                .coalesce(1),
+                root,
+                f"cell-{yb}-{bd}",
+                stats_cols=["o_ybin", "o_totalprice"],
+            )
+        pruned, n_total, n_scanned = read_table_pruned(
+            spark,
+            root,
+            predicates={
+                "o_ybin": (1, 2),
+                "o_totalprice": (150000.0, 380000.0),
+            },
+        )
+        pred = (F.col("o_ybin").between(1, 2)) & (
+            F.col("o_totalprice").between(150000.0, 380000.0)
+        )
+        agg = (
+            pruned.filter(pred)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows_pred"),
+                dsum("o_totalprice", alias="bal_pred"),
+            )
+            .collect()[0]
+        )
         full_n = read_table(spark, root).filter(pred).count()
         out = spark.createDataFrame(
             [

@@ -339,3 +339,82 @@ def test_vacuum_sweeps_aged_publish_tmp(spark, root):
     assert os.path.exists(tmp)  # young: spared
     vacuum(root, keep_last=1, min_orphan_age_s=0.0)
     assert not os.path.exists(tmp)  # aged: reclaimed
+
+
+def test_multicol_stats_prune_conjunctively(spark, root):
+    """r14 multi-column zone maps: files skip only when DISJOINT on at
+    least one predicate column; a file intersecting every column is
+    read.  Partition-value semantics (min == max) ride the same
+    mechanism."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        read_table_pruned,
+    )
+
+    # 4 files: (part p, values v) = (0, 0..9), (0, 10..19), (1, 0..9),
+    # (1, 10..19)
+    for p in (0, 1):
+        for lo in (0, 10):
+            df = (
+                spark.range(lo, lo + 10)
+                .select(
+                    F.lit(p).cast("long").alias("part"),
+                    F.col("id").alias("v"),
+                )
+                .coalesce(1)
+            )
+            commit_append(
+                df, root, f"c-{p}-{lo}", stats_cols=["part", "v"]
+            )
+    m = _read_manifest(root, 4)
+    # every file carries dict-format stats for both columns; the
+    # partition column's stats degenerate to min == max
+    for f, s in m["stats"].items():
+        assert set(s) == {"part", "v"} and s["part"][0] == s["part"][1]
+
+    # conjunctive prune: part = 1 AND v in [2, 5] -> exactly 1 file
+    got, total, scanned = read_table_pruned(
+        spark, root, predicates={"part": (1, 1), "v": (2, 5)}
+    )
+    assert (total, scanned) == (4, 1)
+    rows = sorted(
+        r["v"]
+        for r in got.filter(
+            (F.col("part") == 1) & F.col("v").between(2, 5)
+        ).collect()
+    )
+    assert rows == [2, 3, 4, 5]
+
+    # a column with no recorded stats can never cause a skip
+    got2, total2, scanned2 = read_table_pruned(
+        spark, root, predicates={"no_such_stats": (0, 0), "part": (0, 0)}
+    )
+    assert (total2, scanned2) == (4, 2)
+
+    # single-column positional spelling still works
+    _, total3, scanned3 = read_table_pruned(spark, root, "v", 12, 13)
+    assert (total3, scanned3) == (4, 2)
+
+
+def test_legacy_single_column_stats_list_still_prunes(spark, root):
+    """Manifests written before r14 store stats as a bare [mn, mx]
+    list (no column name); the reader applies them to whatever column
+    the caller asks about — the documented legacy assumption."""
+    import json as _json
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        _manifest_dir,
+        read_table_pruned,
+    )
+
+    commit_append(_df(spark, 0, 10).coalesce(1), root, "a", stats_col="k")
+    commit_append(_df(spark, 10, 20).coalesce(1), root, "b", stats_col="k")
+    # rewrite the newest manifest's stats into the legacy list shape
+    path = os.path.join(_manifest_dir(root), "v0000000002.json")
+    m = _json.loads(open(path).read())
+    m["stats"] = {f: s["k"] for f, s in m["stats"].items()}
+    os.unlink(path)
+    with open(path, "w") as f:
+        _json.dump(m, f)
+    _, total, scanned = read_table_pruned(spark, root, "k", 3, 4)
+    assert (total, scanned) == (2, 1)

@@ -33,7 +33,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_retired_registry_shape():
-    assert len(RETIRED) == 46  # 26 r13 + 20 r14
+    assert len(RETIRED) == 47  # 26 r13 + 21 r14 (incl. zone_map_file_skipping)
     # every retiree has a FULL oracle (no weak rows-only contracts here)
     assert set(RETIRED) == set(RETIRED_ORACLES) == set(RETIRED_SUBSUMED)
     # no name is simultaneously live and retired
