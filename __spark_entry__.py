@@ -69,6 +69,11 @@ _CONTRACT_CHANGED: dict[str, int] = {
     # rank*256 div N over distributed ranks; bucket values shift where
     # N % 256 != 0, so the oracle changed with the query.
     "zorder_bucket_stats": 13,
+    # r14: the SF-dependent exact fragment-file count (failed at
+    # sf0.001 — rows-per-partition artifact) was replaced by the
+    # >=1-file-per-append invariant column frag_files_ge_appends; the
+    # gate also gained the capture-base-first TOCTOU fix (r13 ADVICE).
+    "manifest_compaction_rewrite": 14,
 }
 
 
