@@ -28,7 +28,14 @@ module is that idea at its smallest:
   Airflow-retry double-append the reference gets wrong
   (spark-bq-dag.py:124 + retries) is structurally impossible;
 - readers pin a version (time travel) or take the newest; orphan
-  files in ``data/`` are invisible by construction.
+  files in ``data/`` are invisible by construction;
+- ``commit_delete`` (r14): merge-on-read equality deletes — a commit
+  stages DELETE-KEY files instead of rewriting data, and readers
+  apply them as anti-joins under the sequence rule ``delete.at >
+  file.added_at`` (Iceberg equality deletes / Delta deletion vectors'
+  avoid-the-rewrite idea), so deleting a million keys from 100 TB
+  touches zero data bytes; ``commit_rewrite`` materializes pending
+  deletes and clears them.
 
 Scale: the manifest is driver-side metadata (file names, not data);
 reads hand Spark an explicit file list, so partition pruning and
@@ -305,6 +312,7 @@ def _commit(
     stats_col: str | None = None,
     expected_base: int | None = None,
     stats_cols: list[str] | None = None,
+    delete_cols: list[str] | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
@@ -345,7 +353,7 @@ def _commit(
             }
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
-        expected_base=expected_base,
+        expected_base=expected_base, delete_cols=delete_cols,
     )
 
 
@@ -357,6 +365,7 @@ def _publish(
     files_fn,
     expected_base: int | None = None,
     backend: CommitBackend | None = None,
+    delete_cols: list[str] | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -387,11 +396,48 @@ def _publish(
                 f"table at v{v}, rewrite computed from v{expected_base}: "
                 "recompute from the current snapshot and retry"
             )
-        files = files_fn(cur["files"], new_files)
+        cur_added = cur.get("added_at", {})
+        cur_dels = cur.get("deletes", [])
+        if delete_cols is not None:
+            # merge-on-read DELETE commit: the data-file list is
+            # untouched; the staged files are DELETE-KEY files that
+            # apply (at read time) to every data file committed at an
+            # EARLIER version — Iceberg's equality-delete sequence
+            # rule, so a later re-insert of a deleted key survives.
+            files = list(cur["files"])
+            deletes = cur_dels + [
+                {"path": p, "cols": list(delete_cols), "at": v + 1}
+                for p in new_files
+            ]
+            added_at = dict(cur_added)
+        else:
+            files = files_fn(cur["files"], new_files)
+            kept_old = set(cur["files"]) & set(files)
+            # a REWRITE names only new files: its df is the full
+            # logical content (deletes already applied by the
+            # read_table the caller rewrote from), so pending delete
+            # files are MATERIALIZED and drop out of the snapshot;
+            # an APPEND keeps every old file and carries them.
+            # Distinguish by whether every old file survives, with
+            # the empty-table edge resolved conservatively: no old
+            # files -> nothing a delete could still apply to.
+            is_append = kept_old == set(cur["files"]) and cur["files"]
+            deletes = cur_dels if is_append else []
+            added_at = {
+                f: (cur_added.get(f, 0) if f in kept_old else v + 1)
+                for f in files
+            }
         live = set(files)
         manifest = {
             "version": v + 1,
             "files": files,
+            # per-file commit version — the "sequence number" the
+            # delete-visibility rule compares against.  Legacy
+            # manifests lack it; readers default missing entries to 0
+            # (every delete applies — conservative, and exact for
+            # pre-delete-feature tables, which have no deletes).
+            "added_at": added_at,
+            "deletes": deletes,
             # bounded idempotence ledger: keep only the newest
             # RUN_ID_RETENTION entries (r12 ADVICE — unbounded, every
             # commit rewrote the full history).  A retry arriving
@@ -480,6 +526,31 @@ def commit_rewrite(
     )
 
 
+def commit_delete(
+    keys_df: DataFrame, root: str, run_id: str, key_cols: list[str]
+) -> int:
+    """Merge-on-read DELETE: stage the distinct ``key_cols`` rows of
+    ``keys_df`` as a delete-key file set and publish a manifest whose
+    DATA files are untouched — at 100 TB this deletes a million keys
+    without rewriting a byte of data.  Readers apply the delete as an
+    anti-join, with Iceberg's equality-delete visibility rule: a
+    delete at version D hides matching rows only in files committed
+    at versions < D, so a LATER re-insert of a deleted key survives.
+    A compaction (``commit_rewrite`` of ``read_table``'s output)
+    materializes pending deletes and clears them from the snapshot.
+    Same run_id idempotence and optimistic versioning as the other
+    commit kinds."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    return _commit(
+        keys_df.select(*key_cols).distinct(),
+        root,
+        run_id,
+        lambda cur, new: cur,  # data files untouched
+        delete_cols=list(key_cols),
+    )
+
+
 def manifest_files(root: str, version: int | None = None) -> list[str]:
     """The file list a snapshot reads — for audits and file-count
     accounting (compaction planning inputs)."""
@@ -489,16 +560,91 @@ def manifest_files(root: str, version: int | None = None) -> list[str]:
     return list(_read_manifest(root, v)["files"])
 
 
+def manifest_delete_files(root: str, version: int | None = None) -> list[dict]:
+    """The live delete-key entries of a snapshot (``{path, cols,
+    at}`` dicts) — empty once a rewrite has materialized them."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        return []
+    return list(_read_manifest(root, v).get("deletes", []))
+
+
+def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Assemble a snapshot's logical content from ``files`` under the
+    manifest's pending delete-key files.  Data files are read grouped
+    by their commit version (one plain parquet scan per distinct
+    commit — bounded by compaction cadence, and each scan keeps
+    predicate/column pushdown intact); each delete-key group is ONE
+    anti-join on ``key match AND delete.at > data.added_at``.  Delete
+    sets are small relative to the table by design (that is why the
+    delete avoided a rewrite), so AQE turns these into broadcast
+    anti-joins without a forced hint."""
+    from collections import defaultdict
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    probe_cols = spark.read.parquet(files[0]).columns
+    if "__added_at" in probe_cols or "__del_at" in probe_cols:
+        raise ValueError(
+            "table columns collide with the delete-protocol markers "
+            "__added_at/__del_at"
+        )
+    added = m.get("added_at", {})
+    by_v: dict[int, list[str]] = defaultdict(list)
+    for f in files:
+        by_v[int(added.get(f, 0))].append(f)
+    parts = [
+        spark.read.parquet(*fs).withColumn(
+            "__added_at", F.lit(v).cast("long")
+        )
+        for v, fs in sorted(by_v.items())
+    ]
+    data = reduce(DataFrame.unionByName, parts)
+    by_cols: dict[tuple, list[dict]] = defaultdict(list)
+    for d in m.get("deletes", []):
+        by_cols[tuple(d["cols"])].append(d)
+    for cols, entries in sorted(by_cols.items()):
+        keys = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(e["path"])
+                .select(*cols)
+                .withColumn("__del_at", F.lit(int(e["at"])).cast("long"))
+                for e in entries
+            ],
+        )
+        cond = keys["__del_at"] > data["__added_at"]
+        for c in cols:
+            cond = cond & (data[c] == keys[c])
+        data = data.join(keys, cond, "left_anti")
+    return data.drop("__added_at")
+
+
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Snapshot read: exactly the files the (pinned or newest)
-    manifest names — orphans and in-flight stages are invisible."""
+    manifest names — orphans and in-flight stages are invisible.
+    Pending merge-on-read delete files (``commit_delete``) are
+    applied as anti-joins unless ``apply_deletes=False`` (audits);
+    snapshots without deletes take the plain multi-file scan path
+    unchanged."""
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
-    files = _read_manifest(root, v)["files"]
-    return spark.read.parquet(*files)
+    m = _read_manifest(root, v)
+    files = m["files"]
+    if not files:
+        raise FileNotFoundError(
+            f"snapshot v{v} of {root} names no data files"
+        )
+    if not (apply_deletes and m.get("deletes")):
+        return spark.read.parquet(*files)
+    return _apply_deletes(spark, m, files)
 
 
 def read_table_pruned(
@@ -564,6 +710,11 @@ def read_table_pruned(
         # empty selection: preserve schema via a zero-row read of one file
         empty = spark.read.parquet(m["files"][0]).limit(0)
         return empty, len(m["files"]), 0
+    if m.get("deletes"):
+        # zone maps prune FILES; pending equality deletes remove ROWS
+        # — applying the anti-join to the pruned subset is exact
+        # (pruning never changes which rows a delete matches).
+        return _apply_deletes(spark, m, keep), len(m["files"]), len(keep)
     return spark.read.parquet(*keep), len(m["files"]), len(keep)
 
 
@@ -588,6 +739,16 @@ def read_changes(
         raise ValueError(
             f"non-append commit between v{from_version} and v{to_version}: "
             f"{len(removed)} file(s) removed; resume from a snapshot"
+        )
+    old_dels = {d["path"] for d in mf.get("deletes", [])}
+    new_dels = {d["path"] for d in mt.get("deletes", [])}
+    if old_dels != new_dels:
+        # a merge-on-read DELETE retracts rows — not representable as
+        # additions, exactly like a rewrite (Delta's change feed makes
+        # the same refusal for non-append commits).
+        raise ValueError(
+            f"delete commit between v{from_version} and v{to_version}: "
+            "retractions are not an append delta; resume from a snapshot"
         )
     added = sorted(new - old)
     if not added:
@@ -621,12 +782,16 @@ def vacuum(
     lo = max(1, newest - keep_last + 1)
     live: set[str] = set()
     for v in range(lo, newest + 1):
-        live.update(_read_manifest(root, v)["files"])
+        m = _read_manifest(root, v)
+        live.update(m["files"])
+        live.update(d["path"] for d in m.get("deletes", []))
     ever_referenced: set[str] = set()
     for v in range(1, newest + 1):
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
         if os.path.exists(mp):
-            ever_referenced.update(_read_manifest(root, v)["files"])
+            m = _read_manifest(root, v)
+            ever_referenced.update(m["files"])
+            ever_referenced.update(d["path"] for d in m.get("deletes", []))
     cutoff = time.time() - min_orphan_age_s
     deleted: list[str] = []
     data_root = os.path.join(root, "data")

@@ -418,3 +418,167 @@ def test_legacy_single_column_stats_list_still_prunes(spark, root):
         _json.dump(m, f)
     _, total, scanned = read_table_pruned(spark, root, "k", 3, 4)
     assert (total, scanned) == (2, 1)
+
+
+# ---- merge-on-read equality deletes (r14) --------------------------------
+
+
+def _keys(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_delete_hides_matching_rows_without_touching_data(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        manifest_delete_files,
+        manifest_files,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "a1")
+    files_before = manifest_files(root)
+    commit_delete(_keys(spark, 2, 5, 7, 99), root, "d1", ["k"])
+    assert manifest_files(root) == files_before  # zero data files touched
+    assert len(manifest_delete_files(root)) >= 1
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == [0, 1, 3, 4, 6, 8, 9]  # 99 was a no-op key
+
+
+def test_later_append_survives_earlier_delete(spark, root):
+    """Iceberg sequence rule: delete.at > file.added_at — a re-insert
+    of a deleted key AFTER the delete commit must survive, and must
+    appear exactly once (the pre-delete copy stays hidden)."""
+    from automated_etl_pipeline_spark.io.manifest import commit_delete
+
+    commit_append(_df(spark, 0, 6), root, "a1")  # v1: 0..5
+    commit_delete(_keys(spark, 1, 3), root, "d1", ["k"])  # v2
+    commit_append(_df(spark, 3, 4), root, "a2")  # v3: re-insert 3
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == [0, 2, 3, 4, 5]
+    assert got.count(3) == 1
+
+
+def test_time_travel_before_delete_sees_all_rows(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import commit_delete
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    commit_delete(_keys(spark, 0, 1), root, "d1", ["k"])
+    assert read_table(spark, root, version=1).count() == 5
+    assert read_table(spark, root).count() == 3
+    assert read_table(spark, root, apply_deletes=False).count() == 5
+
+
+def test_rewrite_materializes_and_clears_deletes(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        commit_rewrite,
+        current_version,
+        manifest_delete_files,
+    )
+
+    commit_append(_df(spark, 0, 8), root, "a1")
+    commit_delete(_keys(spark, 0, 4), root, "d1", ["k"])
+    base = current_version(root)
+    commit_rewrite(read_table(spark, root), root, "c1", expected_base=base)
+    assert manifest_delete_files(root) == []
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == [1, 2, 3, 5, 6, 7]
+
+
+def test_delete_retry_same_run_id_is_noop(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        current_version,
+        manifest_delete_files,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    v = commit_delete(_keys(spark, 2), root, "d1", ["k"])
+    assert commit_delete(_keys(spark, 2), root, "d1", ["k"]) == v
+    assert current_version(root) == v
+    assert len(manifest_delete_files(root)) == 1
+    assert read_table(spark, root).count() == 4
+
+
+def test_mixed_key_column_groups_apply_independently(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import commit_delete
+
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}") for i in range(9)], "k long, u string"
+    )
+    commit_append(df, root, "a1")
+    commit_delete(_keys(spark, 1, 2), root, "d1", ["k"])
+    commit_delete(
+        spark.createDataFrame([("u0",)], "u string"), root, "d2", ["u"]
+    )
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    # k in {1,2} gone; u0 = k%3==0 -> {0,3,6} gone
+    assert got == [4, 5, 7, 8]
+
+
+def test_read_changes_raises_across_delete_commit(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_changes,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")  # v1
+    commit_delete(_keys(spark, 2), root, "d1", ["k"])  # v2
+    commit_append(_df(spark, 5, 7), root, "a2")  # v3
+    with pytest.raises(ValueError, match="delete commit"):
+        read_changes(spark, root, 1, 3)
+    # tailing AFTER the delete is pure appends again
+    assert read_changes(spark, root, 2, 3).count() == 2
+
+
+def test_vacuum_keeps_live_delete_files_reclaims_after_compaction(
+    spark, root
+):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        commit_rewrite,
+        current_version,
+        manifest_delete_files,
+        vacuum,
+    )
+
+    commit_append(_df(spark, 0, 8), root, "a1")
+    commit_delete(_keys(spark, 0), root, "d1", ["k"])
+    del_path = manifest_delete_files(root)[0]["path"]
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    assert os.path.exists(del_path)  # live delete file must survive
+    assert read_table(spark, root).count() == 7
+    base = current_version(root)
+    commit_rewrite(read_table(spark, root), root, "c1", expected_base=base)
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    assert not os.path.exists(del_path)  # materialized: reclaimable
+    assert read_table(spark, root).count() == 7
+
+
+def test_pruned_read_applies_pending_deletes(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_table_pruned,
+    )
+
+    commit_append(_df(spark, 0, 100), root, "a1", stats_col="k")
+    commit_append(_df(spark, 100, 200), root, "a2", stats_col="k")
+    commit_delete(_keys(spark, 150, 199, 10), root, "d1", ["k"])
+    df, total, scanned = read_table_pruned(spark, root, "k", 100, 250)
+    assert scanned < total
+    got = sorted(r["k"] for r in df.filter(F.col("k") >= 100).collect())
+    assert len(got) == 98 and 150 not in got and 199 not in got
+
+
+def test_marker_column_collision_raises(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import commit_delete
+
+    df = spark.range(3).select(F.col("id").alias("__added_at"))
+    commit_append(df, root, "a1")
+    commit_delete(
+        spark.createDataFrame([(1,)], "__added_at bigint"),
+        root,
+        "d1",
+        ["__added_at"],
+    )
+    with pytest.raises(ValueError, match="collide"):
+        read_table(spark, root).collect()
