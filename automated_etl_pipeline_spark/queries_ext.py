@@ -6762,6 +6762,117 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap
 
 
+# Final logical content after the MoR commit sequence below, as one
+# predicate per row (the three branches are DISJOINT: the first
+# excludes %8 IN (1,2); %8=1 implies %4=1, never 3):
+#   v1+v2 survivors: %4 IN (0,1,2) AND %8 NOT IN (1,2)
+#   v4 fresh:        %4 = 3
+#   v4 re-insert:    %8 = 1   (deleted at v3, re-inserted at v4 —
+#                              survives by the sequence rule)
+_MOR_FINAL = (
+    "((o_orderkey % 4 IN (0,1,2) AND o_orderkey % 8 NOT IN (1,2)) "
+    "OR o_orderkey % 4 = 3 OR o_orderkey % 8 = 1)"
+)
+_MOR_DELETE_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE {_MOR_FINAL}) AS BIGINT) AS n_final,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE {_MOR_FINAL}) AS DOUBLE) AS rev_final,
+       CAST(COUNT(*) FILTER (WHERE {_MOR_FINAL}) AS BIGINT) AS n_compacted,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 IN (0,1,2)) AS BIGINT)
+         AS n_pre_delete,
+       CAST(1 AS BIGINT) AS dels_live_before,
+       CAST(0 AS BIGINT) AS dels_live_after
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("manifest_delete_merge_on_read", _MOR_DELETE_ORACLE)
+def manifest_delete_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read equality DELETE on the manifest table
+    (io/manifest.commit_delete): orders land in two appends (v1:
+    key%4 in 0,1; v2: key%4=2); v3 DELETES the keys with key%8 in
+    (1,2) by staging a delete-key file — zero data files rewritten;
+    v4 appends key%4=3 plus a RE-INSERT of the key%8=1 rows.  The
+    gate proves all three contract points at once: (a) the final read
+    hides exactly the v1/v2 rows whose keys were deleted while the
+    v4 re-inserts survive (Iceberg's delete.at > file.added_at
+    sequence rule — each re-inserted key appears ONCE); (b) a
+    time-travel read of v2 still sees every pre-delete row; (c) a
+    compaction rewrite materializes the deletes (same aggregate from
+    the compacted files) and clears the pending delete list (the
+    before/after flags).  Any wrong row shifts a BIGINT count or the
+    DECIMAL-exact revenue.
+
+    Scale: this is how a 100-TB table serves GDPR-style deletions —
+    the delete commit is O(keys), reads add one broadcast-size
+    anti-join per delete generation (AQE picks broadcast, no hint),
+    and the cost is repaid at the next scheduled compaction."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_delete,
+        commit_rewrite,
+        current_version,
+        manifest_delete_files,
+        read_table,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="spark_graft_mor_")
+    try:
+        commit_append(orders.filter(k % 4 < 2), root, "a1")
+        commit_append(orders.filter(k % 4 == 2), root, "a2")
+        pre = read_table(spark, root)  # v2 file list pinned here
+        commit_delete(
+            orders.filter((k % 8).isin(1, 2)).select("o_orderkey"),
+            root,
+            "d1",
+            ["o_orderkey"],
+        )
+        commit_append(
+            orders.filter((k % 4 == 3) | (k % 8 == 1)), root, "a3"
+        )
+        dels_before = 1 if manifest_delete_files(root) else 0
+        final = read_table(spark, root)
+        base = current_version(root)
+        commit_rewrite(
+            read_table(spark, root), root, "compact", expected_base=base
+        )
+        dels_after = 1 if manifest_delete_files(root) else 0
+        compacted = read_table(spark, root)
+
+        def agg(df, n_name, rev=False):
+            cols = [F.count(F.lit(1)).alias(n_name)]
+            if rev:
+                cols.append(dsum("o_totalprice", alias="rev_final"))
+            return df.groupBy("o_orderpriority").agg(*cols)
+
+        out = (
+            agg(final, "n_final", rev=True)
+            .join(agg(compacted, "n_compacted"), "o_orderpriority")
+            .join(agg(pre, "n_pre_delete"), "o_orderpriority")
+            .select(
+                "o_orderpriority",
+                F.col("n_final").cast("bigint").alias("n_final"),
+                "rev_final",
+                F.col("n_compacted").cast("bigint").alias("n_compacted"),
+                F.col("n_pre_delete").cast("bigint").alias("n_pre_delete"),
+                F.lit(dels_before).cast("bigint").alias("dels_live_before"),
+                F.lit(dels_after).cast("bigint").alias("dels_live_after"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("o_orderpriority")
+
+
 _BUCKETED_JOIN_ORACLE = """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
