@@ -6873,6 +6873,95 @@ def manifest_delete_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame
     return snap.orderBy("o_orderpriority")
 
 
+_MV_REFRESH_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price,
+       CAST(3 AS BIGINT) AS n_incremental,
+       CAST(1 AS BIGINT) AS n_full,
+       CAST(1 AS BIGINT) AS noop_ok
+FROM lineitem WHERE l_orderkey % 10 != 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("mv_incremental_refresh", _MV_REFRESH_ORACLE)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained materialized view (io/mv.py) over the
+    manifest change feed: lineitem lands in three appends
+    (l_linenumber <=2, 3-4, >=5), each followed by a refresh that
+    folds ONLY the newly appended files into the stored partials —
+    then a merge-on-read DELETE (keys with l_orderkey % 10 = 0) forces
+    the declared fallback, ONE full recompute from the post-delete
+    snapshot, and a final no-op refresh proves the watermark.  The MV
+    read must hash-match a plain SQL aggregate of the surviving rows:
+    counts are integer sums and the measures exact DECIMAL partials,
+    so the incremental fold is bit-identical to recomputation — any
+    double-fold, missed delta, or stale watermark shifts a BIGINT or
+    an exact decimal.  The refresh-mode sequence (3 incremental, 1
+    full, then noop) is emitted and pinned by the oracle's literals.
+
+    Scale: each refresh scans only the appended files (driver-side
+    manifest diff) and ships one partial row per group — the
+    dashboard-refresh pattern at 100 TB, where re-aggregating the
+    whole table per refresh is the thing this operator exists to
+    avoid."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_delete,
+    )
+    from automated_etl_pipeline_spark.io.mv import IncrementalAggView
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    src = tempfile.mkdtemp(prefix="spark_graft_mv_src_")
+    mv_root = tempfile.mkdtemp(prefix="spark_graft_mv_")
+    try:
+        view = IncrementalAggView(
+            src,
+            mv_root,
+            ["l_returnflag"],
+            sum_cols={"sum_qty": "l_quantity", "sum_price": "l_extendedprice"},
+        )
+        modes = []
+        for i, pred in enumerate([ln <= 2, ln.between(3, 4), ln >= 5]):
+            commit_append(li.filter(pred), src, f"a{i}")
+            modes.append(view.refresh(spark)["mode"])
+        commit_delete(
+            li.filter(F.col("l_orderkey") % 10 == 0).select("l_orderkey"),
+            src,
+            "d1",
+            ["l_orderkey"],
+        )
+        modes.append(view.refresh(spark)["mode"])
+        noop_ok = 1 if view.refresh(spark)["mode"] == "noop" else 0
+        out = (
+            view.read(spark)
+            .select(
+                "l_returnflag",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+                F.col("sum_price").cast("double").alias("sum_price"),
+                F.lit(modes.count("incremental"))
+                .cast("bigint")
+                .alias("n_incremental"),
+                F.lit(modes.count("full")).cast("bigint").alias("n_full"),
+                F.lit(noop_ok).cast("bigint").alias("noop_ok"),
+            )
+            .orderBy("l_returnflag")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(mv_root, ignore_errors=True)
+    return snap.orderBy("l_returnflag")
+
+
 _BUCKETED_JOIN_ORACLE = """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -1,0 +1,162 @@
+"""io/mv.py: incremental materialized-view maintenance over the
+manifest change feed — fold-equals-recompute, fallback on non-append
+commits, idempotent and conflict-safe refreshes."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.io.manifest import (
+    commit_append,
+    commit_delete,
+    commit_rewrite,
+    current_version,
+    read_table,
+)
+from automated_etl_pipeline_spark.io.mv import IncrementalAggView
+
+
+@pytest.fixture()
+def roots():
+    src = tempfile.mkdtemp(prefix="mv_src_")
+    mv = tempfile.mkdtemp(prefix="mv_mv_")
+    yield src, mv
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(mv, ignore_errors=True)
+
+
+def _rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("decimal(18,2)").alias("amt"),
+    )
+
+
+def _view(src, mv):
+    return IncrementalAggView(src, mv, ["g"], sum_cols={"amt_sum": "amt"})
+
+
+def _mv_state(spark, view):
+    return {
+        (r["g"], r["n"], float(r["amt_sum"]))
+        for r in view.read(spark).collect()
+    }
+
+
+def _recompute(spark, src):
+    return {
+        (r["g"], r["n"], float(r["amt_sum"]))
+        for r in read_table(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("amt").cast("decimal(18,2)")).alias("amt_sum"),
+        )
+        .collect()
+    }
+
+
+def test_incremental_refresh_equals_full_recompute(spark, roots):
+    src, mv = roots
+    view = _view(src, mv)
+    for i, (lo, hi) in enumerate([(0, 10), (10, 25), (25, 40)]):
+        commit_append(_rows(spark, lo, hi), src, f"a{i}")
+        res = view.refresh(spark)
+        assert res["mode"] == "incremental"
+        assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_noop_when_source_unchanged(spark, roots):
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    assert view.refresh(spark)["mode"] == "incremental"
+    mv_v = current_version(mv)
+    res = view.refresh(spark)
+    assert res["mode"] == "noop"
+    assert current_version(mv) == mv_v  # no empty commit
+
+
+def test_fallback_to_full_after_source_rewrite(spark, roots):
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    view.refresh(spark)
+    base = current_version(src)
+    commit_rewrite(
+        read_table(spark, src).filter(F.col("k") < 5),
+        src,
+        "compact",
+        expected_base=base,
+    )
+    commit_append(_rows(spark, 50, 55), src, "a1")
+    res = view.refresh(spark)
+    assert res["mode"] == "full"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_fallback_to_full_after_source_delete(spark, roots):
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 12), src, "a0")
+    view.refresh(spark)
+    commit_delete(
+        spark.createDataFrame([(2,), (7,)], "k long"), src, "d0", ["k"]
+    )
+    res = view.refresh(spark)
+    assert res["mode"] == "full"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+    # and the feed is tailable again afterwards
+    commit_append(_rows(spark, 100, 105), src, "a1")
+    assert view.refresh(spark)["mode"] == "incremental"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_watermark_recovered_from_mv_manifest(spark, roots):
+    """A brand-new view object over an existing MV table resumes from
+    the stored watermark — no side state."""
+    src, mv = roots
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    _view(src, mv).refresh(spark)
+    commit_append(_rows(spark, 10, 20), src, "a1")
+    fresh = _view(src, mv)
+    assert fresh.last_refreshed_source_version() == 1
+    res = fresh.refresh(spark)
+    assert res["mode"] == "incremental" and res["from"] == 1
+    assert _mv_state(spark, fresh) == _recompute(spark, src)
+
+
+def test_refresh_schema_stable_across_many_folds(spark, roots):
+    """Re-aggregating widened decimals would drift the sum type on
+    every refresh; the pinned partial scale must keep refresh N's
+    schema identical to refresh 1's."""
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 5), src, "a0")
+    view.refresh(spark)
+    schema0 = view.read(spark).schema.simpleString()
+    for i in range(1, 4):
+        commit_append(_rows(spark, 5 * i, 5 * i + 5), src, f"a{i}")
+        view.refresh(spark)
+    assert view.read(spark).schema.simpleString() == schema0
+
+
+def test_concurrent_refresher_conflict_resolves(spark, roots):
+    """A refresh racing another refresher's MV commit must not corrupt
+    the MV: the loser re-reads the winner's watermark and lands on a
+    noop (or a further increment), never a double fold."""
+    src, mv = roots
+    view_a = _view(src, mv)
+    view_b = _view(src, mv)
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    view_a.refresh(spark)
+    commit_append(_rows(spark, 10, 20), src, "a1")
+    view_b.refresh(spark)  # B wins the v2 fold
+    res = view_a.refresh(spark)  # A must see B's work and noop
+    assert res["mode"] == "noop"
+    assert _mv_state(spark, view_a) == _recompute(spark, src)
