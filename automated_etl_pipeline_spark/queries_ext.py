@@ -6962,6 +6962,99 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("l_returnflag")
 
 
+_STREAM_MANIFEST_SINK_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(4 AS BIGINT) AS committed_version,
+       CAST(1 AS BIGINT) AS replay_noop_ok
+FROM orders WHERE o_orderkey IS NOT NULL
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "streaming_manifest_sink_exactly_once",
+    _STREAM_MANIFEST_SINK_ORACLE,
+    executes_stream=True,
+)
+def streaming_manifest_sink_exactly_once(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming sink into the manifest table
+    (streaming/manifest_sink.py): orders split into four drop files
+    (key % 4), drained through a file stream at one file per trigger
+    -> foreachBatch -> commit_append under run_id (query, batch_id) —
+    one atomic table version per micro-batch.  After the drain, batch
+    0 is RE-DELIVERED through the same committer (the crash window
+    between manifest publish and checkpoint advance): the run_id
+    ledger must no-op it, leaving version and content untouched.  The
+    gate hash-checks the final table against the plain orders
+    aggregate and pins version==4 and the replay flag — a double
+    append shifts every count, a missed batch shifts the version.
+
+    Scale: this is the streaming half of the table format — each
+    micro-batch is one driver-side publish-if-absent over O(batch)
+    files, readers tail committed versions (read_changes) and the
+    incremental MV (io/mv.py) folds them without re-reading the
+    table.  The same (appId, batchId) txn recipe Delta's streaming
+    sink rides."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        current_version,
+        read_table,
+    )
+    from automated_etl_pipeline_spark.streaming.manifest_sink import (
+        manifest_batch_committer,
+        run_stream_to_manifest,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders = orders.filter(F.col("o_orderkey").isNotNull())
+    drop = tempfile.mkdtemp(prefix="spark_graft_msink_drop_")
+    tbl = tempfile.mkdtemp(prefix="spark_graft_msink_tbl_")
+    state = tempfile.mkdtemp(prefix="spark_graft_msink_state_")
+    try:
+        for i in range(4):
+            orders.filter(F.col("o_orderkey") % 4 == i).coalesce(
+                1
+            ).write.mode("append").parquet(drop)
+        with _stream_parts(spark):
+            v = run_stream_to_manifest(
+                spark, drop, orders.schema, tbl, state
+            )
+        # replay of an already-committed batch_id (same query name the
+        # runner used): must be absorbed by the run_id ledger
+        manifest_batch_committer(tbl, "ingest")(
+            orders.filter(F.col("o_orderkey") % 4 == 0), 0
+        )
+        replay_ok = 1 if current_version(tbl) == v else 0
+        out = (
+            read_table(spark, tbl)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", alias="revenue"),
+            )
+            .select(
+                "o_orderstatus",
+                F.col("n_orders").cast("bigint").alias("n_orders"),
+                "revenue",
+                F.lit(v).cast("bigint").alias("committed_version"),
+                F.lit(replay_ok).cast("bigint").alias("replay_noop_ok"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(drop, ignore_errors=True)
+        shutil.rmtree(tbl, ignore_errors=True)
+        shutil.rmtree(state, ignore_errors=True)
+    return snap.orderBy("o_orderstatus")
+
+
 _BUCKETED_JOIN_ORACLE = """
 SELECT o.o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_lines,
