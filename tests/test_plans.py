@@ -326,7 +326,7 @@ def test_stream_exec_tag_matches_source():
     assert _STREAM_EXEC_GATES <= set(qs), "tagged names missing from registry"
     streamy = re.compile(
         r"readStream|writeStream|run_to_memory_sink|drain_stream"
-        r"|run_cdc_merge_stream"
+        r"|run_cdc_merge_stream|run_stream_to_manifest"
     )
     for name, fn in qs.items():
         src = inspect.getsource(fn)

@@ -97,3 +97,51 @@ def test_double_start_fresh_checkpoint_same_query_noops(spark, dirs):
     finally:
         shutil.rmtree(st2, ignore_errors=True)
     assert read_table(spark, tbl).count() == 8
+
+
+def test_sink_feeds_incremental_mv(spark, dirs):
+    """The composition the two r14 features exist for: a streaming
+    ingest commits versioned batches, and the incremental MV tails
+    them by version — each refresh folds only the newly committed
+    batch, and the MV always equals a full recompute."""
+    from automated_etl_pipeline_spark.io.mv import IncrementalAggView
+
+    drop, tbl, st = dirs
+    mv_root = tempfile.mkdtemp(prefix="msink_mv_")
+    try:
+        def part(lo, hi):
+            return spark.range(lo, hi).select(
+                (F.col("id") % 3).alias("g"),
+                (F.col("id") * 2).cast("decimal(18,2)").alias("amt"),
+            )
+
+        view = IncrementalAggView(
+            tbl, mv_root, ["g"], sum_cols={"amt_sum": "amt"}
+        )
+        part(0, 10).coalesce(1).write.mode("append").parquet(drop)
+        schema = spark.read.parquet(drop).schema
+        run_stream_to_manifest(spark, drop, schema, tbl, st)
+        assert view.refresh(spark)["mode"] == "incremental"
+
+        part(10, 30).coalesce(1).write.mode("append").parquet(drop)
+        run_stream_to_manifest(spark, drop, schema, tbl, st)
+        res = view.refresh(spark)
+        assert res["mode"] == "incremental" and res["from"] == 1
+
+        got = {
+            (r["g"], r["n"], float(r["amt_sum"]))
+            for r in view.read(spark).collect()
+        }
+        want = {
+            (r["g"], r["n"], float(r["amt_sum"]))
+            for r in read_table(spark, tbl)
+            .groupBy("g")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("amt").cast("decimal(18,2)")).alias("amt_sum"),
+            )
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(mv_root, ignore_errors=True)
