@@ -339,18 +339,37 @@ def _commit(
         if f.endswith(".parquet")
     )
     new_stats: dict[str, dict] = {}
-    if cols:
+    if cols and new_files:
+        # ONE job for all files' stats: group the staged scan by
+        # input_file_name() instead of launching a per-file aggregate
+        # (O(files) driver-side jobs — the old shape that turns a
+        # 10k-file commit into 10k scheduler round-trips).  A real
+        # port reads these from the parquet footers the writer
+        # already produced; this is the one-pass equivalent.
+        from urllib.parse import unquote, urlparse
+
         from pyspark.sql import functions as F
 
         aggs = []
         for c in cols:
-            aggs += [F.min(c), F.max(c)]
-        for nf in new_files:
-            row = df.sparkSession.read.parquet(nf).agg(*aggs).collect()[0]
-            new_stats[nf] = {
-                c: [_json_stat(row[2 * i]), _json_stat(row[2 * i + 1])]
-                for i, c in enumerate(cols)
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        rows = (
+            df.sparkSession.read.parquet(*new_files)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for row in rows:
+            path = unquote(urlparse(row["__f"]).path)
+            new_stats[path] = {
+                c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
+                for c in cols
             }
+        unknown = set(new_stats) - set(new_files)
+        if unknown:
+            raise RuntimeError(
+                f"stats grouped onto unstaged paths: {sorted(unknown)[:3]}"
+            )
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
