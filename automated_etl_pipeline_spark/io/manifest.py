@@ -304,6 +304,18 @@ def _read_manifest(
     raise last
 
 
+def _stage(df: DataFrame, root: str) -> list[str]:
+    """Write ``df`` under a fresh ``data/<uuid>/`` stage (invisible
+    until a manifest names it) and return the staged parquet paths."""
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(stage)
+    return sorted(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+
+
 def _commit(
     df: DataFrame,
     root: str,
@@ -313,6 +325,7 @@ def _commit(
     expected_base: int | None = None,
     stats_cols: list[str] | None = None,
     delete_cols: list[str] | None = None,
+    removed_files: list[str] | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
@@ -331,13 +344,7 @@ def _commit(
     prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
     if run_id in prev["run_ids"]:
         return v  # retry of a committed run: nothing to do
-    stage = os.path.join(root, "data", uuid.uuid4().hex)
-    df.write.mode("errorifexists").parquet(stage)
-    new_files = sorted(
-        os.path.join(stage, f)
-        for f in os.listdir(stage)
-        if f.endswith(".parquet")
-    )
+    new_files = _stage(df, root)
     new_stats: dict[str, dict] = {}
     if cols and new_files:
         # ONE job for all files' stats: group the staged scan by
@@ -373,6 +380,7 @@ def _commit(
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
+        removed_files=removed_files,
     )
 
 
@@ -385,6 +393,7 @@ def _publish(
     expected_base: int | None = None,
     backend: CommitBackend | None = None,
     delete_cols: list[str] | None = None,
+    removed_files: list[str] | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -424,10 +433,16 @@ def _publish(
             # EARLIER version — Iceberg's equality-delete sequence
             # rule, so a later re-insert of a deleted key survives.
             files = list(cur["files"])
-            deletes = cur_dels + [
+            new_entries = [
                 {"path": p, "cols": list(delete_cols), "at": v + 1}
                 for p in new_files
             ]
+            if removed_files is not None and new_entries:
+                # the commit's CDF record (the victim rows) lives on
+                # ONE entry — all entries share the commit version, so
+                # per-entry duplication would double-count retractions
+                new_entries[0]["removed"] = list(removed_files)
+            deletes = cur_dels + new_entries
             added_at = dict(cur_added)
         else:
             files = files_fn(cur["files"], new_files)
@@ -546,7 +561,12 @@ def commit_rewrite(
 
 
 def commit_delete(
-    keys_df: DataFrame, root: str, run_id: str, key_cols: list[str]
+    keys_df: DataFrame,
+    root: str,
+    run_id: str,
+    key_cols: list[str],
+    record_changes: bool = False,
+    expected_base: int | None = None,
 ) -> int:
     """Merge-on-read DELETE: stage the distinct ``key_cols`` rows of
     ``keys_df`` as a delete-key file set and publish a manifest whose
@@ -558,15 +578,43 @@ def commit_delete(
     A compaction (``commit_rewrite`` of ``read_table``'s output)
     materializes pending deletes and clears them from the snapshot.
     Same run_id idempotence and optimistic versioning as the other
-    commit kinds."""
+    commit kinds.
+
+    ``record_changes`` (the change-data-feed option, Delta CDF's
+    idea): additionally materialize the VICTIM rows — the rows the
+    delete hides, i.e. the snapshot semi-joined with the keys — as a
+    change file recorded on the delete entry, so ``read_changes_cdf``
+    can serve the range as insert/delete rows and an incremental
+    consumer (io/mv.py) folds the retraction instead of recomputing.
+    Costs one semi-join scan at commit time, and the commit becomes
+    CONFLICT-CHECKED against the snapshot the victims were computed
+    from (``expected_base``, captured here if not given): a
+    concurrent commit would make the recorded changes stale, so it
+    raises ``CommitConflictError`` for the caller to recompute —
+    exactly the rewrite rule, for the same lost-update reason."""
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    keys = keys_df.select(*key_cols).distinct()
+    removed_files: list[str] | None = None
+    if record_changes:
+        spark = keys_df.sparkSession
+        if expected_base is None:
+            expected_base = current_version(root)
+        if expected_base and manifest_files(root, expected_base):
+            victims = read_table(spark, root, version=expected_base).join(
+                keys, list(key_cols), "left_semi"
+            )
+            removed_files = _stage(victims, root)
+        else:
+            removed_files = []  # nothing visible: no victims to record
     return _commit(
-        keys_df.select(*key_cols).distinct(),
+        keys,
         root,
         run_id,
         lambda cur, new: cur,  # data files untouched
         delete_cols=list(key_cols),
+        removed_files=removed_files,
+        expected_base=expected_base,
     )
 
 
@@ -775,6 +823,85 @@ def read_changes(
     return spark.read.parquet(*added)
 
 
+def read_changes_cdf(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change feed WITH retractions: every row added or deleted
+    between two versions, tagged by a ``_change_type`` column
+    (``insert`` / ``delete``) — Delta CDF's contract.  Inserts come
+    from the data files added in the range; deletes from the victim
+    rows ``commit_delete(record_changes=True)`` materialized at
+    commit time.  A row inserted AND deleted within the range appears
+    as both (a consumer folding +1/-1 nets it to zero — the correct
+    multiset delta).  Raises when the range contains a rewrite (not
+    representable) or a delete commit that did not record its
+    changes — resume from a snapshot, as ``read_changes`` requires."""
+    from pyspark.sql import functions as F
+
+    mf = (
+        _read_manifest(root, from_version)
+        if from_version
+        else {"files": [], "deletes": []}
+    )
+    mt = _read_manifest(root, to_version)
+    old, new = set(mf["files"]), set(mt["files"])
+    if old - new:
+        raise ValueError(
+            f"rewrite between v{from_version} and v{to_version}: "
+            "not representable as changes; resume from a snapshot"
+        )
+    old_del_paths = {d["path"] for d in mf.get("deletes", [])}
+    new_dels = [
+        d
+        for d in mt.get("deletes", [])
+        if d["path"] not in old_del_paths
+    ]
+    unrecorded = [
+        d for d in new_dels if "removed" not in d and int(d["at"]) > from_version
+    ]
+    # entries grouped per commit: only the first carries "removed";
+    # siblings of a recorded commit are not "unrecorded"
+    recorded_ats = {int(d["at"]) for d in new_dels if "removed" in d}
+    unrecorded = [d for d in unrecorded if int(d["at"]) not in recorded_ats]
+    if unrecorded:
+        raise ValueError(
+            f"delete commit(s) without recorded changes between "
+            f"v{from_version} and v{to_version} (at versions "
+            f"{sorted({int(d['at']) for d in unrecorded})}); re-commit "
+            "with record_changes=True or resume from a snapshot"
+        )
+    added = sorted(new - old)
+    removed = sorted(
+        p for d in new_dels for p in d.get("removed", [])
+    )
+    template = added or sorted(new) or removed
+    if not template:
+        raise FileNotFoundError(f"no data files at v{to_version} of {root}")
+    if not added and not removed:
+        return (
+            spark.read.parquet(*template)
+            .limit(0)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+    parts = []
+    if added:
+        parts.append(
+            spark.read.parquet(*added).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        )
+    if removed:
+        parts.append(
+            spark.read.parquet(*removed).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def vacuum(
     root: str, keep_last: int = 1, min_orphan_age_s: float = 86400.0
 ) -> list[str]:
@@ -799,18 +926,21 @@ def vacuum(
     if newest == 0:
         return []
     lo = max(1, newest - keep_last + 1)
+    def _referenced(m: dict) -> set[str]:
+        refs = set(m["files"])
+        for d in m.get("deletes", []):
+            refs.add(d["path"])
+            refs.update(d.get("removed", []))
+        return refs
+
     live: set[str] = set()
     for v in range(lo, newest + 1):
-        m = _read_manifest(root, v)
-        live.update(m["files"])
-        live.update(d["path"] for d in m.get("deletes", []))
+        live.update(_referenced(_read_manifest(root, v)))
     ever_referenced: set[str] = set()
     for v in range(1, newest + 1):
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
         if os.path.exists(mp):
-            m = _read_manifest(root, v)
-            ever_referenced.update(m["files"])
-            ever_referenced.update(d["path"] for d in m.get("deletes", []))
+            ever_referenced.update(_referenced(_read_manifest(root, v)))
     cutoff = time.time() - min_orphan_age_s
     deleted: list[str] = []
     data_root = os.path.join(root, "data")

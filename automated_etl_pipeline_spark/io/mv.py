@@ -16,12 +16,14 @@ manifest table of ADDITIVE PARTIALS.  A refresh:
    refresh watermark recoverable from the MV's own manifest — no side
    state file.
 
-When the source took a NON-APPEND commit in the refreshed range (a
-compaction rewrite or a merge-on-read delete), the delta is not
-representable as additions; ``read_changes`` raises and the refresh
-falls back to ONE full recompute from the current snapshot (deletes
-applied), exactly the resume-from-snapshot contract table-format
-change feeds impose.
+When the source took a NON-APPEND commit in the refreshed range, the
+delta is not representable as additions and ``read_changes`` raises;
+the refresh then tries ``read_changes_cdf`` — deletes that recorded
+their victim rows (``commit_delete(record_changes=True)``) fold as
+NEGATIVE partials, still O(changes) — and only a rewrite or an
+unrecorded delete falls back to ONE full recompute from the current
+snapshot (deletes applied), exactly the resume-from-snapshot contract
+table-format change feeds impose.
 
 Determinism: counts are integer sums and the measure sums are exact
 DECIMALs (pinned to one scale), both associative — the incremental
@@ -45,6 +47,7 @@ from automated_etl_pipeline_spark.io.manifest import (
     commit_rewrite,
     current_version,
     read_changes,
+    read_changes_cdf,
     read_table,
     _read_manifest,
 )
@@ -124,7 +127,39 @@ class IncrementalAggView:
                 F.sum(alias).cast(_PARTIAL_DECIMAL).alias(alias)
             )
         return (
-            old.unionByName(delta).groupBy(*self.key_cols).agg(*aggs)
+            old.unionByName(delta)
+            .groupBy(*self.key_cols)
+            .agg(*aggs)
+            # a fully retracted group must LEAVE the MV (a recompute
+            # would not contain it); exact integer counts make the
+            # zero test safe
+            .filter(F.col(self.count_alias) != 0)
+        )
+
+    def _signed_partials(self, changes: DataFrame) -> DataFrame:
+        """Partials of a CDF delta: inserts count +1, deletes -1, and
+        each measure contributes with the row's sign — a retraction is
+        just a negative partial, exact because the sums are DECIMAL."""
+        sign = (
+            F.when(F.col("_change_type") == "delete", F.lit(-1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        aggs = [F.sum(sign).cast("long").alias(self.count_alias)]
+        for alias, col in self.sum_cols.items():
+            aggs.append(
+                F.sum(sign * F.col(col).cast("decimal(18,2)"))
+                .cast(_PARTIAL_DECIMAL)
+                .alias(alias)
+            )
+        return (
+            changes.groupBy(*self.key_cols)
+            .agg(*aggs)
+            # a net-zero group (same rows inserted and retracted in
+            # the range) carries exactly-zero sums too; dropping it is
+            # a no-op against an existing MV and keeps a first-refresh
+            # CDF delta equal to the recompute
+            .filter(F.col(self.count_alias) != 0)
         )
 
     # ---- refresh --------------------------------------------------------
@@ -154,21 +189,35 @@ class IncrementalAggView:
                 "mv_version": current_version(self.mv_root),
             }
         mv_base = current_version(self.mv_root)
+        partial = None
         try:
             delta = read_changes(spark, self.source_root, last, src_v)
             partial = self._partials(delta)
+            mode = "incremental"
+        except ValueError:
+            try:
+                # the range has deletes but they recorded their victim
+                # rows (commit_delete(record_changes=True)): fold the
+                # retractions as negative partials — still O(changes)
+                changes = read_changes_cdf(
+                    spark, self.source_root, last, src_v
+                )
+                partial = self._signed_partials(changes)
+                mode = "incremental_cdf"
+            except (ValueError, FileNotFoundError):
+                # rewrite, or an unrecorded delete: the range is not a
+                # representable delta — one full recompute from the
+                # current snapshot (merge-on-read deletes applied).
+                merged = self._partials(
+                    read_table(spark, self.source_root)
+                )
+                mode = "full"
+        if partial is not None:
             merged = (
                 self._fold(read_table(spark, self.mv_root), partial)
                 if mv_base
                 else partial
             )
-            mode = "incremental"
-        except ValueError:
-            # rewrite or delete upstream: additions can't express the
-            # range — one full recompute from the current snapshot
-            # (merge-on-read deletes applied by read_table).
-            merged = self._partials(read_table(spark, self.source_root))
-            mode = "full"
         mv_v = commit_rewrite(
             merged,
             self.mv_root,

@@ -6962,6 +6962,93 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("l_returnflag")
 
 
+_MV_CDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(2 AS BIGINT) AS n_incremental,
+       CAST(1 AS BIGINT) AS n_cdf,
+       CAST(0 AS BIGINT) AS n_full,
+       CAST(1 AS BIGINT) AS noop_ok
+FROM lineitem WHERE l_orderkey % 7 != 0
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+@query("mv_cdf_retraction_refresh", _MV_CDF_ORACLE)
+def mv_cdf_retraction_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed retraction folding (io/mv.py + io/manifest.py
+    ``record_changes``): two lineitem appends refresh incrementally,
+    then a DELETE that RECORDED its victim rows at commit time
+    (``commit_delete(record_changes=True)`` — Delta CDF's idea)
+    refreshes as NEGATIVE partials via ``read_changes_cdf`` instead of
+    the full recompute an unrecorded delete forces; a final no-op
+    refresh pins the watermark.  The MV must hash-match the plain SQL
+    aggregate of the surviving rows — exact DECIMAL partials make
+    insert-fold minus retraction-fold bit-identical to recomputation —
+    and the mode sequence (2 incremental, 1 incremental_cdf, 0 full)
+    is pinned by the oracle's literals: a full-recompute regression or
+    a double-fold shifts a BIGINT.
+
+    Scale: the retraction delta costs one semi-join at DELETE-commit
+    time (amortized into the commit) and the refresh stays O(changes)
+    — at 100 TB, the difference between a dashboard refresh reading a
+    few delete files and re-aggregating the table."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_delete,
+    )
+    from automated_etl_pipeline_spark.io.mv import IncrementalAggView
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = tempfile.mkdtemp(prefix="spark_graft_mvcdf_src_")
+    mv_root = tempfile.mkdtemp(prefix="spark_graft_mvcdf_")
+    try:
+        view = IncrementalAggView(
+            src, mv_root, ["l_returnflag"], sum_cols={"sum_qty": "l_quantity"}
+        )
+        modes = []
+        for i, pred in enumerate(
+            [F.col("l_linenumber") <= 3, F.col("l_linenumber") >= 4]
+        ):
+            commit_append(li.filter(pred), src, f"a{i}")
+            modes.append(view.refresh(spark)["mode"])
+        commit_delete(
+            li.filter(F.col("l_orderkey") % 7 == 0).select("l_orderkey"),
+            src,
+            "d1",
+            ["l_orderkey"],
+            record_changes=True,
+        )
+        modes.append(view.refresh(spark)["mode"])
+        noop_ok = 1 if view.refresh(spark)["mode"] == "noop" else 0
+        out = (
+            view.read(spark)
+            .select(
+                "l_returnflag",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+                F.lit(modes.count("incremental"))
+                .cast("bigint")
+                .alias("n_incremental"),
+                F.lit(modes.count("incremental_cdf"))
+                .cast("bigint")
+                .alias("n_cdf"),
+                F.lit(modes.count("full")).cast("bigint").alias("n_full"),
+                F.lit(noop_ok).cast("bigint").alias("noop_ok"),
+            )
+            .orderBy("l_returnflag")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(mv_root, ignore_errors=True)
+    return snap.orderBy("l_returnflag")
+
+
 _STREAM_MANIFEST_SINK_ORACLE = """
 SELECT o_orderstatus,
        CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -582,3 +582,108 @@ def test_marker_column_collision_raises(spark, root):
     )
     with pytest.raises(ValueError, match="collide"):
         read_table(spark, root).collect()
+
+
+# ---- change-data-feed with retractions (r14) ------------------------------
+
+
+def test_recorded_delete_serves_cdf_rows(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_changes_cdf,
+    )
+
+    commit_append(_df(spark, 0, 6), root, "a1")  # v1
+    commit_delete(
+        _keys(spark, 1, 4), root, "d1", ["k"], record_changes=True
+    )  # v2
+    commit_append(_df(spark, 6, 8), root, "a2")  # v3
+    ch = read_changes_cdf(spark, root, 1, 3)
+    got = sorted(
+        (r["k"], r["_change_type"]) for r in ch.collect()
+    )
+    assert got == [
+        (1, "delete"),
+        (4, "delete"),
+        (6, "insert"),
+        (7, "insert"),
+    ]
+
+
+def test_cdf_insert_then_delete_in_range_nets_zero(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_changes_cdf,
+    )
+    from pyspark.sql import functions as SF
+
+    commit_append(_df(spark, 0, 3), root, "a1")  # v1
+    commit_append(_df(spark, 3, 6), root, "a2")  # v2: inserts 3,4,5
+    commit_delete(
+        _keys(spark, 4), root, "d1", ["k"], record_changes=True
+    )  # v3
+    ch = read_changes_cdf(spark, root, 1, 3)
+    net = (
+        ch.groupBy("k")
+        .agg(
+            SF.sum(
+                SF.when(SF.col("_change_type") == "delete", -1).otherwise(1)
+            ).alias("d")
+        )
+        .filter(SF.col("d") != 0)
+    )
+    assert sorted(r["k"] for r in net.collect()) == [3, 5]
+
+
+def test_cdf_raises_on_unrecorded_delete(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_changes_cdf,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    commit_delete(_keys(spark, 2), root, "d1", ["k"])  # no CDF record
+    with pytest.raises(ValueError, match="without recorded changes"):
+        read_changes_cdf(spark, root, 1, 2)
+
+
+def test_recorded_delete_conflict_checks_its_base(spark, root):
+    """The victims were computed from a snapshot; a commit landing in
+    between would make the recorded changes stale — same lost-update
+    rule as rewrites."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        commit_delete,
+        current_version,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    base = current_version(root)
+    commit_append(_df(spark, 5, 7), root, "a2")  # interleaved
+    with pytest.raises(CommitConflictError):
+        commit_delete(
+            _keys(spark, 1),
+            root,
+            "d1",
+            ["k"],
+            record_changes=True,
+            expected_base=base,
+        )
+
+
+def test_vacuum_keeps_cdf_victim_files(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        manifest_delete_files,
+        vacuum,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    commit_delete(
+        _keys(spark, 2, 3), root, "d1", ["k"], record_changes=True
+    )
+    removed = manifest_delete_files(root)[0]["removed"]
+    assert removed  # victims were materialized
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    for p in removed:
+        assert os.path.exists(p)

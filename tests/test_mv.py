@@ -160,3 +160,65 @@ def test_concurrent_refresher_conflict_resolves(spark, roots):
     res = view_a.refresh(spark)  # A must see B's work and noop
     assert res["mode"] == "noop"
     assert _mv_state(spark, view_a) == _recompute(spark, src)
+
+
+def test_cdf_refresh_folds_retractions_incrementally(spark, roots):
+    """A recorded delete refreshes as negative partials — no full
+    recompute — and the MV still equals recomputation, including the
+    disappearance of fully retracted groups."""
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 12), src, "a0")
+    view.refresh(spark)
+    # g == 1 <=> k % 3 == 1: retract ALL of group 1 plus part of 2
+    commit_delete(
+        spark.createDataFrame(
+            [(k,) for k in (1, 4, 7, 10, 2)], "k long"
+        ),
+        src,
+        "d0",
+        ["k"],
+        record_changes=True,
+    )
+    res = view.refresh(spark)
+    assert res["mode"] == "incremental_cdf"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+    assert 1 not in {g for (g, _, _) in _mv_state(spark, view)}
+    # and a subsequent plain append still folds incrementally
+    commit_append(_rows(spark, 100, 104), src, "a1")
+    assert view.refresh(spark)["mode"] == "incremental"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_unrecorded_delete_still_falls_back_to_full(spark, roots):
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    view.refresh(spark)
+    commit_delete(
+        spark.createDataFrame([(3,)], "k long"), src, "d0", ["k"]
+    )
+    res = view.refresh(spark)
+    assert res["mode"] == "full"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_cdf_first_refresh_from_scratch_matches_recompute(spark, roots):
+    """last == 0 with a recorded delete in range: the signed delta IS
+    the whole state; net-zero groups must not linger."""
+    src, mv = roots
+    commit_append(_rows(spark, 0, 9), src, "a0")
+    commit_delete(
+        spark.createDataFrame(
+            [(k,) for k in (2, 5, 8)], "k long"  # all of g == 2
+        ),
+        src,
+        "d0",
+        ["k"],
+        record_changes=True,
+    )
+    view = _view(src, mv)
+    res = view.refresh(spark)
+    assert res["mode"] == "incremental_cdf"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+    assert 2 not in {g for (g, _, _) in _mv_state(spark, view)}
