@@ -326,6 +326,7 @@ def _commit(
     stats_cols: list[str] | None = None,
     delete_cols: list[str] | None = None,
     removed_files: list[str] | None = None,
+    replace_subset: list[str] | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
@@ -380,7 +381,7 @@ def _commit(
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
-        removed_files=removed_files,
+        removed_files=removed_files, replace_subset=replace_subset,
     )
 
 
@@ -394,6 +395,7 @@ def _publish(
     backend: CommitBackend | None = None,
     delete_cols: list[str] | None = None,
     removed_files: list[str] | None = None,
+    replace_subset: list[str] | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -414,7 +416,11 @@ def _publish(
         )
         if run_id in cur["run_ids"]:
             return v  # a racing retry of the same run won
-        if expected_base is not None and v != expected_base:
+        if (
+            expected_base is not None
+            and replace_subset is None
+            and v != expected_base
+        ):
             # REPLACE conflict detection: the table moved past the
             # snapshot this rewrite was computed from — publishing
             # would drop the interleaved commits' files.  The check
@@ -426,7 +432,10 @@ def _publish(
             )
         cur_added = cur.get("added_at", {})
         cur_dels = cur.get("deletes", [])
+        commit_meta: dict = {"added": list(new_files)}
         if delete_cols is not None:
+            commit_meta["kind"] = "delete"
+            commit_meta["recorded"] = removed_files is not None
             # merge-on-read DELETE commit: the data-file list is
             # untouched; the staged files are DELETE-KEY files that
             # apply (at read time) to every data file committed at an
@@ -444,6 +453,47 @@ def _publish(
                 new_entries[0]["removed"] = list(removed_files)
             deletes = cur_dels + new_entries
             added_at = dict(cur_added)
+        elif replace_subset is not None:
+            commit_meta["kind"] = "replace"
+            commit_meta["removed"] = list(replace_subset)
+            # PARTIAL compaction (replace-files commit): swap ONLY the
+            # named files for the staged ones.  Interleaved APPENDS do
+            # not conflict — they touch disjoint files — which is the
+            # whole point vs a full rewrite.  Two things DO conflict:
+            # (a) a replaced file no longer live (another rewrite or
+            # compaction got it first); (b) a DELETE landing since the
+            # compaction's base — the compactor applied the base's
+            # pending deletes to what it read, and a newer delete
+            # would apply to the old files (low added_at) but not to
+            # the rewritten ones (added_at = this version), letting
+            # the rewritten rows escape it.
+            gone = set(replace_subset) - set(cur["files"])
+            if gone:
+                raise CommitConflictError(
+                    f"{len(gone)} replaced file(s) no longer live at "
+                    f"v{v}: another rewrite won; re-plan the compaction"
+                )
+            if expected_base is not None:
+                base_m = (
+                    _read_manifest(root, expected_base, backend=b)
+                    if expected_base
+                    else {"deletes": []}
+                )
+                base_dels = {d["path"] for d in base_m.get("deletes", [])}
+                cur_del_paths = {d["path"] for d in cur_dels}
+                if base_dels != cur_del_paths:
+                    raise CommitConflictError(
+                        f"delete commit landed since v{expected_base}: "
+                        "the rewritten files would escape it; re-read "
+                        "and re-plan the compaction"
+                    )
+            drop = set(replace_subset)
+            files = [f for f in cur["files"] if f not in drop] + new_files
+            deletes = cur_dels  # still apply to the untouched files
+            added_at = {
+                f: (cur_added.get(f, 0) if f not in set(new_files) else v + 1)
+                for f in files
+            }
         else:
             files = files_fn(cur["files"], new_files)
             kept_old = set(cur["files"]) & set(files)
@@ -456,6 +506,7 @@ def _publish(
             # the empty-table edge resolved conservatively: no old
             # files -> nothing a delete could still apply to.
             is_append = kept_old == set(cur["files"]) and cur["files"]
+            commit_meta["kind"] = "append" if is_append or not cur["files"] else "rewrite"
             deletes = cur_dels if is_append else []
             added_at = {
                 f: (cur_added.get(f, 0) if f in kept_old else v + 1)
@@ -465,6 +516,11 @@ def _publish(
         manifest = {
             "version": v + 1,
             "files": files,
+            # per-commit record (r14): what THIS commit did — lets the
+            # change feed walk the log instead of set-diffing endpoint
+            # snapshots, so content-preserving replace commits are
+            # skipped rather than poisoning the range.
+            "commit": commit_meta,
             # per-file commit version — the "sequence number" the
             # delete-visibility rule compares against.  Legacy
             # manifests lack it; readers default missing entries to 0
@@ -616,6 +672,92 @@ def commit_delete(
         removed_files=removed_files,
         expected_base=expected_base,
     )
+
+
+def commit_replace_files(
+    df: DataFrame,
+    root: str,
+    run_id: str,
+    replaced: list[str],
+    expected_base: int,
+    stats_col: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Swap a SUBSET of live data files for ``df``'s staged files in
+    one atomic commit — the ``rewrite_data_files`` primitive behind
+    small-file compaction: compact 10 fragments out of 10,000 files
+    without touching the rest of the table.  ``df`` must hold the
+    logical content of ``replaced`` (read them via
+    ``read_table_subset``, which applies pending deletes).
+
+    Conflict rules (checked on every optimistic retry): interleaved
+    APPENDS are fine — disjoint files; a replaced file gone from the
+    live set (a racing rewrite/compaction) or a DELETE commit landed
+    since ``expected_base`` raises ``CommitConflictError`` — the
+    rewritten files take this commit's version as their added_at, so
+    an in-between delete would no longer reach their rows."""
+    return _commit(
+        df,
+        root,
+        run_id,
+        lambda cur, new: cur,  # unused: replace_subset branch builds files
+        stats_col=stats_col,
+        stats_cols=stats_cols,
+        expected_base=expected_base,
+        replace_subset=list(replaced),
+    )
+
+
+def read_table_subset(
+    spark: SparkSession, root: str, files: list[str], version: int | None = None
+) -> DataFrame:
+    """The logical content of ``files`` under a snapshot's pending
+    deletes — what a partial compaction must rewrite.  (Reading the
+    raw bytes instead would resurrect deleted rows: the new files'
+    added_at postdates the pending deletes, so the read-time anti-join
+    no longer hides them.)"""
+    v = current_version(root) if version is None else version
+    m = _read_manifest(root, v)
+    missing = set(files) - set(m["files"])
+    if missing:
+        raise ValueError(f"{len(missing)} file(s) not live at v{v}")
+    if not m.get("deletes"):
+        return spark.read.parquet(*files)
+    return _apply_deletes(spark, m, list(files))
+
+
+def compact_small_files(
+    spark: SparkSession,
+    root: str,
+    run_id: str,
+    max_bytes: int,
+    target_files: int = 1,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction policy + execution: pick every live data
+    file under ``max_bytes``, rewrite their (delete-applied) content
+    as ``target_files`` files, and swap them in one replace-files
+    commit.  Returns (version, n_compacted); (current, 0) when fewer
+    than two qualify.  At 100 TB this runs as a scheduled background
+    job per partition — the anti-entropy loop every streaming-ingest
+    table needs, here in one call."""
+    base = current_version(root)
+    if base == 0:
+        return 0, 0
+    small = [
+        f
+        for f in manifest_files(root, base)
+        if os.path.getsize(f) < max_bytes
+    ]
+    if len(small) < 2:
+        return base, 0
+    merged = read_table_subset(spark, root, small, version=base).coalesce(
+        target_files
+    )
+    v = commit_replace_files(
+        merged, root, run_id, small, expected_base=base, stats_cols=stats_cols
+    )
+    return v, len(small)
 
 
 def manifest_files(root: str, version: int | None = None) -> list[str]:
@@ -785,42 +927,94 @@ def read_table_pruned(
     return spark.read.parquet(*keep), len(m["files"]), len(keep)
 
 
+def _walk_commits(
+    root: str, from_version: int, to_version: int
+) -> list[dict] | None:
+    """The per-commit records for versions (from, to] — what each
+    commit DID, read from the ``commit`` field manifests have carried
+    since r14.  Returns None if any manifest in the range predates the
+    field (legacy tables: callers fall back to endpoint set-diff);
+    raises if one has been vacuumed away (the range is unrecoverable —
+    resume from a snapshot)."""
+    out: list[dict] = []
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"manifest v{v} expired (vacuumed): the change range "
+                "is unrecoverable; resume from a snapshot"
+            ) from None
+        c = m.get("commit")
+        if c is None:
+            return None
+        out.append({**c, "at": v, "deletes": m.get("deletes", [])})
+    return out
+
+
+def _zero_rows(spark: SparkSession, root: str, to_version: int) -> DataFrame:
+    files = _read_manifest(root, to_version)["files"]
+    if not files:
+        raise FileNotFoundError(f"no data files at v{to_version} of {root}")
+    return spark.read.parquet(*files).limit(0)
+
+
 def read_changes(
     spark: SparkSession, root: str, from_version: int, to_version: int
 ) -> DataFrame:
-    """Change feed: the rows ADDED between two committed versions —
-    exactly the files present in ``to_version`` but not in
-    ``from_version``.  This is what lets a downstream consumer (the
-    streaming CDC merge, an incremental aggregate) tail the table by
-    version number instead of re-reading snapshots.  Only valid across
-    append commits: if a file present at ``from_version`` is gone at
-    ``to_version`` (a rewrite/compaction happened in between), the
-    delta is not representable as additions and this raises — resume
-    from the post-rewrite snapshot instead, as Delta's change feed
-    requires after a non-append commit."""
-    mf = _read_manifest(root, from_version) if from_version else {"files": []}
-    mt = _read_manifest(root, to_version)
-    old, new = set(mf["files"]), set(mt["files"])
-    removed = old - new
-    if removed:
-        raise ValueError(
-            f"non-append commit between v{from_version} and v{to_version}: "
-            f"{len(removed)} file(s) removed; resume from a snapshot"
+    """Change feed: the rows ADDED between two committed versions.
+    This is what lets a downstream consumer (the streaming CDC merge,
+    an incremental aggregate) tail the table by version number instead
+    of re-reading snapshots.  The range is resolved by WALKING the
+    per-commit log: append commits contribute their files,
+    content-preserving replace commits (partial compaction) are
+    skipped — they change layout, not rows — and a rewrite or delete
+    raises, because the delta is not representable as additions;
+    resume from the post-commit snapshot, as Delta's change feed
+    requires (deletes that recorded their victims are servable through
+    ``read_changes_cdf`` instead).  Legacy manifests without commit
+    records fall back to endpoint set-difference with the same
+    refusal rules."""
+    walked = _walk_commits(root, from_version, to_version)
+    if walked is None:  # legacy table: endpoint set-diff
+        mf = (
+            _read_manifest(root, from_version)
+            if from_version
+            else {"files": []}
         )
-    old_dels = {d["path"] for d in mf.get("deletes", [])}
-    new_dels = {d["path"] for d in mt.get("deletes", [])}
-    if old_dels != new_dels:
-        # a merge-on-read DELETE retracts rows — not representable as
-        # additions, exactly like a rewrite (Delta's change feed makes
-        # the same refusal for non-append commits).
-        raise ValueError(
-            f"delete commit between v{from_version} and v{to_version}: "
-            "retractions are not an append delta; resume from a snapshot"
-        )
-    added = sorted(new - old)
+        mt = _read_manifest(root, to_version)
+        old, new = set(mf["files"]), set(mt["files"])
+        if old - new:
+            raise ValueError(
+                f"non-append commit between v{from_version} and "
+                f"v{to_version}: files removed; resume from a snapshot"
+            )
+        if {d["path"] for d in mf.get("deletes", [])} != {
+            d["path"] for d in mt.get("deletes", [])
+        }:
+            raise ValueError(
+                f"delete commit between v{from_version} and "
+                f"v{to_version}: retractions are not an append delta; "
+                "resume from a snapshot"
+            )
+        added = sorted(new - old)
+        if not added:
+            return spark.read.parquet(*sorted(new)).limit(0)
+        return spark.read.parquet(*added)
+    added = []
+    for c in walked:
+        if c["kind"] == "append":
+            added += c["added"]
+        elif c["kind"] == "replace":
+            continue  # partial compaction: layout change, zero row delta
+        else:
+            raise ValueError(
+                f"{c['kind']} commit at v{c['at']}: not representable "
+                "as an append delta; resume from a snapshot"
+            )
     if not added:
-        return spark.read.parquet(*sorted(new)).limit(0)
-    return spark.read.parquet(*added)
+        return _zero_rows(spark, root, to_version)
+    return spark.read.parquet(*sorted(added))
 
 
 def read_changes_cdf(
@@ -835,53 +1029,46 @@ def read_changes_cdf(
     as both (a consumer folding +1/-1 nets it to zero — the correct
     multiset delta).  Raises when the range contains a rewrite (not
     representable) or a delete commit that did not record its
-    changes — resume from a snapshot, as ``read_changes`` requires."""
+    changes — resume from a snapshot, as ``read_changes`` requires.
+    Content-preserving replace commits (partial compaction) in the
+    range contribute nothing, as they should."""
     from pyspark.sql import functions as F
 
-    mf = (
-        _read_manifest(root, from_version)
-        if from_version
-        else {"files": [], "deletes": []}
-    )
-    mt = _read_manifest(root, to_version)
-    old, new = set(mf["files"]), set(mt["files"])
-    if old - new:
+    walked = _walk_commits(root, from_version, to_version)
+    if walked is None:
         raise ValueError(
-            f"rewrite between v{from_version} and v{to_version}: "
-            "not representable as changes; resume from a snapshot"
+            "table predates per-commit records: CDF needs the commit "
+            "log; resume from a snapshot"
         )
-    old_del_paths = {d["path"] for d in mf.get("deletes", [])}
-    new_dels = [
-        d
-        for d in mt.get("deletes", [])
-        if d["path"] not in old_del_paths
-    ]
-    unrecorded = [
-        d for d in new_dels if "removed" not in d and int(d["at"]) > from_version
-    ]
-    # entries grouped per commit: only the first carries "removed";
-    # siblings of a recorded commit are not "unrecorded"
-    recorded_ats = {int(d["at"]) for d in new_dels if "removed" in d}
-    unrecorded = [d for d in unrecorded if int(d["at"]) not in recorded_ats]
-    if unrecorded:
-        raise ValueError(
-            f"delete commit(s) without recorded changes between "
-            f"v{from_version} and v{to_version} (at versions "
-            f"{sorted({int(d['at']) for d in unrecorded})}); re-commit "
-            "with record_changes=True or resume from a snapshot"
-        )
-    added = sorted(new - old)
-    removed = sorted(
-        p for d in new_dels for p in d.get("removed", [])
-    )
-    template = added or sorted(new) or removed
-    if not template:
-        raise FileNotFoundError(f"no data files at v{to_version} of {root}")
+    added: list[str] = []
+    removed: list[str] = []
+    for c in walked:
+        if c["kind"] == "append":
+            added += c["added"]
+        elif c["kind"] == "replace":
+            continue  # layout change, zero row delta
+        elif c["kind"] == "delete":
+            if not c.get("recorded"):
+                raise ValueError(
+                    f"delete commit at v{c['at']} did not record its "
+                    "changes; re-commit with record_changes=True or "
+                    "resume from a snapshot"
+                )
+            removed += [
+                p
+                for d in c["deletes"]
+                if int(d["at"]) == c["at"]
+                for p in d.get("removed", [])
+            ]
+        else:
+            raise ValueError(
+                f"{c['kind']} commit at v{c['at']}: not representable "
+                "as changes; resume from a snapshot"
+            )
+    added, removed = sorted(added), sorted(removed)
     if not added and not removed:
-        return (
-            spark.read.parquet(*template)
-            .limit(0)
-            .withColumn("_change_type", F.lit("insert"))
+        return _zero_rows(spark, root, to_version).withColumn(
+            "_change_type", F.lit("insert")
         )
     parts = []
     if added:

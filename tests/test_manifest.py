@@ -643,7 +643,7 @@ def test_cdf_raises_on_unrecorded_delete(spark, root):
 
     commit_append(_df(spark, 0, 5), root, "a1")
     commit_delete(_keys(spark, 2), root, "d1", ["k"])  # no CDF record
-    with pytest.raises(ValueError, match="without recorded changes"):
+    with pytest.raises(ValueError, match="did not record its changes"):
         read_changes_cdf(spark, root, 1, 2)
 
 
@@ -687,3 +687,137 @@ def test_vacuum_keeps_cdf_victim_files(spark, root):
     vacuum(root, keep_last=1, min_orphan_age_s=0.0)
     for p in removed:
         assert os.path.exists(p)
+
+
+# ---- partial compaction / replace-files commits (r14) ----------------------
+
+
+def test_partial_compaction_swaps_only_named_files(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        compact_small_files,
+        manifest_files,
+    )
+
+    commit_append(_df(spark, 0, 10).repartition(4), root, "a1")
+    commit_append(_df(spark, 10, 20).coalesce(1), root, "a2")
+    before = manifest_files(root)
+    v, n = compact_small_files(spark, root, "c1", max_bytes=10**9)
+    after = manifest_files(root)
+    assert n == len(before) and len(after) == 1 and v == 3
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == list(range(20))
+
+
+def test_interleaved_append_does_not_conflict_with_replace(spark, root):
+    """The point of replace-files vs full rewrite: an append landing
+    between plan and publish touches disjoint files and must coexist."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_replace_files,
+        current_version,
+        manifest_files,
+        read_table_subset,
+    )
+
+    commit_append(_df(spark, 0, 10).repartition(3), root, "a1")
+    base = current_version(root)
+    targets = manifest_files(root)
+    merged = read_table_subset(spark, root, targets).coalesce(1)
+    commit_append(_df(spark, 10, 15), root, "a2")  # interleaves
+    v = commit_replace_files(merged, root, "c1", targets, expected_base=base)
+    assert v == 3
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == list(range(15))
+
+
+def test_replace_conflicts_when_target_file_gone(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        commit_replace_files,
+        commit_rewrite,
+        current_version,
+        manifest_files,
+        read_table_subset,
+    )
+
+    commit_append(_df(spark, 0, 10).repartition(3), root, "a1")
+    base = current_version(root)
+    targets = manifest_files(root)
+    merged = read_table_subset(spark, root, targets).coalesce(1)
+    commit_rewrite(read_table(spark, root), root, "rw", expected_base=base)
+    with pytest.raises(CommitConflictError, match="no longer live"):
+        commit_replace_files(merged, root, "c1", targets, expected_base=base)
+
+
+def test_replace_conflicts_when_delete_lands_in_between(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        commit_delete,
+        commit_replace_files,
+        current_version,
+        manifest_files,
+        read_table_subset,
+    )
+
+    commit_append(_df(spark, 0, 10).repartition(3), root, "a1")
+    base = current_version(root)
+    targets = manifest_files(root)
+    merged = read_table_subset(spark, root, targets).coalesce(1)
+    commit_delete(_keys(spark, 3), root, "d1", ["k"])  # interleaves
+    with pytest.raises(CommitConflictError, match="delete commit landed"):
+        commit_replace_files(merged, root, "c1", targets, expected_base=base)
+
+
+def test_compaction_applies_pending_deletes_permanently(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        compact_small_files,
+        manifest_delete_files,
+    )
+
+    commit_append(_df(spark, 0, 10).repartition(2), root, "a1")
+    commit_delete(_keys(spark, 1, 8), root, "d1", ["k"])
+    v, n = compact_small_files(spark, root, "c1", max_bytes=10**9)
+    assert n == 2
+    # delete entries stay (other files could still need them) but the
+    # rewritten rows no longer contain the victims...
+    got = sorted(r["k"] for r in read_table(spark, root).collect())
+    assert got == [0, 2, 3, 4, 5, 6, 7, 9]
+    # ...and the time-traveled pre-compaction snapshot still works
+    assert read_table(spark, root, version=2).count() == 8
+    assert len(manifest_delete_files(root)) == 1
+
+
+def test_change_feed_skips_partial_compaction(spark, root):
+    """A replace commit preserves content — the change feed (and the
+    MV riding it) must pass over it instead of forcing a snapshot
+    resume."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        compact_small_files,
+        read_changes,
+        read_changes_cdf,
+    )
+
+    commit_append(_df(spark, 0, 6).repartition(2), root, "a1")  # v1
+    compact_small_files(spark, root, "c1", max_bytes=10**9)  # v2
+    commit_append(_df(spark, 6, 9), root, "a2")  # v3
+    ch = read_changes(spark, root, 1, 3)
+    assert sorted(r["k"] for r in ch.collect()) == [6, 7, 8]
+    cdf = read_changes_cdf(spark, root, 1, 3)
+    assert sorted((r["k"], r["_change_type"]) for r in cdf.collect()) == [
+        (6, "insert"),
+        (7, "insert"),
+        (8, "insert"),
+    ]
+
+
+def test_walk_raises_when_range_manifest_vacuumed(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        read_changes,
+        vacuum,
+    )
+
+    for i, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
+        commit_append(_df(spark, lo, hi), root, f"a{i}")
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    with pytest.raises(ValueError, match="expired"):
+        read_changes(spark, root, 1, 3)
