@@ -6962,6 +6962,101 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("l_returnflag")
 
 
+_PARTIAL_COMPACTION_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 9 != 0) AS BIGINT)
+         AS n_final,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderkey % 9 != 0) AS DOUBLE) AS rev_final,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 2) AS BIGINT)
+         AS n_feed,
+       CAST(1 AS BIGINT) AS compacted_ok
+FROM orders
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("manifest_partial_compaction", _PARTIAL_COMPACTION_ORACLE)
+def manifest_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial compaction (io/manifest.commit_replace_files): the v1
+    append lands fragmented (3 files), v2 adds more, v3 DELETES the
+    keys with o_orderkey % 9 = 0; the compactor reads ONLY v1's files
+    with the pending delete applied, an append INTERLEAVES (v4, key%3
+    = 2 — must NOT conflict, the point vs a full rewrite), and the
+    replace commit swaps just the fragments (v5).  Three contract
+    points hash-checked at once: (a) the final read equals all rows
+    except the deleted keys — the compaction materialized the delete
+    for its files without resurrecting or dropping anything; (b) the
+    change feed across the range v3->v5 returns EXACTLY the
+    interleaved append's rows — the commit-log walk skips the
+    content-preserving replace instead of forcing a snapshot resume;
+    (c) the file count shrank by exactly len(fragments)-1 (the
+    compacted_ok flag).
+
+    Scale: this is the background anti-entropy loop of every
+    streaming-ingest table — compact 10 fragments out of 10,000 files
+    without touching the rest, while appends keep landing."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_delete,
+        commit_replace_files,
+        current_version,
+        manifest_files,
+        read_changes,
+        read_table,
+        read_table_subset,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="spark_graft_pcompact_")
+    try:
+        commit_append(orders.filter(k % 3 == 0).repartition(3), root, "a1")
+        frag = manifest_files(root, 1)
+        commit_append(orders.filter(k % 3 == 1).coalesce(1), root, "a2")
+        commit_delete(
+            orders.filter(k % 9 == 0).select("o_orderkey"),
+            root,
+            "d1",
+            ["o_orderkey"],
+        )
+        base = current_version(root)
+        merged = read_table_subset(spark, root, frag, version=base).coalesce(1)
+        commit_append(orders.filter(k % 3 == 2), root, "a3")  # interleaves
+        n_before = len(manifest_files(root))
+        v = commit_replace_files(merged, root, "c1", frag, expected_base=base)
+        n_after = len(manifest_files(root, v))
+        compacted_ok = 1 if n_after == n_before - len(frag) + 1 else 0
+        feed = read_changes(spark, root, base, v)
+        f_agg = feed.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_feed")
+        )
+        out = (
+            read_table(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_final"),
+                dsum("o_totalprice", alias="rev_final"),
+            )
+            .join(f_agg, "o_orderpriority")
+            .select(
+                "o_orderpriority",
+                F.col("n_final").cast("bigint").alias("n_final"),
+                "rev_final",
+                F.col("n_feed").cast("bigint").alias("n_feed"),
+                F.lit(compacted_ok).cast("bigint").alias("compacted_ok"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("o_orderpriority")
+
+
 _MV_CDF_ORACLE = """
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
