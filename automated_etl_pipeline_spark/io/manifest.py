@@ -69,6 +69,13 @@ class CommitConflictError(RuntimeError):
     snapshot, recomputes, and retries."""
 
 
+class SchemaEvolutionError(ValueError):
+    """A commit's schema is incompatible with the table's: a column
+    exists in both with DIFFERENT types.  Additive columns and omitted
+    nullable columns evolve silently; a type change needs an explicit
+    rewrite (which redefines the schema), never an append."""
+
+
 class TransientPublishError(RuntimeError):
     """A publish whose OUTCOME IS UNKNOWN — the request may have
     succeeded server-side but the acknowledgement was lost (the
@@ -272,6 +279,49 @@ def current_version(root: str, backend: CommitBackend | None = None) -> int:
     return (backend or _LOCAL_BACKEND).latest_version(root)
 
 
+def _merge_schema(cur_json: str | None, new_json: str) -> str:
+    """Evolve the recorded table schema with a commit's schema: fields
+    merge BY NAME, new fields append at the end, and a field present
+    in both with a different type raises ``SchemaEvolutionError``
+    (nested types compare whole — no deep merge).  All fields are
+    recorded nullable: an old file simply lacks the new column, and
+    the explicit-schema read returns NULL for it."""
+    from pyspark.sql.types import StructField, StructType
+
+    new_s = StructType.fromJson(json.loads(new_json))
+    if cur_json is None:
+        merged = StructType(
+            [StructField(f.name, f.dataType, True) for f in new_s.fields]
+        )
+        return json.dumps(merged.jsonValue())
+    cur_s = StructType.fromJson(json.loads(cur_json))
+    by_name = {f.name: f for f in cur_s.fields}
+    out = [StructField(f.name, f.dataType, True) for f in cur_s.fields]
+    for f in new_s.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(StructField(f.name, f.dataType, True))
+        elif have.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {have.dataType.simpleString()},"
+                f" commit has {f.dataType.simpleString()} — type changes "
+                "need a rewrite, not an append"
+            )
+    return json.dumps(StructType(out).jsonValue())
+
+
+def _schema_of(m: dict):
+    """The manifest's recorded table schema as a StructType, or None
+    for legacy tables (pre-schema-tracking) — readers then fall back
+    to parquet self-description."""
+    sj = m.get("schema")
+    if sj is None:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(sj))
+
+
 def _json_stat(v):
     """Zone-map stat values must survive the JSON manifest: date /
     timestamp minima come back as datetime objects — store their ISO
@@ -345,6 +395,12 @@ def _commit(
     prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
     if run_id in prev["run_ids"]:
         return v  # retry of a committed run: nothing to do
+    schema_json = df.schema.json()
+    if delete_cols is None and prev.get("schema"):
+        # fail BEFORE staging on a type conflict (the merge re-runs
+        # authoritatively inside the publish loop against whatever
+        # schema is current by then)
+        _merge_schema(prev["schema"], schema_json)
     new_files = _stage(df, root)
     new_stats: dict[str, dict] = {}
     if cols and new_files:
@@ -382,6 +438,7 @@ def _commit(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
         removed_files=removed_files, replace_subset=replace_subset,
+        schema_json=schema_json,
     )
 
 
@@ -396,6 +453,7 @@ def _publish(
     delete_cols: list[str] | None = None,
     removed_files: list[str] | None = None,
     replace_subset: list[str] | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -432,6 +490,7 @@ def _publish(
             )
         cur_added = cur.get("added_at", {})
         cur_dels = cur.get("deletes", [])
+        schema = cur.get("schema")
         commit_meta: dict = {"added": list(new_files)}
         if delete_cols is not None:
             commit_meta["kind"] = "delete"
@@ -512,10 +571,24 @@ def _publish(
                 f: (cur_added.get(f, 0) if f in kept_old else v + 1)
                 for f in files
             }
+            if schema_json is not None and commit_meta["kind"] == "rewrite":
+                # a rewrite REDEFINES the table (the only way to drop
+                # a column or change a type)
+                schema = _merge_schema(None, schema_json)
+        if schema_json is not None and delete_cols is None and (
+            replace_subset is not None
+            or commit_meta.get("kind") == "append"
+        ):
+            schema = _merge_schema(schema, schema_json)
         live = set(files)
         manifest = {
             "version": v + 1,
             "files": files,
+            # the evolved table schema (r14): explicit-schema reads
+            # reconcile old files against it — additive columns come
+            # back NULL where a file predates them.  Absent on legacy
+            # manifests and carried unchanged through delete commits.
+            "schema": schema,
             # per-commit record (r14): what THIS commit did — lets the
             # change feed walk the log instead of set-diffing endpoint
             # snapshots, so content-preserving replace commits are
@@ -722,7 +795,7 @@ def read_table_subset(
     if missing:
         raise ValueError(f"{len(missing)} file(s) not live at v{v}")
     if not m.get("deletes"):
-        return spark.read.parquet(*files)
+        return _read_files(spark, m, files)
     return _apply_deletes(spark, m, list(files))
 
 
@@ -760,6 +833,15 @@ def compact_small_files(
     return v, len(small)
 
 
+def table_schema(root: str, version: int | None = None):
+    """The snapshot's recorded (evolved) table schema as a StructType,
+    or None for legacy tables that predate schema tracking."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        return None
+    return _schema_of(_read_manifest(root, v))
+
+
 def manifest_files(root: str, version: int | None = None) -> list[str]:
     """The file list a snapshot reads — for audits and file-count
     accounting (compaction planning inputs)."""
@@ -778,6 +860,15 @@ def manifest_delete_files(root: str, version: int | None = None) -> list[dict]:
     return list(_read_manifest(root, v).get("deletes", []))
 
 
+def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
+    """Read data files under the manifest's recorded schema (files
+    predating an added column return NULL for it); legacy manifests
+    fall back to parquet self-description."""
+    s = _schema_of(m)
+    reader = spark.read.schema(s) if s is not None else spark.read
+    return reader.parquet(*files)
+
+
 def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     """Assemble a snapshot's logical content from ``files`` under the
     manifest's pending delete-key files.  Data files are read grouped
@@ -793,7 +884,10 @@ def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    probe_cols = spark.read.parquet(files[0]).columns
+    s = _schema_of(m)
+    probe_cols = (
+        s.fieldNames() if s is not None else spark.read.parquet(files[0]).columns
+    )
     if "__added_at" in probe_cols or "__del_at" in probe_cols:
         raise ValueError(
             "table columns collide with the delete-protocol markers "
@@ -804,7 +898,7 @@ def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     for f in files:
         by_v[int(added.get(f, 0))].append(f)
     parts = [
-        spark.read.parquet(*fs).withColumn(
+        _read_files(spark, m, fs).withColumn(
             "__added_at", F.lit(v).cast("long")
         )
         for v, fs in sorted(by_v.items())
@@ -852,7 +946,7 @@ def read_table(
             f"snapshot v{v} of {root} names no data files"
         )
     if not (apply_deletes and m.get("deletes")):
-        return spark.read.parquet(*files)
+        return _read_files(spark, m, files)
     return _apply_deletes(spark, m, files)
 
 
@@ -917,14 +1011,14 @@ def read_table_pruned(
     keep = [f for f in m["files"] if intersects(f)]
     if not keep:
         # empty selection: preserve schema via a zero-row read of one file
-        empty = spark.read.parquet(m["files"][0]).limit(0)
+        empty = _read_files(spark, m, [m["files"][0]]).limit(0)
         return empty, len(m["files"]), 0
     if m.get("deletes"):
         # zone maps prune FILES; pending equality deletes remove ROWS
         # — applying the anti-join to the pruned subset is exact
         # (pruning never changes which rows a delete matches).
         return _apply_deletes(spark, m, keep), len(m["files"]), len(keep)
-    return spark.read.parquet(*keep), len(m["files"]), len(keep)
+    return _read_files(spark, m, keep), len(m["files"]), len(keep)
 
 
 def _walk_commits(
@@ -953,10 +1047,10 @@ def _walk_commits(
 
 
 def _zero_rows(spark: SparkSession, root: str, to_version: int) -> DataFrame:
-    files = _read_manifest(root, to_version)["files"]
-    if not files:
+    m = _read_manifest(root, to_version)
+    if not m["files"]:
         raise FileNotFoundError(f"no data files at v{to_version} of {root}")
-    return spark.read.parquet(*files).limit(0)
+    return _read_files(spark, m, m["files"]).limit(0)
 
 
 def read_changes(
@@ -1014,7 +1108,9 @@ def read_changes(
             )
     if not added:
         return _zero_rows(spark, root, to_version)
-    return spark.read.parquet(*sorted(added))
+    return _read_files(
+        spark, _read_manifest(root, to_version), sorted(added)
+    )
 
 
 def read_changes_cdf(
@@ -1070,16 +1166,17 @@ def read_changes_cdf(
         return _zero_rows(spark, root, to_version).withColumn(
             "_change_type", F.lit("insert")
         )
+    mt = _read_manifest(root, to_version)
     parts = []
     if added:
         parts.append(
-            spark.read.parquet(*added).withColumn(
+            _read_files(spark, mt, added).withColumn(
                 "_change_type", F.lit("insert")
             )
         )
     if removed:
         parts.append(
-            spark.read.parquet(*removed).withColumn(
+            _read_files(spark, mt, removed).withColumn(
                 "_change_type", F.lit("delete")
             )
         )

@@ -6962,6 +6962,94 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.orderBy("l_returnflag")
 
 
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE c_custkey % 2 = 0) AS BIGINT)
+         AS n_tier_null,
+       CAST(COUNT(*) FILTER (WHERE c_custkey % 2 = 1 AND c_acctbal >= 5000)
+            AS BIGINT) AS n_gold,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal,
+       CAST(3 AS BIGINT) AS n_cols_v1,
+       CAST(4 AS BIGINT) AS n_cols_v2
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("manifest_schema_evolution", _SCHEMA_EVOLUTION_ORACLE)
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the manifest table (io/manifest.py): v1
+    appends three customer columns; v2 appends the other half WITH an
+    extra ``c_tier`` column — the manifest's recorded schema evolves
+    additively and the explicit-schema read returns NULL tier for
+    every v1 row (no file rewritten).  The gate hash-checks the
+    reconciled read — total counts, the exact NULL/computed split of
+    the evolved column, and the decimal balance — and pins the column
+    COUNTS of both time-traveled snapshots (v1 must NOT grow a phantom
+    column; the newest must).  A same-name-different-type append is
+    additionally proven to raise in tests/test_manifest.py.
+
+    Scale: evolution is a metadata-only commit — the schema lives in
+    the manifest and old files are never touched; readers reconcile at
+    scan time exactly like Delta/Iceberg's add-column."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_table,
+    )
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    root = tempfile.mkdtemp(prefix="spark_graft_schemaevo_")
+    try:
+        commit_append(base.filter(k % 2 == 0), root, "a1")
+        commit_append(
+            base.filter(k % 2 == 1).withColumn(
+                "c_tier",
+                F.when(F.col("c_acctbal") >= 5000, F.lit("gold")).otherwise(
+                    F.lit("std")
+                ),
+            ),
+            root,
+            "a2",
+        )
+        n_cols_v1 = len(read_table(spark, root, version=1).columns)
+        latest = read_table(spark, root)
+        n_cols_v2 = len(latest.columns)
+        out = (
+            latest.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_tier").isNull().cast("long")).alias(
+                    "n_tier_null"
+                ),
+                F.sum((F.col("c_tier") == "gold").cast("long")).alias(
+                    "n_gold"
+                ),
+                dsum("c_acctbal", alias="bal"),
+            )
+            .select(
+                "c_mktsegment",
+                F.col("n").cast("bigint").alias("n"),
+                F.col("n_tier_null").cast("bigint").alias("n_tier_null"),
+                F.coalesce(F.col("n_gold"), F.lit(0))
+                .cast("bigint")
+                .alias("n_gold"),
+                "bal",
+                F.lit(n_cols_v1).cast("bigint").alias("n_cols_v1"),
+                F.lit(n_cols_v2).cast("bigint").alias("n_cols_v2"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("c_mktsegment")
+
+
 _PARTIAL_COMPACTION_ORACLE = """
 SELECT o_orderpriority,
        CAST(COUNT(*) FILTER (WHERE o_orderkey % 9 != 0) AS BIGINT)

@@ -821,3 +821,88 @@ def test_walk_raises_when_range_manifest_vacuumed(spark, root):
     vacuum(root, keep_last=1, min_orphan_age_s=0.0)
     with pytest.raises(ValueError, match="expired"):
         read_changes(spark, root, 1, 3)
+
+
+# ---- schema evolution (r14) ------------------------------------------------
+
+
+def test_additive_column_evolves_and_backfills_null(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import table_schema
+
+    commit_append(_df(spark, 0, 3), root, "a1")  # k only
+    commit_append(
+        _df(spark, 3, 6).withColumn("tag", F.lit("new")), root, "a2"
+    )
+    got = {(r["k"], r["tag"]) for r in read_table(spark, root).collect()}
+    assert got == {(0, None), (1, None), (2, None)} | {
+        (3, "new"), (4, "new"), (5, "new")
+    }
+    assert table_schema(root).fieldNames() == ["k", "tag"]
+    # time travel: v1 predates the column entirely
+    assert read_table(spark, root, version=1).columns == ["k"]
+
+
+def test_append_missing_column_fills_null(spark, root):
+    commit_append(
+        _df(spark, 0, 2).withColumn("tag", F.lit("x")), root, "a1"
+    )
+    commit_append(_df(spark, 2, 4), root, "a2")  # no tag column
+    got = {(r["k"], r["tag"]) for r in read_table(spark, root).collect()}
+    assert got == {(0, "x"), (1, "x"), (2, None), (3, None)}
+
+
+def test_type_conflict_rejected_before_staging(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        SchemaEvolutionError,
+        manifest_files,
+    )
+
+    commit_append(_df(spark, 0, 2), root, "a1")  # k: long
+    n_files = len(manifest_files(root))
+    bad = spark.createDataFrame([("oops",)], "k string")
+    with pytest.raises(SchemaEvolutionError, match="column 'k'"):
+        commit_append(bad, root, "a2")
+    assert len(manifest_files(root)) == n_files  # nothing staged/committed
+
+
+def test_rewrite_redefines_schema_drops_column(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_rewrite,
+        current_version,
+        table_schema,
+    )
+
+    commit_append(
+        _df(spark, 0, 4).withColumn("tag", F.lit("x")), root, "a1"
+    )
+    base = current_version(root)
+    commit_rewrite(
+        read_table(spark, root).drop("tag"), root, "rw", expected_base=base
+    )
+    assert table_schema(root).fieldNames() == ["k"]
+    assert read_table(spark, root).columns == ["k"]
+    # and a later append may re-add it as a fresh evolution
+    commit_append(
+        _df(spark, 4, 5).withColumn("tag", F.lit("y")), root, "a2"
+    )
+    assert table_schema(root).fieldNames() == ["k", "tag"]
+
+
+def test_evolution_composes_with_deletes_and_feed(spark, root):
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        read_changes,
+    )
+
+    commit_append(_df(spark, 0, 4), root, "a1")
+    commit_append(
+        _df(spark, 4, 8).withColumn("tag", F.lit("t")), root, "a2"
+    )
+    commit_delete(_keys(spark, 1, 5), root, "d1", ["k"])
+    got = {(r["k"], r["tag"]) for r in read_table(spark, root).collect()}
+    assert got == {
+        (0, None), (2, None), (3, None), (4, "t"), (6, "t"), (7, "t")
+    }
+    # feed across the evolution (appends only) serves the NEW schema
+    ch = read_changes(spark, root, 1, 2)
+    assert set(ch.columns) == {"k", "tag"}
