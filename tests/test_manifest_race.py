@@ -423,3 +423,169 @@ def test_local_backend_never_leaks_tmp_on_serialization_failure(root):
     assert b.publish(root, 1, '{"version": 1, "dup": true}') is False
     mdir = os.path.join(root, "_manifest")
     assert [f for f in os.listdir(mdir) if ".tmp-" in f] == []
+
+
+# ---------------------------------------------------------------------
+# r14 commit kinds under true multi-process racing: merge-on-read
+# DELETE vs an append stream (sequence rule must hold under any
+# interleaving) and partial-compaction REPLACE vs a delete (must
+# conflict whenever the delete lands first).
+# ---------------------------------------------------------------------
+
+
+def _delete_worker(
+    root: str, keys: list[int], barrier, out_q, min_version: int = 0
+) -> None:
+    import time
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        _publish,
+        current_version,
+    )
+
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    os.makedirs(stage)
+    path = os.path.join(stage, "part-0.parquet")
+    pq.write_table(pa.table({"payload": keys}), path)
+    barrier.wait()
+    # land mid-stream, not first: give the interleaving both sides
+    while current_version(root) < min_version:
+        time.sleep(0.005)
+    v = _publish(
+        root,
+        "race-delete",
+        [path],
+        {},
+        lambda cur, new: cur,
+        delete_cols=["payload"],
+    )
+    out_q.put(("deleted_at", v))
+
+
+def test_delete_racing_appends_sequence_rule_holds(spark, root):
+    """One deleter races a stream of appends, all real processes.
+    Whatever version the delete lands at, the final read must hide a
+    matching key IFF its file committed strictly before — files that
+    land after the delete carry higher added_at and survive, even for
+    the same key values."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        current_version,
+        read_table,
+    )
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(3)
+    out_q = ctx.Queue()
+    # appenders write payloads pid*1000+i for pid in (1, 2), i<8; the
+    # deleter targets a slice of BOTH ranges
+    targeted = [1000 + i for i in range(8)] + [2000 + i for i in range(8)]
+    procs = [
+        ctx.Process(target=_append_worker, args=(root, pid, 8, barrier))
+        for pid in (1, 2)
+    ] + [
+        ctx.Process(
+            target=_delete_worker, args=(root, targeted, barrier, out_q, 4)
+        )
+    ]
+    for p in procs:
+        p.start()
+    tag, del_v = out_q.get(timeout=300)
+    assert tag == "deleted_at"
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    final_v = current_version(root)
+    m = _read_manifest(root, final_v)
+    added_at = m["added_at"]
+    # expected survivors, derived from the manifest's own sequence
+    # numbers: a payload is hidden iff targeted AND its file predates
+    # the delete version
+    payload_of = {f: None for f in m["files"]}
+    expected = set()
+    for f in m["files"]:
+        payload = pq.read_table(f).column("payload").to_pylist()[0]
+        if not (payload in set(targeted) and added_at[f] < del_v):
+            expected.add(payload)
+    got = {
+        r["payload"] for r in read_table(spark, root).collect()
+    }
+    assert got == expected
+    # both interleaving classes must be non-degenerate for the test to
+    # mean anything: some appends landed before the delete, the rest
+    # after (16 appends vs 1 delete through one barrier make this
+    # overwhelmingly likely; assert so a silent degenerate run fails
+    # loudly rather than passing vacuously)
+    before = [f for f in m["files"] if added_at[f] < del_v]
+    after = [f for f in m["files"] if added_at[f] > del_v]
+    assert before and after
+
+
+def _replace_worker(root: str, barrier, out_q) -> None:
+    from automated_etl_pipeline_spark.io.manifest import (
+        CommitConflictError,
+        _publish,
+        _read_manifest,
+        current_version,
+    )
+
+    base = current_version(root)
+    targets = _read_manifest(root, base)["files"]
+    merged = _stage_one_file(root, 555_000)
+    barrier.wait()
+    try:
+        v = _publish(
+            root,
+            "race-replace",
+            [merged],
+            {},
+            lambda cur, new: cur,
+            expected_base=base,
+            replace_subset=targets,
+        )
+        out_q.put(("win", base, v))
+    except CommitConflictError:
+        out_q.put(("conflict", base, None))
+
+
+def test_replace_racing_delete_conflicts_or_precedes(spark, root):
+    """A partial compaction races a delete commit: the replace must
+    either land BEFORE the delete (clean win — the delete then applies
+    to the merged file? no: to nothing, its added_at postdates) or
+    raise CommitConflictError; a replace landing after the delete
+    would let the rewritten rows escape it."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        _read_manifest,
+        current_version,
+    )
+
+    # seed fragments
+    for i in range(3):
+        p = _stage_one_file(root, i)
+        from automated_etl_pipeline_spark.io.manifest import _publish
+
+        _publish(root, f"seed{i}", [p], {}, lambda cur, new: cur + new)
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    replacer = ctx.Process(target=_replace_worker, args=(root, barrier, out_q))
+    deleter = ctx.Process(
+        target=_delete_worker, args=(root, [0, 1, 2], barrier, out_q)
+    )
+    replacer.start()
+    deleter.start()
+    results = [out_q.get(timeout=300) for _ in range(2)]
+    for p in (replacer, deleter):
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    rep = next(r for r in results if r[0] in ("win", "conflict"))
+    del_v = next(r for r in results if r[0] == "deleted_at")[1]
+    if rep[0] == "win":
+        assert rep[2] < del_v, (
+            "replace published after the delete without conflicting: "
+            "its rows escaped the delete"
+        )
+    final = _read_manifest(root, current_version(root))
+    if rep[0] == "conflict":
+        # table untouched by the replacer: all three fragments live
+        assert len(final["files"]) == 3
