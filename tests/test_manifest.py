@@ -906,3 +906,15 @@ def test_evolution_composes_with_deletes_and_feed(spark, root):
     # feed across the evolution (appends only) serves the NEW schema
     ch = read_changes(spark, root, 1, 2)
     assert set(ch.columns) == {"k", "tag"}
+
+
+def test_read_without_deletes_stays_a_plain_scan(spark, root):
+    """The delete machinery must cost NOTHING until used: a snapshot
+    with no pending deletes reads as a plain multi-file parquet scan —
+    no union-by-commit, no anti-join in the plan."""
+    commit_append(_df(spark, 0, 10), root, "a1")
+    commit_append(_df(spark, 10, 20), root, "a2")
+    plan = (
+        read_table(spark, root)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Union" not in plan
