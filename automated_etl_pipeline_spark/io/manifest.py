@@ -423,17 +423,22 @@ def _commit(
             .agg(*aggs)
             .collect()
         )
+        # input_file_name() is always an absolute file: URI; new_files
+        # keeps the caller's root spelling (possibly relative) — key
+        # the stats by the ORIGINAL spelling via an abspath map so a
+        # relative root keeps working
+        by_abs = {os.path.abspath(f): f for f in new_files}
         for row in rows:
             path = unquote(urlparse(row["__f"]).path)
-            new_stats[path] = {
+            orig = by_abs.get(os.path.abspath(path))
+            if orig is None:
+                raise RuntimeError(
+                    f"stats grouped onto an unstaged path: {path!r}"
+                )
+            new_stats[orig] = {
                 c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
                 for c in cols
             }
-        unknown = set(new_stats) - set(new_files)
-        if unknown:
-            raise RuntimeError(
-                f"stats grouped onto unstaged paths: {sorted(unknown)[:3]}"
-            )
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
@@ -549,8 +554,9 @@ def _publish(
             drop = set(replace_subset)
             files = [f for f in cur["files"] if f not in drop] + new_files
             deletes = cur_dels  # still apply to the untouched files
+            new_set = set(new_files)
             added_at = {
-                f: (cur_added.get(f, 0) if f not in set(new_files) else v + 1)
+                f: (cur_added.get(f, 0) if f not in new_set else v + 1)
                 for f in files
             }
         else:
@@ -723,6 +729,26 @@ def commit_delete(
     exactly the rewrite rule, for the same lost-update reason."""
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
+    ts = table_schema(root)
+    if ts is not None:
+        # fail fast on a key column the table does not have (or has at
+        # a different type): publishing it would make EVERY subsequent
+        # read fail inside the anti-join — including the
+        # commit_rewrite(read_table(...)) repair path
+        table_types = {f.name: f.dataType for f in ts.fields}
+        key_types = {f.name: f.dataType for f in keys_df.schema.fields}
+        for c in key_cols:
+            if c not in table_types:
+                raise SchemaEvolutionError(
+                    f"delete key column {c!r} is not a table column "
+                    f"(have: {sorted(table_types)})"
+                )
+            if c in key_types and key_types[c] != table_types[c]:
+                raise SchemaEvolutionError(
+                    f"delete key column {c!r}: table type "
+                    f"{table_types[c].simpleString()}, keys frame has "
+                    f"{key_types[c].simpleString()}"
+                )
     keys = keys_df.select(*key_cols).distinct()
     removed_files: list[str] | None = None
     if record_changes:

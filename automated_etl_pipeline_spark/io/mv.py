@@ -86,6 +86,10 @@ class IncrementalAggView:
         overlap = set(self.sum_cols) & (set(key_cols) | {count_alias})
         if overlap:
             raise ValueError(f"sum aliases collide with keys: {overlap}")
+        if count_alias in key_cols:
+            raise ValueError(
+                f"count_alias {count_alias!r} collides with a key column"
+            )
 
     # ---- watermark ----------------------------------------------------
 
@@ -152,15 +156,13 @@ class IncrementalAggView:
                 .cast(_PARTIAL_DECIMAL)
                 .alias(alias)
             )
-        return (
-            changes.groupBy(*self.key_cols)
-            .agg(*aggs)
-            # a net-zero group (same rows inserted and retracted in
-            # the range) carries exactly-zero sums too; dropping it is
-            # a no-op against an existing MV and keeps a first-refresh
-            # CDF delta equal to the recompute
-            .filter(F.col(self.count_alias) != 0)
-        )
+        # NO net-zero filter here: a delta whose count nets to zero can
+        # still carry a non-zero measure delta (retract a 3, insert a
+        # 5) — dropping it before the fold silently corrupts the MV.
+        # Zero-count groups are eliminated AFTER summation (in _fold,
+        # or by the first-refresh filter in _refresh_once), where
+        # count == 0 genuinely implies all-zero exact-decimal sums.
+        return changes.groupBy(*self.key_cols).agg(*aggs)
 
     # ---- refresh --------------------------------------------------------
 
@@ -206,17 +208,23 @@ class IncrementalAggView:
                 mode = "incremental_cdf"
             except (ValueError, FileNotFoundError):
                 # rewrite, or an unrecorded delete: the range is not a
-                # representable delta — one full recompute from the
-                # current snapshot (merge-on-read deletes applied).
+                # representable delta — one full recompute, PINNED to
+                # the src_v this refresh is stamped with (an unpinned
+                # read could include a concurrent commit that the next
+                # incremental refresh would then fold a second time).
                 merged = self._partials(
-                    read_table(spark, self.source_root)
+                    read_table(spark, self.source_root, version=src_v)
                 )
                 mode = "full"
         if partial is not None:
             merged = (
                 self._fold(read_table(spark, self.mv_root), partial)
                 if mv_base
-                else partial
+                # first refresh: the delta IS the state — drop groups
+                # whose count summed to zero (within-range insert+
+                # retract of the same rows; exact decimals make their
+                # sums exactly zero too)
+                else partial.filter(F.col(self.count_alias) != 0)
             )
         mv_v = commit_rewrite(
             merged,

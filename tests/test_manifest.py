@@ -918,3 +918,49 @@ def test_read_without_deletes_stays_a_plain_scan(spark, root):
         read_table(spark, root)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_delete_key_column_validated_against_schema(spark, root):
+    """Review r14: a typo'd delete key column must fail at commit time
+    — published, it would make every later read (and the rewrite
+    repair path) raise inside the anti-join."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        SchemaEvolutionError,
+        commit_delete,
+        current_version,
+    )
+
+    commit_append(_df(spark, 0, 5), root, "a1")
+    with pytest.raises(SchemaEvolutionError, match="not a table column"):
+        commit_delete(
+            spark.createDataFrame([(1,)], "key long"), root, "d1", ["key"]
+        )
+    with pytest.raises(SchemaEvolutionError, match="table type"):
+        commit_delete(
+            spark.createDataFrame([("1",)], "k string"), root, "d2", ["k"]
+        )
+    assert current_version(root) == 1
+    assert read_table(spark, root).count() == 5
+
+
+def test_stats_commit_works_under_uri_hostile_root(spark):
+    """Review r14: the one-pass stats collection maps
+    input_file_name()'s percent-encoded URI back to the staged path —
+    a root containing a space (URI '%20') must still record per-file
+    stats and prune.  (Relative roots are out of scope for any Spark
+    path: the JVM and the Python process resolve them against
+    different working directories even before stats enter the
+    picture.)"""
+    from automated_etl_pipeline_spark.io.manifest import read_table_pruned
+
+    root = tempfile.mkdtemp(prefix="manifest test with space ")
+    try:
+        commit_append(_df(spark, 0, 10).coalesce(1), root, "a1", stats_col="k")
+        commit_append(
+            _df(spark, 100, 110).coalesce(1), root, "a2", stats_col="k"
+        )
+        df, total, scanned = read_table_pruned(spark, root, "k", 0, 50)
+        assert (total, scanned) == (2, 1)
+        assert df.count() == 10
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -222,3 +222,77 @@ def test_cdf_first_refresh_from_scratch_matches_recompute(spark, roots):
     assert res["mode"] == "incremental_cdf"
     assert _mv_state(spark, view) == _recompute(spark, src)
     assert 2 not in {g for (g, _, _) in _mv_state(spark, view)}
+
+
+def test_cdf_net_zero_count_with_nonzero_sum_still_folds(spark, roots):
+    """Review r14: a delta whose COUNT nets to zero can still move the
+    SUM (retract an old 10, insert a new 1000).  The signed partial
+    must survive to the fold — dropping it leaves the MV silently
+    stale."""
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 4), src, "a0")  # g1 = {k=1, amt=10}
+    view.refresh(spark)
+    commit_append(  # new g1 row with a different amount
+        spark.createDataFrame(
+            [(1, 100, 1000)], "g long, k long, amt long"
+        ).select("g", "k", F.col("amt").cast("decimal(18,2)").alias("amt")),
+        src,
+        "a1",
+    )
+    commit_delete(  # retract the ORIGINAL g1 row (k=1, amt=10)
+        spark.createDataFrame([(1,)], "k long"),
+        src,
+        "d0",
+        ["k"],
+        record_changes=True,
+    )
+    res = view.refresh(spark)
+    assert res["mode"] == "incremental_cdf"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+    g1 = {(g, n, s) for (g, n, s) in _mv_state(spark, view) if g == 1}
+    assert g1 == {(1, 1, 1000.0)}
+
+
+def test_full_recompute_pins_the_watermark_version(spark, roots, monkeypatch):
+    """Review r14: the full-recompute fallback must read the snapshot
+    AT the watermark it stamps — a concurrent commit landing mid-
+    refresh would otherwise be folded twice (once inside the unpinned
+    recompute, again by the next incremental refresh)."""
+    import automated_etl_pipeline_spark.io.mv as mv_mod
+
+    src, mv = roots
+    view = _view(src, mv)
+    commit_append(_rows(spark, 0, 10), src, "a0")
+    view.refresh(spark)
+    commit_append(_rows(spark, 10, 20), src, "a1")
+
+    real_read_changes = mv_mod.read_changes
+
+    def sneaky(spark_, root_, lo, hi):
+        # a concurrent append lands AFTER the refresh captured src_v,
+        # then the range is declared unrepresentable (forces full)
+        commit_append(_rows(spark, 50, 55), src, "sneak")
+        raise ValueError("forced full for the race simulation")
+
+    def refuse_cdf(spark_, root_, lo, hi):
+        raise ValueError("no CDF either")
+
+    monkeypatch.setattr(mv_mod, "read_changes", sneaky)
+    monkeypatch.setattr(mv_mod, "read_changes_cdf", refuse_cdf)
+    res = view.refresh(spark)
+    assert res["mode"] == "full"
+    monkeypatch.setattr(mv_mod, "read_changes", real_read_changes)
+    from automated_etl_pipeline_spark.io.manifest import read_changes_cdf
+
+    monkeypatch.setattr(mv_mod, "read_changes_cdf", read_changes_cdf)
+    # the sneak commit must be folded exactly ONCE, by this refresh
+    res2 = view.refresh(spark)
+    assert res2["mode"] == "incremental"
+    assert _mv_state(spark, view) == _recompute(spark, src)
+
+
+def test_count_alias_cannot_collide_with_key(spark, roots):
+    src, mv = roots
+    with pytest.raises(ValueError, match="count_alias"):
+        IncrementalAggView(src, mv, ["n"], count_alias="n")

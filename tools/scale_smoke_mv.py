@@ -98,9 +98,6 @@ def run_shape(spark, sf_dir: str, rep: int) -> dict:
             )
             .collect()
         }
-        full_rows = {
-            (p, n, s) for (p, n, s) in full_rows
-        }
         equal = {(p, n, float(s)) for p, n, s in mv_rows} == {
             (p, n, float(s)) for p, n, s in full_rows
         }
