@@ -354,6 +354,90 @@ def _read_manifest(
     raise last
 
 
+# Every Nth commit (and every rewrite, and v1) publishes a FULL
+# snapshot manifest (a checkpoint); the commits in between publish
+# only their DELTA.  This is what caps commit write amplification:
+# full-snapshot-per-commit costs O(live files) of JSON per append —
+# at 100k files that is a multi-MB write for a one-file commit —
+# while a delta is O(this commit).  Readers resolve a version by
+# replaying at most CHECKPOINT_EVERY-1 deltas from the nearest
+# checkpoint at or below it (Delta Lake's _last_checkpoint + JSON
+# actions is the same structure).
+CHECKPOINT_EVERY = 8
+
+
+def _apply_delta(state: dict, m: dict) -> dict:
+    """Replay one delta manifest on top of a resolved state — the
+    read-side mirror of the `_publish` branches.  Rewrites never
+    appear here (they always publish full checkpoints)."""
+    d = m["delta"]
+    kind = d["kind"]
+    v = int(m["version"])
+    files = list(state["files"])
+    added_at = dict(state.get("added_at", {}))
+    deletes = list(state.get("deletes", []))
+    stats = dict(state.get("stats", {}))
+    schema = d.get("schema", state.get("schema"))
+    commit_meta: dict = {"kind": kind, "added": list(d.get("added", []))}
+    if kind == "append":
+        files = files + list(d["added"])
+        for f in d["added"]:
+            added_at[f] = v
+    elif kind == "replace":
+        removed = set(d["removed"])
+        files = [f for f in files if f not in removed] + list(d["added"])
+        added_at = {
+            f: a for f, a in added_at.items() if f not in removed
+        }
+        for f in d["added"]:
+            added_at[f] = v
+        commit_meta["removed"] = list(d["removed"])
+    elif kind == "delete":
+        deletes = deletes + list(d["entries"])
+        commit_meta["recorded"] = bool(d.get("recorded"))
+    else:
+        raise ValueError(f"unreplayable delta kind {kind!r} at v{v}")
+    live = set(files)
+    stats = {
+        f: s
+        for f, s in {**stats, **d.get("stats", {})}.items()
+        if f in live
+    }
+    return {
+        "version": v,
+        "files": files,
+        "added_at": added_at,
+        "deletes": deletes,
+        "stats": stats,
+        "schema": schema,
+        "run_ids": (state.get("run_ids", []) + [d["run_id"]])[
+            -RUN_ID_RETENTION:
+        ],
+        "commit": commit_meta,
+    }
+
+
+def _resolve_state(
+    root: str, version: int, backend: CommitBackend | None = None
+) -> dict:
+    """The FULL table state at ``version``: walk back to the nearest
+    checkpoint (a manifest carrying ``files``), then replay the delta
+    chain forward.  Bounded by CHECKPOINT_EVERY reads; legacy tables
+    (all-full manifests) resolve in one."""
+    chain: list[dict] = []
+    v = version
+    while True:
+        m = _read_manifest(root, v, backend)
+        if "files" in m:
+            state = m
+            break
+        chain.append(m)
+        v -= 1
+    for dm in reversed(chain):
+        state = _apply_delta(state, dm)
+    return state
+
+
 def _stage(df: DataFrame, root: str) -> list[str]:
     """Write ``df`` under a fresh ``data/<uuid>/`` stage (invisible
     until a manifest names it) and return the staged parquet paths."""
@@ -392,7 +476,7 @@ def _commit(
     cols = list(stats_cols or ([] if stats_col is None else [stats_col]))
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = current_version(root)
-    prev = _read_manifest(root, v) if v else {"files": [], "run_ids": []}
+    prev = _resolve_state(root, v) if v else {"files": [], "run_ids": []}
     if run_id in prev["run_ids"]:
         return v  # retry of a committed run: nothing to do
     schema_json = df.schema.json()
@@ -473,7 +557,7 @@ def _publish(
     while True:
         v = current_version(root, backend=b)
         cur = (
-            _read_manifest(root, v, backend=b)
+            _resolve_state(root, v, backend=b)
             if v
             else {"files": [], "run_ids": []}
         )
@@ -497,6 +581,7 @@ def _publish(
         cur_dels = cur.get("deletes", [])
         schema = cur.get("schema")
         commit_meta: dict = {"added": list(new_files)}
+        new_entries: list[dict] = []
         if delete_cols is not None:
             commit_meta["kind"] = "delete"
             commit_meta["recorded"] = removed_files is not None
@@ -509,7 +594,7 @@ def _publish(
             new_entries = [
                 {"path": p, "cols": list(delete_cols), "at": v + 1}
                 for p in new_files
-            ]
+            ]  # noqa: the delta payload below reuses these entries
             if removed_files is not None and new_entries:
                 # the commit's CDF record (the victim rows) lives on
                 # ONE entry — all entries share the commit version, so
@@ -539,7 +624,7 @@ def _publish(
                 )
             if expected_base is not None:
                 base_m = (
-                    _read_manifest(root, expected_base, backend=b)
+                    _resolve_state(root, expected_base, backend=b)
                     if expected_base
                     else {"deletes": []}
                 )
@@ -624,6 +709,31 @@ def _publish(
                 if f in live
             },
         }
+        # Checkpoint-or-delta (r14): v1, every CHECKPOINT_EVERY-th
+        # version, and every rewrite publish the FULL state; other
+        # commits publish only their delta — O(this commit) bytes, not
+        # O(live files).  Readers replay from the nearest checkpoint
+        # (_resolve_state).  The commit POINT is identical either way.
+        kind = commit_meta["kind"]
+        is_checkpoint = (
+            v == 0
+            or (v + 1) % CHECKPOINT_EVERY == 0
+            or kind == "rewrite"
+        )
+        if is_checkpoint:
+            payload_obj: dict = manifest
+        else:
+            delta: dict = {"kind": kind, "run_id": run_id, "schema": schema}
+            if kind in ("append", "replace"):
+                delta["added"] = list(new_files)
+                if new_stats:
+                    delta["stats"] = new_stats
+            if kind == "replace":
+                delta["removed"] = list(replace_subset)
+            if kind == "delete":
+                delta["entries"] = new_entries
+                delta["recorded"] = removed_files is not None
+            payload_obj = {"version": v + 1, "delta": delta}
         # The backend's publish-if-absent is the commit point: it
         # fails atomically if the version exists, and a manifest is
         # never visible with partial content (LocalFSBackend: temp
@@ -632,7 +742,7 @@ def _publish(
         # code).  A lost ack re-enters the loop, where the run_id
         # check resolves whether the publish landed.
         try:
-            if b.publish(root, v + 1, json.dumps(manifest)):
+            if b.publish(root, v + 1, json.dumps(payload_obj)):
                 return v + 1
         except TransientPublishError:
             pass  # outcome unknown: the re-read at loop top resolves it
@@ -816,7 +926,7 @@ def read_table_subset(
     added_at postdates the pending deletes, so the read-time anti-join
     no longer hides them.)"""
     v = current_version(root) if version is None else version
-    m = _read_manifest(root, v)
+    m = _resolve_state(root, v)
     missing = set(files) - set(m["files"])
     if missing:
         raise ValueError(f"{len(missing)} file(s) not live at v{v}")
@@ -865,7 +975,7 @@ def table_schema(root: str, version: int | None = None):
     v = current_version(root) if version is None else version
     if v == 0:
         return None
-    return _schema_of(_read_manifest(root, v))
+    return _schema_of(_resolve_state(root, v))
 
 
 def manifest_files(root: str, version: int | None = None) -> list[str]:
@@ -874,7 +984,7 @@ def manifest_files(root: str, version: int | None = None) -> list[str]:
     v = current_version(root) if version is None else version
     if v == 0:
         return []
-    return list(_read_manifest(root, v)["files"])
+    return list(_resolve_state(root, v)["files"])
 
 
 def manifest_delete_files(root: str, version: int | None = None) -> list[dict]:
@@ -883,7 +993,7 @@ def manifest_delete_files(root: str, version: int | None = None) -> list[dict]:
     v = current_version(root) if version is None else version
     if v == 0:
         return []
-    return list(_read_manifest(root, v).get("deletes", []))
+    return list(_resolve_state(root, v).get("deletes", []))
 
 
 def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
@@ -965,7 +1075,7 @@ def read_table(
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
-    m = _read_manifest(root, v)
+    m = _resolve_state(root, v)
     files = m["files"]
     if not files:
         raise FileNotFoundError(
@@ -1007,7 +1117,7 @@ def read_table_pruned(
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
-    m = _read_manifest(root, v)
+    m = _resolve_state(root, v)
     stats = m.get("stats", {})
 
     def col_bounds(f: str, c: str):
@@ -1065,6 +1175,18 @@ def _walk_commits(
                 f"manifest v{v} expired (vacuumed): the change range "
                 "is unrecoverable; resume from a snapshot"
             ) from None
+        if "delta" in m:
+            d = m["delta"]
+            rec = {
+                "kind": d["kind"],
+                "added": list(d.get("added", [])),
+                "at": v,
+                "deletes": list(d.get("entries", [])),
+            }
+            if "recorded" in d:
+                rec["recorded"] = d["recorded"]
+            out.append(rec)
+            continue
         c = m.get("commit")
         if c is None:
             return None
@@ -1073,7 +1195,7 @@ def _walk_commits(
 
 
 def _zero_rows(spark: SparkSession, root: str, to_version: int) -> DataFrame:
-    m = _read_manifest(root, to_version)
+    m = _resolve_state(root, to_version)
     if not m["files"]:
         raise FileNotFoundError(f"no data files at v{to_version} of {root}")
     return _read_files(spark, m, m["files"]).limit(0)
@@ -1098,11 +1220,11 @@ def read_changes(
     walked = _walk_commits(root, from_version, to_version)
     if walked is None:  # legacy table: endpoint set-diff
         mf = (
-            _read_manifest(root, from_version)
+            _resolve_state(root, from_version)
             if from_version
             else {"files": []}
         )
-        mt = _read_manifest(root, to_version)
+        mt = _resolve_state(root, to_version)
         old, new = set(mf["files"]), set(mt["files"])
         if old - new:
             raise ValueError(
@@ -1135,7 +1257,7 @@ def read_changes(
     if not added:
         return _zero_rows(spark, root, to_version)
     return _read_files(
-        spark, _read_manifest(root, to_version), sorted(added)
+        spark, _resolve_state(root, to_version), sorted(added)
     )
 
 
@@ -1192,7 +1314,7 @@ def read_changes_cdf(
         return _zero_rows(spark, root, to_version).withColumn(
             "_change_type", F.lit("insert")
         )
-    mt = _read_manifest(root, to_version)
+    mt = _resolve_state(root, to_version)
     parts = []
     if added:
         parts.append(
@@ -1236,7 +1358,19 @@ def vacuum(
     if newest == 0:
         return []
     lo = max(1, newest - keep_last + 1)
+
     def _referenced(m: dict) -> set[str]:
+        """Files a manifest names.  A full checkpoint names its whole
+        state; a DELTA names only what its commit touched — which is
+        all vacuum needs for ever-referenced accounting (everything
+        else was named by an earlier manifest)."""
+        if "delta" in m:
+            d = m["delta"]
+            refs = set(d.get("added", []))
+            for e in d.get("entries", []):
+                refs.add(e["path"])
+                refs.update(e.get("removed", []))
+            return refs
         refs = set(m["files"])
         for d in m.get("deletes", []):
             refs.add(d["path"])
@@ -1245,7 +1379,13 @@ def vacuum(
 
     live: set[str] = set()
     for v in range(lo, newest + 1):
-        live.update(_referenced(_read_manifest(root, v)))
+        # RESOLVED state: live files of retained versions, including
+        # everything a delta chain carries forward
+        st = _resolve_state(root, v)
+        live.update(st["files"])
+        for d in st.get("deletes", []):
+            live.add(d["path"])
+            live.update(d.get("removed", []))
     ever_referenced: set[str] = set()
     for v in range(1, newest + 1):
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
@@ -1301,7 +1441,17 @@ def vacuum(
                 import shutil as _sh
 
                 _sh.rmtree(sdir, ignore_errors=True)
-    for v in range(1, lo):
+    # deltas below ``lo`` may still anchor the retained versions'
+    # resolution chains: drop only manifests strictly below the newest
+    # CHECKPOINT at or below lo (at most CHECKPOINT_EVERY-1 extra tiny
+    # JSON files survive past the nominal window)
+    anchor = lo
+    while anchor > 1:
+        mp = os.path.join(_manifest_dir(root), f"v{anchor:010d}.json")
+        if os.path.exists(mp) and "files" in _read_manifest(root, anchor):
+            break
+        anchor -= 1
+    for v in range(1, anchor):
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
         if os.path.exists(mp):
             os.remove(mp)

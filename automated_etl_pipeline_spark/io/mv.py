@@ -49,7 +49,7 @@ from automated_etl_pipeline_spark.io.manifest import (
     read_changes,
     read_changes_cdf,
     read_table,
-    _read_manifest,
+    _resolve_state,
 )
 
 # one fixed scale for the stored sum partials: re-aggregating
@@ -102,7 +102,7 @@ class IncrementalAggView:
         v = current_version(self.mv_root)
         if v == 0:
             return 0
-        run_ids = _read_manifest(self.mv_root, v).get("run_ids", [])
+        run_ids = _resolve_state(self.mv_root, v).get("run_ids", [])
         seen = [
             int(r[len(_RUN_PREFIX):])
             for r in run_ids

@@ -214,18 +214,18 @@ def test_rewrite_trims_stale_stats_and_manifest_stays_bounded(spark, root):
     unreferences — the manifest is O(live files + idempotence window),
     not O(history)."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         commit_rewrite,
     )
 
     commit_append(_df(spark, 0, 10), root, "r1", stats_col="k")
     commit_append(_df(spark, 10, 20), root, "r2", stats_col="k")
     v = commit_rewrite(_df(spark, 0, 20).coalesce(1), root, "compact-1")
-    m = _read_manifest(root, v)
+    m = _resolve_state(root, v)
     # every stats key references a live file; the superseded files'
     # stats are gone
     assert set(m.get("stats", {})) <= set(m["files"])
-    old = _read_manifest(root, v - 1)
+    old = _resolve_state(root, v - 1)
     stale = set(old["files"]) - set(m["files"])
     assert stale and not (stale & set(m.get("stats", {})))
 
@@ -240,7 +240,7 @@ def test_run_id_ledger_is_bounded(spark, root, monkeypatch):
     monkeypatch.setattr(mf, "RUN_ID_RETENTION", 3)
     for i in range(5):
         commit_append(_df(spark, i, i + 1), root, f"run-{i}")
-    m = mf._read_manifest(root, current_version(root))
+    m = mf._resolve_state(root, current_version(root))
     assert m["run_ids"] == ["run-2", "run-3", "run-4"]
     # inside the window: still a no-op
     v = current_version(root)
@@ -347,7 +347,7 @@ def test_multicol_stats_prune_conjunctively(spark, root):
     read.  Partition-value semantics (min == max) ride the same
     mechanism."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         read_table_pruned,
     )
 
@@ -366,7 +366,7 @@ def test_multicol_stats_prune_conjunctively(spark, root):
             commit_append(
                 df, root, f"c-{p}-{lo}", stats_cols=["part", "v"]
             )
-    m = _read_manifest(root, 4)
+    m = _resolve_state(root, 4)
     # every file carries dict-format stats for both columns; the
     # partition column's stats degenerate to min == max
     for f, s in m["stats"].items():
@@ -407,15 +407,24 @@ def test_legacy_single_column_stats_list_still_prunes(spark, root):
         read_table_pruned,
     )
 
+    from automated_etl_pipeline_spark.io.manifest import _resolve_state
+
     commit_append(_df(spark, 0, 10).coalesce(1), root, "a", stats_col="k")
     commit_append(_df(spark, 10, 20).coalesce(1), root, "b", stats_col="k")
-    # rewrite the newest manifest's stats into the legacy list shape
+    # forge the newest manifest into the PRE-r14 shape: a full
+    # snapshot (pre-delta tables had no delta manifests) whose stats
+    # are bare [mn, mx] lists without column names
+    st = _resolve_state(root, 2)
+    legacy = {
+        "version": 2,
+        "files": st["files"],
+        "run_ids": st["run_ids"],
+        "stats": {f: s["k"] for f, s in st["stats"].items()},
+    }
     path = os.path.join(_manifest_dir(root), "v0000000002.json")
-    m = _json.loads(open(path).read())
-    m["stats"] = {f: s["k"] for f, s in m["stats"].items()}
     os.unlink(path)
     with open(path, "w") as f:
-        _json.dump(m, f)
+        _json.dump(legacy, f)
     _, total, scanned = read_table_pruned(spark, root, "k", 3, 4)
     assert (total, scanned) == (2, 1)
 
@@ -816,11 +825,15 @@ def test_walk_raises_when_range_manifest_vacuumed(spark, root):
         vacuum,
     )
 
-    for i, (lo, hi) in enumerate([(0, 3), (3, 6), (6, 9)]):
-        commit_append(_df(spark, lo, hi), root, f"a{i}")
+    # 9 commits: checkpoints at v1 and v8, deltas between — vacuum's
+    # anchor rule keeps v8+ for keep_last=1 and drops v1..v7
+    for i in range(9):
+        commit_append(_df(spark, 3 * i, 3 * i + 3), root, f"a{i}")
     vacuum(root, keep_last=1, min_orphan_age_s=0.0)
     with pytest.raises(ValueError, match="expired"):
         read_changes(spark, root, 1, 3)
+    # the retained tip stays fully resolvable
+    assert read_table(spark, root).count() == 27
 
 
 # ---- schema evolution (r14) ------------------------------------------------
@@ -964,3 +977,105 @@ def test_stats_commit_works_under_uri_hostile_root(spark):
         assert df.count() == 10
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---- delta manifests + checkpoints (r14) -----------------------------------
+
+
+def test_delta_manifests_small_checkpoints_full(spark, root):
+    """v1, every CHECKPOINT_EVERY-th version, and rewrites publish the
+    full state; versions between publish only their delta — the JSON
+    written per append must not grow with the table's file count."""
+    import json as _json
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        CHECKPOINT_EVERY,
+        _manifest_dir,
+    )
+
+    for i in range(CHECKPOINT_EVERY + 2):
+        commit_append(_df(spark, i, i + 1).repartition(2), root, f"a{i}")
+    sizes = {}
+    kinds = {}
+    for v in range(1, CHECKPOINT_EVERY + 3):
+        path = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
+        sizes[v] = os.path.getsize(path)
+        kinds[v] = (
+            "full" if "files" in _json.loads(open(path).read()) else "delta"
+        )
+    assert kinds[1] == "full" and kinds[CHECKPOINT_EVERY] == "full"
+    deltas = [v for v, k in kinds.items() if k == "delta"]
+    assert len(deltas) == CHECKPOINT_EVERY
+    # a late delta is no bigger than an early one grew: O(commit), not
+    # O(table) — compare against the growing checkpoint
+    assert max(sizes[v] for v in deltas) < sizes[CHECKPOINT_EVERY]
+    # and the resolved tip reads everything
+    assert read_table(spark, root).count() == CHECKPOINT_EVERY + 2
+
+
+def test_resolution_equals_per_version_reads_across_commit_kinds(
+    spark, root, monkeypatch
+):
+    """Every version of a mixed append/delete/replace/rewrite history
+    must resolve to the same logical content whether it landed as a
+    checkpoint or a delta (CHECKPOINT_EVERY=3 exercises both paths in
+    seven commits)."""
+    import automated_etl_pipeline_spark.io.manifest as mf
+
+    monkeypatch.setattr(mf, "CHECKPOINT_EVERY", 3)
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_delete,
+        commit_replace_files,
+        commit_rewrite,
+        manifest_files,
+        read_table_subset,
+    )
+
+    commit_append(_df(spark, 0, 10), root, "a1")  # v1 full
+    commit_append(_df(spark, 10, 20), root, "a2")  # v2 delta
+    commit_delete(  # v3 checkpoint (every 3rd)
+        spark.createDataFrame([(5,), (15,)], "k long"), root, "d1", ["k"]
+    )
+    commit_append(_df(spark, 20, 25), root, "a3")  # v4 delta
+    frag = manifest_files(root, 1)
+    merged = read_table_subset(spark, root, frag).coalesce(1)
+    commit_replace_files(  # v5 delta (replace)
+        merged, root, "c1", frag, expected_base=4
+    )
+    commit_rewrite(  # v6 full (rewrites always checkpoint)
+        read_table(spark, root), root, "rw", expected_base=5
+    )
+    commit_append(_df(spark, 100, 102), root, "a4")  # v7 delta
+    expected = {
+        1: 10,
+        2: 20,
+        3: 18,  # 5 and 15 hidden
+        4: 23,
+        5: 23,  # replace preserves content
+        6: 23,  # rewrite materializes
+        7: 25,
+    }
+    for v, n in expected.items():
+        assert read_table(spark, root, version=v).count() == n, v
+
+
+def test_delta_chain_onto_legacy_full_manifest(spark, root):
+    """A pre-r14 table (hand-written full manifest, no commit record)
+    keeps working as the checkpoint base of new delta commits."""
+    import json as _json
+
+    from automated_etl_pipeline_spark.io.manifest import _manifest_dir
+
+    stage = os.path.join(root, "data", "legacy")
+    _df(spark, 0, 7).coalesce(1).write.parquet(stage)
+    files = [
+        os.path.join(stage, f)
+        for f in sorted(os.listdir(stage))
+        if f.endswith(".parquet")
+    ]
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    with open(os.path.join(_manifest_dir(root), "v0000000001.json"), "x") as f:
+        _json.dump({"version": 1, "files": files, "run_ids": ["legacy"]}, f)
+    commit_append(_df(spark, 7, 10), root, "a2")  # v2: a delta on top
+    assert read_table(spark, root).count() == 10
+    assert read_table(spark, root, version=1).count() == 7

@@ -73,7 +73,7 @@ N_COMMITS = 12
 
 def test_multiprocess_appends_lose_nothing(spark, root):
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         current_version,
         read_table,
     )
@@ -100,7 +100,7 @@ def test_multiprocess_appends_lose_nothing(spark, root):
     prev_files: set[str] = set()
     seen_run_ids: list[str] = []
     for v in range(1, total + 1):
-        m = _read_manifest(root, v)
+        m = _resolve_state(root, v)
         files = set(m["files"])
         assert prev_files < files and len(files) == len(prev_files) + 1, v
         prev_files = files
@@ -120,7 +120,7 @@ def test_duplicate_run_id_race_single_commit_and_vacuum_spares_loser(
     files is published, and vacuum within the orphan-age window never
     reclaims the loser's stage (it may be an in-flight writer)."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         current_version,
         vacuum,
     )
@@ -140,7 +140,7 @@ def test_duplicate_run_id_race_single_commit_and_vacuum_spares_loser(
         assert p.exitcode == 0
 
     assert current_version(root) == 1  # one commit, not two
-    m = _read_manifest(root, 1)
+    m = _resolve_state(root, 1)
     assert m["run_ids"] == ["dup-run"]
     staged = {path for _, path, _ in results}
     published = set(m["files"])
@@ -193,12 +193,12 @@ def _conflict_rewrite_worker(root: str, barrier, out_q) -> None:
     from automated_etl_pipeline_spark.io.manifest import (
         CommitConflictError,
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
     base = current_version(root)
-    base_files = _read_manifest(root, base)["files"] if base else []
+    base_files = _resolve_state(root, base)["files"] if base else []
     # "compact": one staged file standing in for the merged base
     path = _stage_one_file(root, 777_000 + base)
     barrier.wait()
@@ -222,7 +222,7 @@ def test_rewrite_racing_appends_never_loses_an_append(spark, root):
     base must survive in the final snapshot — the rewrite either wins
     cleanly at its base version or raises, never silently drops."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
@@ -242,7 +242,7 @@ def test_rewrite_racing_appends_never_loses_an_append(spark, root):
         p.join(timeout=300)
         assert p.exitcode == 0
     final_v = current_version(root)
-    final_files = set(_read_manifest(root, final_v)["files"])
+    final_files = set(_resolve_state(root, final_v)["files"])
     if outcome == "win":
         # clean win: the rewrite published at base+1; every append
         # versioned AFTER it must still be present on top of it
@@ -250,8 +250,8 @@ def test_rewrite_racing_appends_never_loses_an_append(spark, root):
         appended_after = [
             f
             for v in range(won_v + 1, final_v + 1)
-            for f in _read_manifest(root, v)["files"]
-            if f not in _read_manifest(root, v - 1)["files"]
+            for f in _resolve_state(root, v)["files"]
+            if f not in _resolve_state(root, v - 1)["files"]
         ]
         assert set(appended_after) <= final_files
         assert len(final_files) == 1 + len(appended_after)
@@ -287,7 +287,7 @@ def test_lost_ack_publish_is_resolved_not_doubled(root):
     — one version, one file, correct return value."""
     from automated_etl_pipeline_spark.io.manifest import (
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
@@ -296,13 +296,13 @@ def test_lost_ack_publish_is_resolved_not_doubled(root):
     v = _publish(root, "run-a", [f1], {}, lambda cur, new: cur + new, backend=b)
     assert v == 1
     assert current_version(root, backend=b) == 1
-    m = _read_manifest(root, 1, backend=b)
+    m = _resolve_state(root, 1, backend=b)
     assert m["files"] == [f1] and m["run_ids"] == ["run-a"]
     # an independent commit lands cleanly on top
     f2 = _stage_one_file(root, 2)
     v2 = _publish(root, "run-b", [f2], {}, lambda cur, new: cur + new, backend=b)
     assert v2 == 2
-    assert _read_manifest(root, 2, backend=b)["files"] == [f1, f2]
+    assert _resolve_state(root, 2, backend=b)["files"] == [f1, f2]
 
 
 def test_delayed_visibility_append_chain_loses_nothing(root):
@@ -312,7 +312,7 @@ def test_delayed_visibility_append_chain_loses_nothing(root):
     append lands, versions stay contiguous, nothing is overwritten."""
     from automated_etl_pipeline_spark.io.manifest import (
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
@@ -329,7 +329,7 @@ def test_delayed_visibility_append_chain_loses_nothing(root):
     for _ in range(4):
         current_version(root, backend=b)
     assert current_version(root, backend=b) == 6
-    assert _read_manifest(root, 6, backend=b)["files"] == staged
+    assert _resolve_state(root, 6, backend=b)["files"] == staged
 
 
 def test_delayed_visibility_rewrite_still_conflicts(root):
@@ -345,7 +345,7 @@ def test_delayed_visibility_rewrite_still_conflicts(root):
     from automated_etl_pipeline_spark.io.manifest import (
         CommitConflictError,
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
@@ -376,7 +376,7 @@ def test_delayed_visibility_rewrite_still_conflicts(root):
     for _ in range(5):
         current_version(root, backend=b)
     assert current_version(root, backend=b) == 2
-    assert _read_manifest(root, 2, backend=b)["files"] == [f1, f2]
+    assert _resolve_state(root, 2, backend=b)["files"] == [f1, f2]
 
 
 def test_torn_first_read_is_retried(root):
@@ -386,16 +386,16 @@ def test_torn_first_read_is_retried(root):
     commits correctly."""
     from automated_etl_pipeline_spark.io.manifest import (
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
     b = _fault_backend(torn_versions=(1,))
     f1 = _stage_one_file(root, 1)
     _publish(root, "base", [f1], {}, lambda cur, new: cur + new, backend=b)
-    # the first read of v1 is torn; _read_manifest's bounded retry
+    # the first read of v1 is torn; _resolve_state's bounded retry
     # absorbs it
-    m = _read_manifest(root, 1, backend=b)
+    m = _resolve_state(root, 1, backend=b)
     assert m["files"] == [f1]
 
     b2 = _fault_backend(torn_versions=(1,))
@@ -405,7 +405,7 @@ def test_torn_first_read_is_retried(root):
     f3 = _stage_one_file(root, 3)
     v = _publish(root, "next", [f3], {}, lambda cur, new: cur + new, backend=b2)
     assert v == 2
-    assert _read_manifest(root, 2, backend=b2)["files"] == [f2, f3]
+    assert _resolve_state(root, 2, backend=b2)["files"] == [f2, f3]
 
 
 def test_local_backend_never_leaks_tmp_on_serialization_failure(root):
@@ -469,7 +469,7 @@ def test_delete_racing_appends_sequence_rule_holds(spark, root):
     land after the delete carry higher added_at and survive, even for
     the same key values."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         current_version,
         read_table,
     )
@@ -496,7 +496,7 @@ def test_delete_racing_appends_sequence_rule_holds(spark, root):
         p.join(timeout=300)
         assert p.exitcode == 0
     final_v = current_version(root)
-    m = _read_manifest(root, final_v)
+    m = _resolve_state(root, final_v)
     added_at = m["added_at"]
     # expected survivors, derived from the manifest's own sequence
     # numbers: a payload is hidden iff targeted AND its file predates
@@ -525,12 +525,12 @@ def _replace_worker(root: str, barrier, out_q) -> None:
     from automated_etl_pipeline_spark.io.manifest import (
         CommitConflictError,
         _publish,
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
     base = current_version(root)
-    targets = _read_manifest(root, base)["files"]
+    targets = _resolve_state(root, base)["files"]
     merged = _stage_one_file(root, 555_000)
     barrier.wait()
     try:
@@ -555,7 +555,7 @@ def test_replace_racing_delete_conflicts_or_precedes(spark, root):
     raise CommitConflictError; a replace landing after the delete
     would let the rewritten rows escape it."""
     from automated_etl_pipeline_spark.io.manifest import (
-        _read_manifest,
+        _resolve_state,
         current_version,
     )
 
@@ -585,7 +585,7 @@ def test_replace_racing_delete_conflicts_or_precedes(spark, root):
             "replace published after the delete without conflicting: "
             "its rows escaped the delete"
         )
-    final = _read_manifest(root, current_version(root))
+    final = _resolve_state(root, current_version(root))
     if rep[0] == "conflict":
         # table untouched by the replacer: all three fragments live
         assert len(final["files"]) == 3
