@@ -427,7 +427,32 @@ def _resolve_state(
     chain: list[dict] = []
     v = version
     while True:
-        m = _read_manifest(root, v, backend)
+        try:
+            m = _read_manifest(root, v, backend)
+        except FileNotFoundError:
+            if v == version:
+                raise  # the requested version itself is absent
+            # back-walk miss: on an eventually-consistent store a
+            # client can see delta v while an OLDER manifest lags
+            # behind its own visibility horizon — absorb a bounded
+            # lag before declaring the chain broken (the same stance
+            # _read_manifest takes on torn reads).  A genuinely
+            # vacuumed base still surfaces, just 60ms later.
+            import time as _time
+
+            for _ in range(3):
+                _time.sleep(0.02)
+                try:
+                    m = _read_manifest(root, v, backend)
+                    break
+                except FileNotFoundError:
+                    continue
+            else:
+                raise FileNotFoundError(
+                    f"delta chain of v{version} broken at v{v} "
+                    f"(vacuumed, or backend visibility lag exceeded "
+                    "the retry budget)"
+                ) from None
         if "files" in m:
             state = m
             break
@@ -1358,6 +1383,17 @@ def vacuum(
     if newest == 0:
         return []
     lo = max(1, newest - keep_last + 1)
+    # manifests below the newest CHECKPOINT at or under ``lo`` are
+    # dropped; everything from that anchor up stays READABLE, so its
+    # files must stay LIVE — a surviving manifest must never name a
+    # vacuumed file (at most CHECKPOINT_EVERY-1 versions of extra
+    # retention, review r14 late-wave finding 1)
+    anchor = lo
+    while anchor > 1:
+        mp = os.path.join(_manifest_dir(root), f"v{anchor:010d}.json")
+        if os.path.exists(mp) and "files" in _read_manifest(root, anchor):
+            break
+        anchor -= 1
 
     def _referenced(m: dict) -> set[str]:
         """Files a manifest names.  A full checkpoint names its whole
@@ -1378,12 +1414,16 @@ def vacuum(
         return refs
 
     live: set[str] = set()
-    for v in range(lo, newest + 1):
-        # RESOLVED state: live files of retained versions, including
-        # everything a delta chain carries forward
-        st = _resolve_state(root, v)
-        live.update(st["files"])
-        for d in st.get("deletes", []):
+    state: dict | None = None
+    for v in range(anchor, newest + 1):
+        # one pass, one parse per manifest: fold deltas forward from
+        # the anchor checkpoint instead of re-resolving every version
+        # from scratch (review r14 late-wave finding 3 — the big
+        # checkpoint JSON would otherwise parse keep_last times)
+        m = _read_manifest(root, v)
+        state = m if "files" in m else _apply_delta(state, m)
+        live.update(state["files"])
+        for d in state.get("deletes", []):
             live.add(d["path"])
             live.update(d.get("removed", []))
     ever_referenced: set[str] = set()
@@ -1441,16 +1481,9 @@ def vacuum(
                 import shutil as _sh
 
                 _sh.rmtree(sdir, ignore_errors=True)
-    # deltas below ``lo`` may still anchor the retained versions'
-    # resolution chains: drop only manifests strictly below the newest
-    # CHECKPOINT at or below lo (at most CHECKPOINT_EVERY-1 extra tiny
-    # JSON files survive past the nominal window)
-    anchor = lo
-    while anchor > 1:
-        mp = os.path.join(_manifest_dir(root), f"v{anchor:010d}.json")
-        if os.path.exists(mp) and "files" in _read_manifest(root, anchor):
-            break
-        anchor -= 1
+    # drop only manifests strictly below the anchor checkpoint (the
+    # retained versions' resolution chains stay intact; their files
+    # stayed live above)
     for v in range(1, anchor):
         mp = os.path.join(_manifest_dir(root), f"v{v:010d}.json")
         if os.path.exists(mp):

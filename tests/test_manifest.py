@@ -1079,3 +1079,77 @@ def test_delta_chain_onto_legacy_full_manifest(spark, root):
     commit_append(_df(spark, 7, 10), root, "a2")  # v2: a delta on top
     assert read_table(spark, root).count() == 10
     assert read_table(spark, root, version=1).count() == 7
+
+
+def test_vacuum_never_strands_a_surviving_manifest(spark, root):
+    """Review r14 late wave: versions between the checkpoint anchor
+    and the retention floor keep their manifests — so their FILES must
+    stay live too.  A surviving manifest naming a vacuumed file is a
+    silently-wrong audit and an opaque mid-scan crash."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_replace_files,
+        manifest_files,
+        read_table_subset,
+        vacuum,
+    )
+
+    for i in range(4):
+        commit_append(_df(spark, 3 * i, 3 * i + 3), root, f"a{i}")
+    frag = manifest_files(root, 1)
+    merged = read_table_subset(spark, root, frag).coalesce(1)
+    commit_replace_files(merged, root, "c1", frag, expected_base=4)  # v5
+    for i in range(4, 6):
+        commit_append(_df(spark, 3 * i, 3 * i + 3), root, f"a{i}")  # v6,v7
+    vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+    # the v1 checkpoint anchors the whole chain: every version is
+    # still readable AND every file a readable manifest names exists
+    for v in range(1, 8):
+        for f in manifest_files(root, v):
+            assert os.path.exists(f), (v, f)
+        assert read_table(spark, root, version=v).count() > 0
+    assert read_table(spark, root).count() == 18
+
+
+def test_resolve_state_absorbs_backend_visibility_lag(spark, root):
+    """Review r14 late wave: resolving a delta version walks back to
+    its checkpoint; on an eventually-consistent store an OLDER
+    manifest can lag this client's visibility.  A bounded retry must
+    absorb the lag; a permanently missing base still raises."""
+    from automated_etl_pipeline_spark.io.manifest import (
+        InMemoryCASBackend,
+        _publish,
+        _resolve_state,
+    )
+
+    inner = InMemoryCASBackend()
+
+    class LaggyReads(InMemoryCASBackend):
+        def __init__(self, inner, lag_version, misses):
+            self.inner = inner
+            self.lag_version = lag_version
+            self.misses = misses
+
+        def publish(self, root, version, payload):
+            return self.inner.publish(root, version, payload)
+
+        def latest_version(self, root):
+            return self.inner.latest_version(root)
+
+        def read(self, root, version):
+            if version == self.lag_version and self.misses > 0:
+                self.misses -= 1
+                raise FileNotFoundError(f"{root} v{version} (lagging)")
+            return self.inner.read(root, version)
+
+    f1 = os.path.join(root, "x1.parquet")
+    f2 = os.path.join(root, "x2.parquet")
+    open(f1, "wb").close()
+    open(f2, "wb").close()
+    _publish(root, "r1", [f1], {}, lambda c, n: c + n, backend=inner)  # v1 full
+    _publish(root, "r2", [f2], {}, lambda c, n: c + n, backend=inner)  # v2 delta
+    laggy = LaggyReads(inner, lag_version=1, misses=2)
+    st = _resolve_state(root, 2, backend=laggy)
+    assert set(st["files"]) == {f1, f2}
+    never = LaggyReads(inner, lag_version=1, misses=10**9)
+    with pytest.raises(FileNotFoundError, match="delta chain"):
+        _resolve_state(root, 2, backend=never)
