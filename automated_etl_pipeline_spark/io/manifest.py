@@ -88,6 +88,78 @@ def _manifest_dir(root: str) -> str:
     return os.path.join(root, "_manifest")
 
 
+# ---------------------------------------------------------------------------
+# Per-file Bloom sidecars (r15, VERDICT r14 ask #1).
+#
+# Zone maps prune RANGE predicates; they cannot prune ``key = k`` on a
+# high-cardinality UNSORTED column — every file's [min, max] straddles
+# the probe, and a one-row point lookup becomes a full-table scan at
+# 100 TB.  The fix every production format ships (Parquet bloom
+# filters, Iceberg's ``parquet.bloom-filter-enabled``, Delta's BSI):
+# each data file carries a small Bloom bitmap per declared column;
+# an equality/IN probe consults the bitmaps and reads only the files
+# that MIGHT contain the key.  False positives cost one extra file
+# scan (the row filter still applies); false negatives are impossible,
+# so the pruned read is exact.
+#
+# The hash contract is the repo-pinned ``md5_double_hash`` derivation
+# (functions/hashutil.py): h1/h2 from one md5 of the key's STRING
+# form, k probe positions by Kirsch-Mitzenmacher double hashing.
+# Build side computes positions in the JVM (one distinct aggregate
+# over files x positions, bounded by files * cols * m rows); probe
+# side recomputes them in Python on the driver against the manifest's
+# hex bitmaps — no Spark job runs for the pruning decision itself.
+# Both sides feed the SAME packing code below, so the only
+# cross-engine surface is the md5-of-string-form contract, which
+# ``bloom_cols`` restricts to types whose Spark CAST-to-string equals
+# Python ``str()``: integers, strings, dates.
+#
+# Sizing: ``bloom_bits`` is per FILE per column.  At ~10-15 bits per
+# distinct key in a file the fp rate is ~1% (k=4); the default 8192
+# bits (1 KiB of manifest hex per file/col) covers ~800 keys/file at
+# that rate.  A production port reads these from the parquet footers
+# the writer already produced instead of re-aggregating at commit.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_BITS_DEFAULT = 8192
+
+# Spark CAST(x AS STRING) == Python str(x) holds for these; floats
+# ("1.0" vs "1.0" but "1e-4" formatting differs), booleans ("true" vs
+# "True") and timestamps (zone rendering) are excluded.
+_BLOOM_TYPES = ("byte", "short", "int", "integer", "bigint", "long",
+                "string", "date")
+
+
+def _bloom_py_positions(value, m_bits: int) -> list[int]:
+    """Probe positions for ``value`` — the driver-side mirror of the
+    JVM build expression (md5 of the string form, h1 + i*h2 mod m)."""
+    import hashlib
+
+    d = hashlib.md5(str(value).encode()).hexdigest()
+    h1 = int(d[0:8], 16)
+    h2 = int(d[8:16], 16)
+    return [(h1 + i * h2) % m_bits for i in range(BLOOM_K)]
+
+
+def _bloom_pack(positions, m_bits: int) -> str:
+    """Pack set-bit positions into a hex string of m_bits/4 chars.
+    Bit p lives in hex digit p//4, most-significant-bit-first within
+    the digit — the one canonical packing both build and probe use."""
+    digits = [0] * (m_bits // 4)
+    for p in positions:
+        digits[p // 4] |= 1 << (3 - (p % 4))
+    return "".join(format(d, "x") for d in digits)
+
+
+def _bloom_test(hexmap: str, m_bits: int, value) -> bool:
+    """True iff ``value`` MIGHT be in the set (all k bits set)."""
+    for p in _bloom_py_positions(value, m_bits):
+        if not (int(hexmap[p // 4], 16) >> (3 - (p % 4))) & 1:
+            return False
+    return True
+
+
 class CommitBackend:
     """The ONE primitive the commit protocol needs, as an interface
     (VERDICT r13 ask #3): publish-if-absent of a complete immutable
@@ -221,7 +293,17 @@ class FaultInjectingBackend(CommitBackend):
     - ``torn_versions``: the FIRST read of one of these versions
       returns a truncated payload (a store that lacks read-after-write
       atomicity) — readers retry a bounded number of times
-      (``_read_manifest``) instead of crashing."""
+      (``_read_manifest``) instead of crashing.
+
+    Credit accounting (r14 ADVICE, documented semantics): a
+    ``latest_version`` call consumes one hidden-read credit from EVERY
+    pending version its downward scan touches — so with several
+    versions pending simultaneously, one call ages them all by one.
+    Each individual version is still hidden for at least one call
+    after publish and becomes visible within ``hidden_reads`` calls;
+    the lag is an upper bound per version, not an exact per-version
+    countdown.  ``read`` of a pending version never consumes credit
+    (it reports not-visible without aging the lag)."""
 
     def __init__(
         self,
@@ -366,6 +448,57 @@ def _read_manifest(
 CHECKPOINT_EVERY = 8
 
 
+def _rename_fields_json(schema_json: str | None, renames: dict) -> str | None:
+    """Apply a name->name rename map to a recorded schema JSON."""
+    if schema_json is None:
+        return None
+    from pyspark.sql.types import StructField, StructType
+
+    s = StructType.fromJson(json.loads(schema_json))
+    out = StructType(
+        [
+            StructField(renames.get(f.name, f.name), f.dataType, True)
+            for f in s.fields
+        ]
+    )
+    return json.dumps(out.jsonValue())
+
+
+def _apply_rename(state_like: dict, renames: dict) -> dict:
+    """The state mutation a RENAME commit makes — metadata only:
+    schema field names, the name->id mapping, stats/bloom keys, and
+    pending delete entries' CURRENT-name aliases move; no data file,
+    added_at, or per-file physical mapping changes.  Shared by the
+    publish path and the delta replay so they cannot drift."""
+    out = dict(state_like)
+    out["schema"] = _rename_fields_json(state_like.get("schema"), renames)
+    out["field_ids"] = {
+        renames.get(n, n): fid
+        for n, fid in state_like.get("field_ids", {}).items()
+    }
+    out["stats"] = {
+        f: (
+            {renames.get(c, c): b for c, b in s.items()}
+            if isinstance(s, dict)
+            else s
+        )
+        for f, s in state_like.get("stats", {}).items()
+    }
+    if state_like.get("blooms"):
+        out["blooms"] = {
+            f: {renames.get(c, c): b for c, b in cols.items()}
+            for f, cols in state_like["blooms"].items()
+        }
+    new_dels = []
+    for e in state_like.get("deletes", []):
+        cur = list(e.get("as", e["cols"]))
+        e2 = dict(e)
+        e2["as"] = [renames.get(c, c) for c in cur]
+        new_dels.append(e2)
+    out["deletes"] = new_dels
+    return out
+
+
 def _apply_delta(state: dict, m: dict) -> dict:
     """Replay one delta manifest on top of a resolved state — the
     read-side mirror of the `_publish` branches.  Rewrites never
@@ -377,6 +510,10 @@ def _apply_delta(state: dict, m: dict) -> dict:
     added_at = dict(state.get("added_at", {}))
     deletes = list(state.get("deletes", []))
     stats = dict(state.get("stats", {}))
+    blooms = dict(state.get("blooms", {}))
+    bloom_meta = d.get("bloom_meta", state.get("bloom_meta"))
+    field_ids = dict(state.get("field_ids", {}))
+    file_fields = dict(state.get("file_fields", {}))
     schema = d.get("schema", state.get("schema"))
     commit_meta: dict = {"kind": kind, "added": list(d.get("added", []))}
     if kind == "append":
@@ -396,6 +533,9 @@ def _apply_delta(state: dict, m: dict) -> dict:
         deletes = deletes + list(d["entries"])
         commit_meta["recorded"] = bool(d.get("recorded"))
     else:
+        # rename commits always publish full checkpoints (they mutate
+        # the snapshot-wide metadata a delta cannot carry), so they
+        # never appear here
         raise ValueError(f"unreplayable delta kind {kind!r} at v{v}")
     live = set(files)
     stats = {
@@ -403,7 +543,17 @@ def _apply_delta(state: dict, m: dict) -> dict:
         for f, s in {**stats, **d.get("stats", {})}.items()
         if f in live
     }
-    return {
+    blooms = {
+        f: b
+        for f, b in {**blooms, **d.get("blooms", {})}.items()
+        if f in live
+    }
+    if d.get("file_fields"):
+        file_fields = {**file_fields, **d["file_fields"]}
+    if d.get("field_ids"):
+        field_ids = dict(d["field_ids"])
+    file_fields = {f: ff for f, ff in file_fields.items() if f in live}
+    out = {
         "version": v,
         "files": files,
         "added_at": added_at,
@@ -415,6 +565,17 @@ def _apply_delta(state: dict, m: dict) -> dict:
         ],
         "commit": commit_meta,
     }
+    if blooms or bloom_meta:
+        out["blooms"] = blooms
+        out["bloom_meta"] = bloom_meta
+    if field_ids:
+        out["field_ids"] = field_ids
+        out["file_fields"] = file_fields
+    if "ts" in m:
+        out["ts"] = m["ts"]
+    elif "ts" in state:
+        out["ts"] = state["ts"]
+    return out
 
 
 def _resolve_state(
@@ -486,6 +647,9 @@ def _commit(
     delete_cols: list[str] | None = None,
     removed_files: list[str] | None = None,
     replace_subset: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    commit_ts: float | None = None,
 ) -> int:
     """Shared commit protocol (stage -> idempotence check -> optimistic
     exclusive-create retry loop); ``files_fn(cur_files, new_files)``
@@ -497,7 +661,14 @@ def _commit(
     SEVERAL columns in ONE aggregate pass per file (manifest format
     ``{file: {col: [mn, mx]}}``); ``stats_col`` is the legacy
     single-column spelling, stored in the same multi-column format
-    since r14 (readers accept both shapes)."""
+    since r14 (readers accept both shapes).
+
+    ``bloom_cols`` (r15): additionally record a per-file Bloom bitmap
+    (``bloom_bits`` bits, hex-packed) for each named column — the
+    point-lookup file-skipping sidecar ``read_table_pruned(eq=...)``
+    consults.  One distinct-aggregate pass over the staged files
+    computes every file's set positions (bounded by files x cols x m
+    rows); a production port reads the bitmaps from parquet footers."""
     cols = list(stats_cols or ([] if stats_col is None else [stats_col]))
     os.makedirs(_manifest_dir(root), exist_ok=True)
     v = current_version(root)
@@ -511,6 +682,19 @@ def _commit(
         # schema is current by then)
         _merge_schema(prev["schema"], schema_json)
     new_files = _stage(df, root)
+    by_abs = {os.path.abspath(f): f for f in new_files}
+
+    def _orig_path(uri: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path)
+        orig = by_abs.get(os.path.abspath(path))
+        if orig is None:
+            raise RuntimeError(
+                f"stats grouped onto an unstaged path: {path!r}"
+            )
+        return orig
+
     new_stats: dict[str, dict] = {}
     if cols and new_files:
         # ONE job for all files' stats: group the staged scan by
@@ -519,8 +703,6 @@ def _commit(
         # 10k-file commit into 10k scheduler round-trips).  A real
         # port reads these from the parquet footers the writer
         # already produced; this is the one-pass equivalent.
-        from urllib.parse import unquote, urlparse
-
         from pyspark.sql import functions as F
 
         aggs = []
@@ -536,23 +718,77 @@ def _commit(
         # keeps the caller's root spelling (possibly relative) — key
         # the stats by the ORIGINAL spelling via an abspath map so a
         # relative root keeps working
-        by_abs = {os.path.abspath(f): f for f in new_files}
         for row in rows:
-            path = unquote(urlparse(row["__f"]).path)
-            orig = by_abs.get(os.path.abspath(path))
-            if orig is None:
-                raise RuntimeError(
-                    f"stats grouped onto an unstaged path: {path!r}"
-                )
-            new_stats[orig] = {
+            new_stats[_orig_path(row["__f"])] = {
                 c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
                 for c in cols
             }
+    new_blooms: dict[str, dict] = {}
+    if bloom_cols and new_files:
+        from pyspark.sql import functions as F
+
+        from automated_etl_pipeline_spark.functions.hashutil import (
+            md5_double_hash,
+        )
+
+        staged = df.sparkSession.read.parquet(*new_files)
+        types = {f.name: f.dataType.simpleString() for f in staged.schema}
+        for c in bloom_cols:
+            if types.get(c) not in _BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {types.get(c)!r}; bloom "
+                    f"sidecars need a CAST-to-string-stable type "
+                    f"({', '.join(_BLOOM_TYPES)}) so the driver-side "
+                    "probe hash matches the JVM build hash"
+                )
+        # ONE distinct aggregate for every (file, col, position): k
+        # positions per key via the pinned double-hash contract, NULL
+        # keys dropped (they never probe true).  Bounded by
+        # files x cols x bloom_bits distinct rows.
+        structs = []
+        for ci, c in enumerate(bloom_cols):
+            h1, h2 = md5_double_hash(F.col(c))
+            for i in range(BLOOM_K):
+                structs.append(
+                    F.struct(
+                        F.lit(ci).alias("c"),
+                        ((h1 + F.lit(i) * h2) % bloom_bits)
+                        .cast("int")
+                        .alias("p"),
+                    )
+                )
+        pos_rows = (
+            staged.select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*structs)).alias("cp"),
+            )
+            .filter(F.col("cp.p").isNotNull())
+            .select("__f", F.col("cp.c").alias("c"), F.col("cp.p").alias("p"))
+            .distinct()
+            .collect()
+        )
+        grouped: dict[tuple[str, int], list[int]] = {}
+        for r in pos_rows:
+            grouped.setdefault((_orig_path(r["__f"]), r["c"]), []).append(
+                r["p"]
+            )
+        for (f, ci), ps in grouped.items():
+            new_blooms.setdefault(f, {})[bloom_cols[ci]] = _bloom_pack(
+                ps, bloom_bits
+            )
+        # a staged file with zero rows (or all-NULL keys) gets an
+        # all-zero bitmap — provably contains nothing
+        empty = _bloom_pack([], bloom_bits)
+        for f in new_files:
+            for c in bloom_cols:
+                new_blooms.setdefault(f, {}).setdefault(c, empty)
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
         removed_files=removed_files, replace_subset=replace_subset,
-        schema_json=schema_json,
+        schema_json=schema_json, new_blooms=new_blooms,
+        bloom_bits=(bloom_bits if bloom_cols else None),
+        commit_ts=commit_ts,
     )
 
 
@@ -568,6 +804,10 @@ def _publish(
     removed_files: list[str] | None = None,
     replace_subset: list[str] | None = None,
     schema_json: str | None = None,
+    new_blooms: dict[str, dict] | None = None,
+    bloom_bits: int | None = None,
+    commit_ts: float | None = None,
+    rename_map: dict[str, str] | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -605,9 +845,70 @@ def _publish(
         cur_added = cur.get("added_at", {})
         cur_dels = cur.get("deletes", [])
         schema = cur.get("schema")
+        field_ids = dict(cur.get("field_ids", {}))
+        file_fields = dict(cur.get("file_fields", {}))
         commit_meta: dict = {"added": list(new_files)}
         new_entries: list[dict] = []
-        if delete_cols is not None:
+        if rename_map is not None:
+            # metadata-only RENAME commit (r15, VERDICT r14 ask #5):
+            # stable column IDs make a rename distinguishable from
+            # drop+add — the id keeps its identity, only the current
+            # NAME moves.  Old files resolve through their recorded
+            # physical-name->id mapping at read time; zero data bytes
+            # move (Iceberg's name-mapping rename).
+            if schema is None:
+                raise SchemaEvolutionError(
+                    "cannot rename columns of a legacy table without a "
+                    "recorded schema"
+                )
+            from pyspark.sql.types import StructType
+
+            names = [
+                f.name
+                for f in StructType.fromJson(json.loads(schema)).fields
+            ]
+            for old, new in rename_map.items():
+                if old not in names:
+                    raise SchemaEvolutionError(
+                        f"rename source {old!r} is not a table column "
+                        f"(have: {sorted(names)})"
+                    )
+                if new in names and new not in rename_map:
+                    raise SchemaEvolutionError(
+                        f"rename target {new!r} already exists"
+                    )
+            if len(set(rename_map.values())) != len(rename_map):
+                raise SchemaEvolutionError(
+                    "two columns renamed to the same target"
+                )
+            if not field_ids:
+                # bootstrap: assign ids in schema order; every live
+                # file was written under the current names, so its
+                # physical mapping is the identity
+                field_ids = {n: i + 1 for i, n in enumerate(names)}
+                file_fields = {
+                    f: dict(field_ids) for f in cur["files"]
+                }
+            renamed = _apply_rename(
+                {
+                    "schema": schema,
+                    "field_ids": field_ids,
+                    "stats": cur.get("stats", {}),
+                    "blooms": cur.get("blooms", {}),
+                    "deletes": cur_dels,
+                },
+                rename_map,
+            )
+            commit_meta["kind"] = "rename"
+            commit_meta["renames"] = dict(rename_map)
+            files = list(cur["files"])
+            added_at = dict(cur_added)
+            deletes = renamed["deletes"]
+            schema = renamed["schema"]
+            field_ids = renamed["field_ids"]
+            rename_stats = renamed["stats"]
+            rename_blooms = renamed.get("blooms", {})
+        elif delete_cols is not None:
             commit_meta["kind"] = "delete"
             commit_meta["recorded"] = removed_files is not None
             # merge-on-read DELETE commit: the data-file list is
@@ -696,7 +997,95 @@ def _publish(
             or commit_meta.get("kind") == "append"
         ):
             schema = _merge_schema(schema, schema_json)
+        kind = commit_meta["kind"]
+        # ---- stable column IDs (r15) -------------------------------
+        # Tables acquire a name->id mapping the first time they RENAME
+        # (bootstrap above); from then on every data commit assigns
+        # fresh ids to genuinely-new column names and records each new
+        # file's physical-name->id mapping, so a rename stays
+        # distinguishable from drop+add forever after.
+        if field_ids and kind != "rename":
+            if kind == "rewrite":
+                # a rewrite redefines the table: surviving names keep
+                # their identity, vanished names' ids retire
+                from pyspark.sql.types import StructType
+
+                new_names = [
+                    f.name
+                    for f in StructType.fromJson(json.loads(schema)).fields
+                ]
+                nxt = max(field_ids.values(), default=0)
+                kept = {}
+                for n in new_names:
+                    if n in field_ids:
+                        kept[n] = field_ids[n]
+                    else:
+                        nxt += 1
+                        kept[n] = nxt
+                field_ids = kept
+            elif schema is not None:
+                from pyspark.sql.types import StructType
+
+                nxt = max(field_ids.values(), default=0)
+                for f0 in StructType.fromJson(json.loads(schema)).fields:
+                    if f0.name not in field_ids:
+                        nxt += 1
+                        field_ids[f0.name] = nxt
+            if new_files and schema_json is not None and delete_cols is None:
+                from pyspark.sql.types import StructType
+
+                staged_names = [
+                    f.name
+                    for f in StructType.fromJson(
+                        json.loads(schema_json)
+                    ).fields
+                ]
+                phys = {n: field_ids[n] for n in staged_names}
+                for f in new_files:
+                    file_fields[f] = dict(phys)
+        # ---- bloom sidecar metadata (r15) --------------------------
+        cur_bm = cur.get("bloom_meta")
+        if bloom_bits is not None:
+            if cur_bm and int(cur_bm["m"]) != int(bloom_bits):
+                raise ValueError(
+                    f"bloom_bits={bloom_bits} conflicts with the table's "
+                    f"established m={cur_bm['m']} — all commits of one "
+                    "table must agree so probes test one bitmap geometry"
+                )
+            bloom_meta = {"m": int(bloom_bits), "k": BLOOM_K}
+        else:
+            bloom_meta = cur_bm
+        # ---- commit wall-time (r15, timestamp time travel) ---------
+        # Monotonic non-decreasing: a commit stamped behind its
+        # predecessor (clock skew between writers) clamps forward so
+        # as-of resolution ("newest version with ts <= t") stays
+        # well-defined.  Callers pin synthetic timestamps for
+        # deterministic tests via commit_ts.
+        if commit_ts is None:
+            import time as _t
+
+            ts = _t.time()
+        else:
+            ts = float(commit_ts)
+        ts = max(ts, float(cur.get("ts", 0.0)))
         live = set(files)
+        if rename_map is not None:
+            stats_out = rename_stats
+            blooms_out = rename_blooms
+        else:
+            stats_out = {
+                f: s
+                for f, s in {**cur.get("stats", {}), **new_stats}.items()
+                if f in live
+            }
+            blooms_out = {
+                f: bl
+                for f, bl in {
+                    **cur.get("blooms", {}),
+                    **(new_blooms or {}),
+                }.items()
+                if f in live
+            }
         manifest = {
             "version": v + 1,
             "files": files,
@@ -728,22 +1117,30 @@ def _publish(
             # references: a rewrite/compaction drops the stale
             # entries instead of accreting O(history) dead stats
             # (r12 ADVICE)
-            "stats": {
-                f: s
-                for f, s in {**cur.get("stats", {}), **new_stats}.items()
-                if f in live
-            },
+            "stats": stats_out,
+            # commit wall-time (r15): what read_table(as_of_ts=...)
+            # resolves against
+            "ts": ts,
         }
+        if blooms_out or bloom_meta:
+            manifest["blooms"] = blooms_out
+            manifest["bloom_meta"] = bloom_meta
+        if field_ids:
+            manifest["field_ids"] = field_ids
+            manifest["file_fields"] = {
+                f: ff for f, ff in file_fields.items() if f in live
+            }
         # Checkpoint-or-delta (r14): v1, every CHECKPOINT_EVERY-th
-        # version, and every rewrite publish the FULL state; other
-        # commits publish only their delta — O(this commit) bytes, not
-        # O(live files).  Readers replay from the nearest checkpoint
-        # (_resolve_state).  The commit POINT is identical either way.
-        kind = commit_meta["kind"]
+        # version, every rewrite, and every RENAME (r15 — it mutates
+        # snapshot-wide metadata a delta cannot carry) publish the
+        # FULL state; other commits publish only their delta — O(this
+        # commit) bytes, not O(live files).  Readers replay from the
+        # nearest checkpoint (_resolve_state).  The commit POINT is
+        # identical either way.
         is_checkpoint = (
             v == 0
             or (v + 1) % CHECKPOINT_EVERY == 0
-            or kind == "rewrite"
+            or kind in ("rewrite", "rename")
         )
         if is_checkpoint:
             payload_obj: dict = manifest
@@ -753,12 +1150,23 @@ def _publish(
                 delta["added"] = list(new_files)
                 if new_stats:
                     delta["stats"] = new_stats
+                if new_blooms:
+                    delta["blooms"] = new_blooms
+                if bloom_bits is not None:
+                    delta["bloom_meta"] = bloom_meta
+                if field_ids:
+                    delta["field_ids"] = field_ids
+                    delta["file_fields"] = {
+                        f: file_fields[f]
+                        for f in new_files
+                        if f in file_fields
+                    }
             if kind == "replace":
                 delta["removed"] = list(replace_subset)
             if kind == "delete":
                 delta["entries"] = new_entries
                 delta["recorded"] = removed_files is not None
-            payload_obj = {"version": v + 1, "delta": delta}
+            payload_obj = {"version": v + 1, "delta": delta, "ts": ts}
         # The backend's publish-if-absent is the commit point: it
         # fails atomically if the version exists, and a manifest is
         # never visible with partial content (LocalFSBackend: temp
@@ -780,6 +1188,9 @@ def commit_append(
     run_id: str,
     stats_col: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    commit_ts: float | None = None,
 ) -> int:
     """Stage ``df`` as parquet and atomically publish a new manifest
     including it; returns the committed version.  Re-committing an
@@ -794,7 +1205,14 @@ def commit_append(
     (exactly how Iceberg/Delta file stats subsume hive-style partition
     pruning).  Stats come from one per-file aggregate pass here
     (bounded: files per commit x columns); a production port reads
-    them from the parquet footers the writer already wrote."""
+    them from the parquet footers the writer already wrote.
+
+    ``bloom_cols`` (r15, VERDICT r14 ask #1): record a per-file Bloom
+    bitmap for each named column — what zone maps cannot do: prune a
+    ``key = k`` point lookup on a high-cardinality UNSORTED column
+    down to the files that might contain the key.  ``commit_ts``
+    pins the commit wall-time for ``read_table(as_of_ts=...)``
+    (defaults to the real clock, clamped monotonic)."""
     return _commit(
         df,
         root,
@@ -802,11 +1220,18 @@ def commit_append(
         lambda cur, new: cur + new,
         stats_col=stats_col,
         stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
+        commit_ts=commit_ts,
     )
 
 
 def commit_rewrite(
-    df: DataFrame, root: str, run_id: str, expected_base: int | None = None
+    df: DataFrame,
+    root: str,
+    run_id: str,
+    expected_base: int | None = None,
+    commit_ts: float | None = None,
 ) -> int:
     """Stage ``df`` and publish a manifest naming ONLY the new files —
     the compaction/rewrite commit: the logical table content is
@@ -826,7 +1251,12 @@ def commit_rewrite(
     the caller owns the table exclusively or intends
     last-writer-wins replacement."""
     return _commit(
-        df, root, run_id, lambda cur, new: new, expected_base=expected_base
+        df,
+        root,
+        run_id,
+        lambda cur, new: new,
+        expected_base=expected_base,
+        commit_ts=commit_ts,
     )
 
 
@@ -942,6 +1372,84 @@ def commit_replace_files(
     )
 
 
+def commit_rename(
+    root: str,
+    run_id: str,
+    renames: dict[str, str],
+    commit_ts: float | None = None,
+    backend: CommitBackend | None = None,
+) -> int:
+    """Rename columns in a METADATA-ONLY commit (r15, VERDICT r14 ask
+    #5): no data file is touched.  Stable column IDs make this
+    distinguishable from drop+add — the id keeps its identity; only
+    the current NAME moves.  On a table that has never renamed, the
+    commit first bootstraps the id mapping (ids in schema order,
+    identity physical mapping for every live file — their bytes were
+    written under the current names).  Old files resolve through
+    their recorded physical-name->id mapping at read time
+    (``_read_files``), so a pre-rename file's column surfaces under
+    the NEW name with its data intact, while genuine drop+add leaves
+    NULLs — the distinction Iceberg's field-ids exist for.
+
+    Rules: the source must be a current column; the target must be
+    free (unless itself being renamed away — swaps are legal); a
+    subsequent append may reuse the OLD name, which then becomes a
+    genuinely new column with a fresh id.  Same run_id idempotence
+    and optimistic versioning as every other commit kind; renames
+    always publish full checkpoint manifests."""
+    if not renames:
+        raise ValueError("renames must map at least one column")
+    return _publish(
+        root,
+        run_id,
+        [],
+        {},
+        lambda cur, new: cur,
+        backend=backend,
+        rename_map=dict(renames),
+        commit_ts=commit_ts,
+    )
+
+
+def resolve_as_of(
+    root: str, as_of_ts: float, backend: CommitBackend | None = None
+) -> int:
+    """The newest committed version whose commit wall-time is <=
+    ``as_of_ts`` (r15, VERDICT r14 ask #6) — Delta/Iceberg's
+    TIMESTAMP AS OF resolution.  Scans manifests newest-first (a
+    production port keeps a version->ts index; the scan here is
+    bounded by retained versions).  Raises:
+
+    - ``ValueError`` if ``as_of_ts`` predates the oldest RETAINED
+      commit — either the table didn't exist yet, or vacuum expired
+      the manifests that would have answered (an expired as-of must
+      raise, never silently read newer — the retention contract).
+    - Manifests that predate timestamp recording (legacy) count as
+      ts=0.0: any non-negative as-of resolves to them rather than
+      erroring, matching the additive-evolution stance everywhere
+      else in this module."""
+    b = backend or _LOCAL_BACKEND
+    newest = b.latest_version(root)
+    if newest == 0:
+        raise FileNotFoundError(f"no committed version under {root}")
+    v = newest
+    while v >= 1:
+        try:
+            m = _read_manifest(root, v, backend=b)
+        except FileNotFoundError:
+            raise ValueError(
+                f"as_of_ts={as_of_ts} falls below the retention window "
+                f"(manifest v{v} vacuumed): the snapshot that would "
+                "answer it no longer exists"
+            ) from None
+        if float(m.get("ts", 0.0)) <= as_of_ts:
+            return v
+        v -= 1
+    raise ValueError(
+        f"as_of_ts={as_of_ts} predates the table's first commit"
+    )
+
+
 def read_table_subset(
     spark: SparkSession, root: str, files: list[str], version: int | None = None
 ) -> DataFrame:
@@ -950,6 +1458,12 @@ def read_table_subset(
     raw bytes instead would resurrect deleted rows: the new files'
     added_at postdates the pending deletes, so the read-time anti-join
     no longer hides them.)"""
+    if not files:
+        # spark.read.parquet() with zero paths dies with an opaque
+        # TypeError deep in the reader; surface the caller's actual
+        # mistake instead (r14 ADVICE — compact_small_files guards
+        # this, direct callers weren't)
+        raise ValueError("files is empty: nothing to read")
     v = current_version(root) if version is None else version
     m = _resolve_state(root, v)
     missing = set(files) - set(m["files"])
@@ -1024,10 +1538,76 @@ def manifest_delete_files(root: str, version: int | None = None) -> list[dict]:
 def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     """Read data files under the manifest's recorded schema (files
     predating an added column return NULL for it); legacy manifests
-    fall back to parquet self-description."""
+    fall back to parquet self-description.
+
+    Column-ID resolution (r15): on a table with ``field_ids``, each
+    file's physical column names resolve to the CURRENT names through
+    the stable ids — a renamed column's data surfaces under its new
+    name from pre-rename files.  Files group by their physical-name
+    signature (one scan per signature, bounded by the number of
+    renames the live files span, typically 1-2), each scan reads with
+    an explicit physical-name schema and aliases back to current
+    names, so predicate/column pushdown per scan is unchanged."""
+    if not files:
+        raise ValueError("files is empty: nothing to read")
     s = _schema_of(m)
-    reader = spark.read.schema(s) if s is not None else spark.read
-    return reader.parquet(*files)
+    field_ids = m.get("field_ids")
+    file_fields = m.get("file_fields", {})
+    if s is None or not field_ids:
+        reader = spark.read.schema(s) if s is not None else spark.read
+        return reader.parquet(*files)
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    id2cur = {fid: name for name, fid in field_ids.items()}
+    cur_names = [f.name for f in s.fields]
+
+    def signature(f: str) -> tuple:
+        # current-name -> physical-name for this file (None = the
+        # file predates the column; explicit-schema read NULL-fills)
+        ff = file_fields.get(f)
+        if ff is None:
+            # no recorded mapping (file from before id tracking):
+            # physical names are the names current at bootstrap, which
+            # the bootstrap recorded for every live file — reaching
+            # here means the file was committed under current names
+            return tuple(cur_names)
+        by_id = {fid: phys for phys, fid in ff.items()}
+        return tuple(
+            by_id.get(field_ids[n]) for n in cur_names
+        )
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        groups.setdefault(signature(f), []).append(f)
+    parts = []
+    for sig, fs in sorted(groups.items(), key=lambda kv: kv[1]):
+        # read schema carries ONLY the columns this file's mapping
+        # names: a column the file predates is NULL-filled via
+        # lit(None) in the select, never via the read schema — the
+        # file might physically contain a SAME-NAMED column belonging
+        # to a retired or later id, which must not leak into it
+        read_fields = [
+            StructField(phys_n, fld.dataType, True)
+            for phys_n, fld in zip(sig, s.fields)
+            if phys_n is not None
+        ]
+        scan = spark.read.schema(StructType(read_fields)).parquet(*fs)
+        parts.append(
+            scan.select(
+                *[
+                    (
+                        F.col(phys_n)
+                        if phys_n is not None
+                        else F.lit(None).cast(fld.dataType)
+                    ).alias(cur_n)
+                    for cur_n, phys_n, fld in zip(cur_names, sig, s.fields)
+                ]
+            )
+        )
+    return reduce(DataFrame.unionByName, parts)
 
 
 def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
@@ -1067,13 +1647,23 @@ def _apply_deletes(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     data = reduce(DataFrame.unionByName, parts)
     by_cols: dict[tuple, list[dict]] = defaultdict(list)
     for d in m.get("deletes", []):
-        by_cols[tuple(d["cols"])].append(d)
-    for cols, entries in sorted(by_cols.items()):
+        # "as" (r15): the CURRENT names of the key columns after any
+        # renames — the delete file's physical columns keep the names
+        # current when it was committed ("cols"), and the anti-join
+        # must compare against the data's current names
+        cur_names = tuple(d.get("as", d["cols"]))
+        by_cols[(tuple(d["cols"]), cur_names)].append(d)
+    for (phys, cols), entries in sorted(by_cols.items()):
         keys = reduce(
             DataFrame.unionByName,
             [
                 spark.read.parquet(e["path"])
-                .select(*cols)
+                .select(
+                    *[
+                        F.col(p).alias(c)
+                        for p, c in zip(phys, cols)
+                    ]
+                )
                 .withColumn("__del_at", F.lit(int(e["at"])).cast("long"))
                 for e in entries
             ],
@@ -1090,13 +1680,24 @@ def read_table(
     root: str,
     version: int | None = None,
     apply_deletes: bool = True,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Snapshot read: exactly the files the (pinned or newest)
     manifest names — orphans and in-flight stages are invisible.
     Pending merge-on-read delete files (``commit_delete``) are
     applied as anti-joins unless ``apply_deletes=False`` (audits);
     snapshots without deletes take the plain multi-file scan path
-    unchanged."""
+    unchanged.
+
+    ``as_of_ts`` (r15): timestamp time travel — read the newest
+    version committed at or before the given wall-time
+    (``resolve_as_of``; mutually exclusive with ``version``).  An
+    as-of below the vacuum retention window raises rather than
+    silently reading newer."""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version or as_of_ts, not both")
+        version = resolve_as_of(root, as_of_ts)
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -1119,6 +1720,7 @@ def read_table_pruned(
     hi=None,
     version: int | None = None,
     predicates: dict[str, tuple] | None = None,
+    eq: dict[str, object] | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Zone-map file skipping: read only the files whose recorded
     [min, max] intersects the given range on EVERY predicate column
@@ -1134,11 +1736,35 @@ def read_table_pruned(
     For date/timestamp stats columns, pass bounds as ISO strings
     (``"1995-01-01"``): stats persist in ISO form (``_json_stat``),
     whose lexicographic order matches value order — a raw datetime
-    bound would TypeError against the stored strings."""
-    if predicates is None:
+    bound would TypeError against the stored strings.
+
+    ``eq`` (r15, VERDICT r14 ask #1): equality/IN predicates —
+    ``{col: value}`` or ``{col: [values]}`` (IN is OR over the
+    values), ANDed with each other and with ``predicates``.  An eq
+    column prunes through BOTH mechanisms: its zone map (min > v or
+    max < v skips — effective only when the file is clustered on the
+    column) and its per-file Bloom bitmap when the table committed
+    ``bloom_cols`` (effective on UNSORTED high-cardinality columns,
+    where every file's min/max straddles the probe and zone maps
+    degenerate to a full scan).  Bloom false positives cost one extra
+    file scan and are removed by the caller's row filter; false
+    negatives are impossible, so the pruned read is exact."""
+    if predicates is None and eq is None:
         if col is None:
-            raise ValueError("pass col/lo/hi or predicates")
+            raise ValueError("pass col/lo/hi, predicates, or eq")
         predicates = {col: (lo, hi)}
+    predicates = dict(predicates or {})
+    eq_vals: dict[str, list] = {}
+    for c, vs in (eq or {}).items():
+        vals = list(vs) if isinstance(vs, (list, tuple, set)) else [vs]
+        if not vals:
+            raise ValueError(f"eq[{c!r}] is an empty IN-list")
+        eq_vals[c] = vals
+        if all(v is not None for v in vals):
+            # the zone-map side of the equality probe: the file must
+            # intersect [min(vals), max(vals)] — exact for a single
+            # value, conservative for an IN-list
+            predicates.setdefault(c, (min(vals), max(vals)))
     v = current_version(root) if version is None else version
     if v == 0:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -1157,6 +1783,9 @@ def read_table_pruned(
             return s.get(c)
         return s  # legacy single-column list
 
+    blooms = m.get("blooms", {})
+    bloom_m = int(m.get("bloom_meta", {}).get("m", 0) or 0)
+
     def intersects(f: str) -> bool:
         for c, (c_lo, c_hi) in predicates.items():
             b = col_bounds(f, c)
@@ -1167,6 +1796,20 @@ def read_table_pruned(
                 continue  # all-NULL stats: can't skip on it
             if mn > c_hi or mx < c_lo:
                 return False  # provably disjoint on this column: skip
+        if bloom_m:
+            for c, vals in eq_vals.items():
+                hexmap = blooms.get(f, {}).get(c)
+                if hexmap is None:
+                    continue  # no bitmap for this column: can't skip
+                if not any(
+                    v is not None and _bloom_test(hexmap, bloom_m, v)
+                    for v in vals
+                ):
+                    # NULL probes never match a bitmap (build drops
+                    # NULL keys), but a NULL in an IN-list matches no
+                    # row under SQL semantics anyway — skipping stays
+                    # exact
+                    return False
         return True
 
     keep = [f for f in m["files"] if intersects(f)]
@@ -1190,7 +1833,10 @@ def _walk_commits(
     since r14.  Returns None if any manifest in the range predates the
     field (legacy tables: callers fall back to endpoint set-diff);
     raises if one has been vacuumed away (the range is unrecoverable —
-    resume from a snapshot)."""
+    resume from a snapshot).  Like ``vacuum``, this walks the local
+    manifest store directly (LocalFSBackend-only — see vacuum's
+    backend-scope note); change feeds over a non-local backend go
+    through ``_resolve_state(..., backend=...)`` snapshots."""
     out: list[dict] = []
     for v in range(from_version + 1, to_version + 1):
         try:
@@ -1274,6 +1920,11 @@ def read_changes(
             added += c["added"]
         elif c["kind"] == "replace":
             continue  # partial compaction: layout change, zero row delta
+        elif c["kind"] == "rename":
+            # metadata-only: zero row delta; files added in the range
+            # are read below through the TO-version state, whose
+            # column-id resolution surfaces them under the final names
+            continue
         else:
             raise ValueError(
                 f"{c['kind']} commit at v{c['at']}: not representable "
@@ -1314,8 +1965,8 @@ def read_changes_cdf(
     for c in walked:
         if c["kind"] == "append":
             added += c["added"]
-        elif c["kind"] == "replace":
-            continue  # layout change, zero row delta
+        elif c["kind"] in ("replace", "rename"):
+            continue  # layout / metadata change, zero row delta
         elif c["kind"] == "delete":
             if not c.get("recorded"):
                 raise ValueError(
@@ -1376,7 +2027,17 @@ def vacuum(
     point at missing files.  So unreferenced files are swept only
     when older than ``min_orphan_age_s`` (default one day, Delta's
     convention); files referenced by an EXPIRED manifest were
-    committed and superseded, hence always safe to reclaim."""
+    committed and superseded, hence always safe to reclaim.
+
+    Backend scope (r14 ADVICE): vacuum is **LocalFSBackend-only** by
+    design — data files themselves are local parquet paths written by
+    ``_stage`` regardless of commit backend, and reclamation needs
+    list/stat/delete primitives that ``CommitBackend`` (a pure
+    publish-if-absent/read surface) deliberately does not carry.  A
+    production object-store port adds a delete-capable maintenance
+    interface alongside the commit protocol (Iceberg's FileIO split
+    is the same separation); the retention/anchor/orphan-age rules
+    here port verbatim."""
     import time
 
     newest = current_version(root)

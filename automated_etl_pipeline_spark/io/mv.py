@@ -196,7 +196,14 @@ class IncrementalAggView:
             delta = read_changes(spark, self.source_root, last, src_v)
             partial = self._partials(delta)
             mode = "incremental"
-        except ValueError:
+        except (ValueError, FileNotFoundError):
+            # ValueError: non-append commits in the range.
+            # FileNotFoundError: a legacy (pre-commit-record) table
+            # whose from_version manifest was vacuumed — the set-diff
+            # fallback inside read_changes resolves the FROM endpoint
+            # directly and surfaces the miss as FileNotFoundError,
+            # which must trigger the same full-recompute ladder as a
+            # ValueError (r14 ADVICE: it used to escape refresh()).
             try:
                 # the range has deletes but they recorded their victim
                 # rows (commit_delete(record_changes=True)): fold the

@@ -1865,7 +1865,9 @@ def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_merge_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The HLL merge contract under the value gate (VERDICT r4
     stretch, amended): the raw estimates stay engine-specific
-    (hll_distinct_rollup is no_oracle for that reason) and are NOT
+    (hll_distinct_rollup therefore gates derived exactness bounds
+    rather than raw sketch registers — it has carried a full SQL
+    oracle since r8) and are NOT
     merge-shape-invariant — DataSketches answers a single-pass sketch
     via the HIP accumulator but a union via the composite estimator,
     so exact merged==direct equality does not hold (measured 1302 vs

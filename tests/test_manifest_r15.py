@@ -1,0 +1,364 @@
+"""r15 manifest features: per-file Bloom point-lookup pruning,
+column renames via stable column IDs, and timestamp time travel
+(VERDICT r14 asks #1, #5, #6)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from automated_etl_pipeline_spark.io.manifest import (
+    SchemaEvolutionError,
+    _bloom_pack,
+    _bloom_py_positions,
+    _bloom_test,
+    commit_append,
+    commit_delete,
+    commit_rename,
+    commit_rewrite,
+    current_version,
+    manifest_files,
+    read_changes,
+    read_table,
+    read_table_pruned,
+    resolve_as_of,
+    table_schema,
+    vacuum,
+)
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="spark_graft_r15_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _kv(spark, lo, hi, parts=2):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+        )
+        .repartition(parts)
+    )
+
+
+# ---------------------------------------------------------------- bloom
+
+
+class TestBloomPacking:
+    def test_pack_probe_roundtrip(self):
+        m = 256
+        vals = [1, 7, 12345, "abc"]
+        pos = [p for v in vals for p in _bloom_py_positions(v, m)]
+        hx = _bloom_pack(pos, m)
+        assert len(hx) == m // 4
+        for v in vals:
+            assert _bloom_test(hx, m, v)
+        # an all-zero bitmap contains nothing
+        assert not _bloom_test(_bloom_pack([], m), m, 1)
+
+    def test_jvm_python_hash_parity(self, spark):
+        """The JVM build positions equal the driver probe positions
+        for every supported type — the one cross-engine surface."""
+        from automated_etl_pipeline_spark.functions.hashutil import (
+            md5_double_hash,
+        )
+
+        m = 512
+        df = spark.createDataFrame(
+            [Row(i=42, s="hello", d="2020-03-04")]
+        ).select(
+            "i", "s", F.col("d").cast("date").alias("d")
+        )
+        for c, pyv in [("i", 42), ("s", "hello")]:
+            h1, h2 = md5_double_hash(F.col(c))
+            jvm = df.select(
+                *[((h1 + F.lit(i) * h2) % m).alias(f"p{i}") for i in range(4)]
+            ).collect()[0]
+            assert [jvm[f"p{i}"] for i in range(4)] == _bloom_py_positions(
+                pyv, m
+            )
+        import datetime
+
+        h1, h2 = md5_double_hash(F.col("d"))
+        jvm = df.select(
+            *[((h1 + F.lit(i) * h2) % m).alias(f"p{i}") for i in range(4)]
+        ).collect()[0]
+        assert [jvm[f"p{i}"] for i in range(4)] == _bloom_py_positions(
+            datetime.date(2020, 3, 4), m
+        )
+
+    def test_point_lookup_prunes_and_is_exact(self, spark, root):
+        for i in range(4):
+            commit_append(
+                _kv(spark, i * 100, (i + 1) * 100, parts=2),
+                root,
+                f"a{i}",
+                bloom_cols=["k"],
+                bloom_bits=2048,
+            )
+        total = len(manifest_files(root))
+        assert total == 8
+        # present key: exact one-row answer, scans a strict subset
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 250})
+        assert n_total == 8 and 1 <= n_scan < 8
+        rows = df.filter(F.col("k") == 250).collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(250, 2500)]
+        # absent key: with 100 keys/file in 2048 bits fp is tiny
+        df, _, n_scan_abs = read_table_pruned(spark, root, eq={"k": 99999})
+        assert n_scan_abs <= 2
+        assert df.filter(F.col("k") == 99999).count() == 0
+        # IN-list across appends
+        df, _, n_in = read_table_pruned(spark, root, eq={"k": [5, 305]})
+        got = sorted(
+            (r["k"], r["v"])
+            for r in df.filter(F.col("k").isin([5, 305])).collect()
+        )
+        assert got == [(5, 50), (305, 3050)] and n_in < 8
+
+    def test_bloom_with_pending_deletes(self, spark, root):
+        commit_append(
+            _kv(spark, 0, 100), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_append(
+            _kv(spark, 100, 200), root, "a1", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_delete(
+            spark.createDataFrame([Row(k=50)]), root, "d0", ["k"]
+        )
+        df, _, _ = read_table_pruned(spark, root, eq={"k": 50})
+        assert df.filter(F.col("k") == 50).count() == 0
+        df, _, _ = read_table_pruned(spark, root, eq={"k": 51})
+        assert df.filter(F.col("k") == 51).count() == 1
+
+    def test_bloom_type_guard(self, spark, root):
+        df = spark.createDataFrame([Row(k=1, x=1.5)])
+        with pytest.raises(ValueError, match="CAST-to-string-stable"):
+            commit_append(df, root, "a0", bloom_cols=["x"])
+
+    def test_bloom_geometry_pinned(self, spark, root):
+        commit_append(
+            _kv(spark, 0, 10), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        with pytest.raises(ValueError, match="bitmap geometry"):
+            commit_append(
+                _kv(spark, 10, 20),
+                root,
+                "a1",
+                bloom_cols=["k"],
+                bloom_bits=4096,
+            )
+
+    def test_unbloomed_commit_keeps_file_readable(self, spark, root):
+        """A commit without bloom_cols on a bloom table: its files
+        carry no bitmap and are conservatively scanned, never
+        skipped."""
+        commit_append(
+            _kv(spark, 0, 100), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_append(_kv(spark, 100, 200), root, "a1")  # no blooms
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 150})
+        assert df.filter(F.col("k") == 150).count() == 1
+        # the unbloomed files must all have been scanned
+        assert n_scan >= 2
+
+
+# --------------------------------------------------------------- rename
+
+
+class TestColumnRename:
+    def test_rename_resolves_old_files(self, spark, root):
+        commit_append(_kv(spark, 0, 50), root, "a0")
+        commit_rename(root, "r0", {"v": "value"})
+        commit_append(
+            spark.range(50, 100).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("value")
+            ),
+            root,
+            "a1",
+        )
+        out = read_table(spark, root)
+        assert set(out.columns) == {"k", "value"}
+        # pre-rename rows surface their data under the NEW name —
+        # the whole point vs drop+add
+        assert out.filter(F.col("value").isNull()).count() == 0
+        assert out.filter(
+            (F.col("k") == 10) & (F.col("value") == 100)
+        ).count() == 1
+        assert out.count() == 100
+
+    def test_rename_is_not_drop_add(self, spark, root):
+        """After renaming v->value, appending a NEW column named v
+        creates a fresh column: old files' physical 'v' bytes must NOT
+        leak into it."""
+        commit_append(_kv(spark, 0, 50), root, "a0")
+        commit_rename(root, "r0", {"v": "value"})
+        commit_append(
+            spark.range(50, 60).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 10).alias("value"),
+                F.lit("fresh").alias("v"),
+            ),
+            root,
+            "a1",
+        )
+        out = read_table(spark, root)
+        assert set(out.columns) == {"k", "value", "v"}
+        old = out.filter(F.col("k") < 50)
+        assert old.filter(F.col("v").isNotNull()).count() == 0
+        assert old.filter(F.col("value").isNull()).count() == 0
+
+    def test_rename_swap(self, spark, root):
+        commit_append(
+            spark.createDataFrame([Row(a=1, b=2)]), root, "a0"
+        )
+        commit_rename(root, "r0", {"a": "b", "b": "a"})
+        row = read_table(spark, root).collect()[0]
+        assert row["b"] == 1 and row["a"] == 2
+
+    def test_rename_validation(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        with pytest.raises(SchemaEvolutionError, match="not a table column"):
+            commit_rename(root, "r1", {"zzz": "y"})
+        with pytest.raises(SchemaEvolutionError, match="already exists"):
+            commit_rename(root, "r2", {"v": "k"})
+        with pytest.raises(SchemaEvolutionError, match="same target"):
+            commit_rename(root, "r3", {"v": "x", "k": "x"})
+
+    def test_rename_idempotent_and_metadata_only(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        files_before = manifest_files(root)
+        v1 = commit_rename(root, "r0", {"v": "value"})
+        assert commit_rename(root, "r0", {"v": "value"}) == v1
+        assert manifest_files(root) == files_before
+        assert current_version(root) == v1
+
+    def test_rename_with_pending_delete(self, spark, root):
+        commit_append(_kv(spark, 0, 100), root, "a0")
+        commit_delete(
+            spark.createDataFrame([Row(v=100)]), root, "d0", ["v"]
+        )
+        commit_rename(root, "r0", {"v": "value"})
+        out = read_table(spark, root)
+        assert out.filter(F.col("value") == 100).count() == 0  # k=10 gone
+        assert out.count() == 99
+
+    def test_rename_stats_and_blooms_follow(self, spark, root):
+        for i in range(3):
+            commit_append(
+                _kv(spark, i * 100, (i + 1) * 100),
+                root,
+                f"a{i}",
+                stats_cols=["k"],
+                bloom_cols=["k"],
+                bloom_bits=2048,
+            )
+        commit_rename(root, "r0", {"k": "key"})
+        df, n_total, n_scan = read_table_pruned(
+            spark, root, predicates={"key": (250, 260)}, eq={"key": 250}
+        )
+        assert n_scan < n_total
+        assert df.filter(F.col("key") == 250).count() == 1
+
+    def test_read_changes_across_rename(self, spark, root):
+        commit_append(_kv(spark, 0, 50), root, "a0")
+        v1 = current_version(root)
+        commit_rename(root, "r0", {"v": "value"})
+        commit_append(
+            spark.range(50, 80).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("value")
+            ),
+            root,
+            "a1",
+        )
+        delta = read_changes(spark, root, v1, current_version(root))
+        assert delta.count() == 30
+        assert set(delta.columns) == {"k", "value"}
+
+    def test_schema_evolution_still_rejects_type_change(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        commit_rename(root, "r0", {"v": "value"})
+        with pytest.raises(SchemaEvolutionError, match="type changes"):
+            commit_append(
+                spark.createDataFrame([Row(k=99, value="oops")]),
+                root,
+                "a1",
+            )
+
+    def test_table_schema_reflects_rename(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        commit_rename(root, "r0", {"v": "value"})
+        names = [f.name for f in table_schema(root).fields]
+        assert names == ["k", "value"]
+
+
+# ---------------------------------------------------------- time travel
+
+
+class TestTimestampTimeTravel:
+    def test_as_of_resolution(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=100.0)
+        commit_append(_kv(spark, 10, 20), root, "a1", commit_ts=200.0)
+        commit_append(_kv(spark, 20, 30), root, "a2", commit_ts=300.0)
+        assert resolve_as_of(root, 250.0) == 2
+        assert resolve_as_of(root, 200.0) == 2  # inclusive
+        assert resolve_as_of(root, 1e9) == 3
+        assert read_table(spark, root, as_of_ts=250.0).count() == 20
+        assert read_table(spark, root, as_of_ts=100.0).count() == 10
+
+    def test_as_of_before_first_raises(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=100.0)
+        with pytest.raises(ValueError, match="predates"):
+            resolve_as_of(root, 50.0)
+
+    def test_version_and_as_of_exclusive(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=100.0)
+        with pytest.raises(ValueError, match="not both"):
+            read_table(spark, root, version=1, as_of_ts=100.0)
+
+    def test_clock_skew_clamps_monotonic(self, spark, root):
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=500.0)
+        commit_append(_kv(spark, 10, 20), root, "a1", commit_ts=100.0)
+        # the second commit clamps forward to 500: as-of 400 must NOT
+        # see it (it was committed "later" in the table's own order)
+        with pytest.raises(ValueError, match="predates"):
+            resolve_as_of(root, 400.0)
+        assert resolve_as_of(root, 500.0) == 2
+
+    def test_vacuum_expired_as_of_raises(self, spark, root):
+        for i in range(10):
+            commit_append(
+                _kv(spark, i * 10, (i + 1) * 10),
+                root,
+                f"a{i}",
+                commit_ts=100.0 * (i + 1),
+            )
+        # rewrite so old files become reclaimable, then expire history
+        commit_rewrite(
+            read_table(spark, root), root, "rw", commit_ts=2000.0
+        )
+        vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+        with pytest.raises(ValueError, match="retention|predates"):
+            resolve_as_of(root, 150.0)
+        # the retained snapshot still resolves
+        assert read_table(
+            spark, root, as_of_ts=2000.0
+        ).count() == 100
+
+    def test_default_ts_is_wallclock_monotonic(self, spark, root):
+        import time
+
+        t0 = time.time() - 1.0
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        commit_append(_kv(spark, 10, 20), root, "a1")
+        v = resolve_as_of(root, time.time() + 1.0)
+        assert v == 2
+        with pytest.raises(ValueError, match="predates"):
+            resolve_as_of(root, t0 - 3600.0)

@@ -28,6 +28,7 @@ No semantics change anywhere: gates are executed as-is.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -120,6 +121,7 @@ def main() -> None:
     for g in GATES:
         qs[g](spark, "/root/testdata/sf0.001").count()
 
+    load_start = tuple(round(x, 2) for x in os.getloadavg())
     record: dict = {"comment": __doc__.split("\n\n")[1], "gates": {}}
     for g in GATES:
         t0 = time.perf_counter()
@@ -144,6 +146,14 @@ def main() -> None:
     )
     print(json.dumps(record["tumbling_phase_breakdown_sf01"], indent=1))
 
+    # host-load context alongside the timings, same shape as
+    # BENCH_DETAIL.json's conditions block (r14 VERDICT ask #7): a
+    # reader comparing two records can see whether a drift is load
+    record["conditions"] = {
+        "loadavg_start": load_start,
+        "loadavg_end": tuple(round(x, 2) for x in os.getloadavg()),
+        "cpus": os.cpu_count(),
+    }
     dst = Path(__file__).resolve().parent.parent / "BENCH_STREAMING_DETAIL.json"
     dst.write_text(json.dumps(record, indent=1) + "\n")
     print(f"written {dst}")
