@@ -696,21 +696,57 @@ def _commit(
         return orig
 
     new_stats: dict[str, dict] = {}
-    if cols and new_files:
-        # ONE job for all files' stats: group the staged scan by
-        # input_file_name() instead of launching a per-file aggregate
-        # (O(files) driver-side jobs — the old shape that turns a
-        # 10k-file commit into 10k scheduler round-trips).  A real
-        # port reads these from the parquet footers the writer
-        # already produced; this is the one-pass equivalent.
+    new_blooms: dict[str, dict] = {}
+    if (cols or bloom_cols) and new_files:
+        # ONE job for all files' metadata — zone-map min/max AND bloom
+        # position sets together — grouped by input_file_name()
+        # instead of per-file aggregates (O(files) driver-side jobs —
+        # the old shape that turns a 10k-file commit into 10k
+        # scheduler round-trips).  A real port reads both from the
+        # parquet footers the writer already produced; this is the
+        # one-pass equivalent.
         from pyspark.sql import functions as F
 
+        staged = df.sparkSession.read.parquet(*new_files)
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        if bloom_cols:
+            from automated_etl_pipeline_spark.functions.hashutil import (
+                md5_double_hash,
+            )
+
+            types = {
+                f.name: f.dataType.simpleString() for f in staged.schema
+            }
+            for c in bloom_cols:
+                if types.get(c) not in _BLOOM_TYPES:
+                    raise ValueError(
+                        f"bloom column {c!r} has type {types.get(c)!r}; "
+                        f"bloom sidecars need a CAST-to-string-stable "
+                        f"type ({', '.join(_BLOOM_TYPES)}) so the "
+                        "driver-side probe hash matches the JVM build "
+                        "hash"
+                    )
+            for ci, c in enumerate(bloom_cols):
+                # k positions per key via the pinned double-hash
+                # contract (functions/hashutil.py); distinct positions
+                # per file collected as one array column, bounded by
+                # min(rows * k, bloom_bits) ints per file
+                h1, h2 = md5_double_hash(F.col(c))
+                pos = F.array(
+                    *[
+                        ((h1 + F.lit(i) * h2) % bloom_bits).cast("int")
+                        for i in range(BLOOM_K)
+                    ]
+                )
+                aggs.append(
+                    F.array_distinct(
+                        F.flatten(F.collect_set(pos))
+                    ).alias(f"bl_{ci}")
+                )
         rows = (
-            df.sparkSession.read.parquet(*new_files)
-            .groupBy(F.input_file_name().alias("__f"))
+            staged.groupBy(F.input_file_name().alias("__f"))
             .agg(*aggs)
             .collect()
         )
@@ -719,69 +755,29 @@ def _commit(
         # the stats by the ORIGINAL spelling via an abspath map so a
         # relative root keeps working
         for row in rows:
-            new_stats[_orig_path(row["__f"])] = {
-                c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
-                for c in cols
-            }
-    new_blooms: dict[str, dict] = {}
-    if bloom_cols and new_files:
-        from pyspark.sql import functions as F
-
-        from automated_etl_pipeline_spark.functions.hashutil import (
-            md5_double_hash,
-        )
-
-        staged = df.sparkSession.read.parquet(*new_files)
-        types = {f.name: f.dataType.simpleString() for f in staged.schema}
-        for c in bloom_cols:
-            if types.get(c) not in _BLOOM_TYPES:
-                raise ValueError(
-                    f"bloom column {c!r} has type {types.get(c)!r}; bloom "
-                    f"sidecars need a CAST-to-string-stable type "
-                    f"({', '.join(_BLOOM_TYPES)}) so the driver-side "
-                    "probe hash matches the JVM build hash"
+            orig = _orig_path(row["__f"])
+            if cols:
+                new_stats[orig] = {
+                    c: [
+                        _json_stat(row[f"mn_{c}"]),
+                        _json_stat(row[f"mx_{c}"]),
+                    ]
+                    for c in cols
+                }
+            for ci, c in enumerate(bloom_cols or []):
+                # NULL keys yield NULL positions — dropped (they never
+                # probe true)
+                ps = [p for p in row[f"bl_{ci}"] if p is not None]
+                new_blooms.setdefault(orig, {})[c] = _bloom_pack(
+                    ps, bloom_bits
                 )
-        # ONE distinct aggregate for every (file, col, position): k
-        # positions per key via the pinned double-hash contract, NULL
-        # keys dropped (they never probe true).  Bounded by
-        # files x cols x bloom_bits distinct rows.
-        structs = []
-        for ci, c in enumerate(bloom_cols):
-            h1, h2 = md5_double_hash(F.col(c))
-            for i in range(BLOOM_K):
-                structs.append(
-                    F.struct(
-                        F.lit(ci).alias("c"),
-                        ((h1 + F.lit(i) * h2) % bloom_bits)
-                        .cast("int")
-                        .alias("p"),
-                    )
-                )
-        pos_rows = (
-            staged.select(
-                F.input_file_name().alias("__f"),
-                F.explode(F.array(*structs)).alias("cp"),
-            )
-            .filter(F.col("cp.p").isNotNull())
-            .select("__f", F.col("cp.c").alias("c"), F.col("cp.p").alias("p"))
-            .distinct()
-            .collect()
-        )
-        grouped: dict[tuple[str, int], list[int]] = {}
-        for r in pos_rows:
-            grouped.setdefault((_orig_path(r["__f"]), r["c"]), []).append(
-                r["p"]
-            )
-        for (f, ci), ps in grouped.items():
-            new_blooms.setdefault(f, {})[bloom_cols[ci]] = _bloom_pack(
-                ps, bloom_bits
-            )
-        # a staged file with zero rows (or all-NULL keys) gets an
-        # all-zero bitmap — provably contains nothing
-        empty = _bloom_pack([], bloom_bits)
-        for f in new_files:
-            for c in bloom_cols:
-                new_blooms.setdefault(f, {}).setdefault(c, empty)
+        if bloom_cols:
+            # a staged file with zero rows (or all-NULL keys) gets an
+            # all-zero bitmap — provably contains nothing
+            empty = _bloom_pack([], bloom_bits)
+            for f in new_files:
+                for c in bloom_cols:
+                    new_blooms.setdefault(f, {}).setdefault(c, empty)
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,

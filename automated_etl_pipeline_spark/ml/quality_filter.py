@@ -74,17 +74,31 @@ def raw_text_counts(
     n_distinct/n_tok and n_chars/n_tok).  ``extra_cols`` pass through
     from the same scan so callers needing a label column never
     self-join the corpus to get it back (one projection, no
-    shuffle)."""
+    shuffle).
+
+    The token array is materialized in its OWN projection stage
+    before the size/distinct consumers (r15, VERDICT r14 ask #4):
+    higher-order split/filter expressions get no codegen
+    common-subexpression elimination, and referencing ``toks`` twice
+    in one select evaluates the split twice per row; a non-cheap
+    alias referenced twice is exactly what CollapseProject declines
+    to inline, so the two-stage shape runs the split once — half the
+    per-row string work on the 100 TB scoring path."""
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), " "), lambda t: t != ""
     )
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.size(toks).cast("long").alias("n_tok"),
+        toks.alias("__toks"),
         F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias(
             "n_chars"
         ),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        *[F.col(c) for c in extra_cols],
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tok"),
+        "n_chars",
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
         *[F.col(c) for c in extra_cols],
     )
 

@@ -1535,7 +1535,7 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
     GROUP BY change ORDER BY change
     """,
-    subsumed_by="merge_upsert_orders + manifest_change_feed",
+    subsumed_by="merge_upsert_orders + mv_incremental_refresh",
 )
 def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the table-versioning audit between two states of
@@ -1791,7 +1791,7 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
+@retired_query(
     "hll_distinct_rollup",
     """
     SELECT o_orderpriority,
@@ -1801,6 +1801,7 @@ def rolling_90d_peak_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRUE AS rollup_within_5pct
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
+    subsumed_by="hll_merge_error_bound",
 )
 def hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate-distinct rollup (functions/sketches.py):
@@ -4168,7 +4169,7 @@ def _incr_frames(spark: SparkSession, sf_dir: str):
     return old_part, new_batch, merged, full
 
 
-@retired_query("incremental_agg_merge", _INCR_MERGE_ORACLE, subsumed_by="incr_join_view_maintenance")
+@retired_query("incremental_agg_merge", _INCR_MERGE_ORACLE, subsumed_by="mv_incremental_refresh")
 def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge stored pre-2024-01-25 per-event-type partials with the
     newer raw slice and prove, in-query, that the merge equals the
@@ -4315,7 +4316,7 @@ FROM direct GROUP BY bucket ORDER BY bucket
 """
 
 
-@query("scd2_time_travel", _TIME_TRAVEL_ORACLE)
+@retired_query("scd2_time_travel", _TIME_TRAVEL_ORACLE, subsumed_by="scd2_priority_history")
 def scd2_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS OF 1997-06-01 snapshot reconstructed from scd2_history
     validity intervals, proven equal to the direct latest-change
@@ -5662,7 +5663,7 @@ FROM planned GROUP BY 1 ORDER BY 1
 """
 
 
-@query("compaction_bin_plan", _COMPACTION_ORACLE)
+@retired_query("compaction_bin_plan", _COMPACTION_ORACLE, subsumed_by="manifest_compaction_rewrite")
 def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction planner: treat each (source, lang) slice
     of documents as a 'file' whose size is its total characters, sort
@@ -5768,7 +5769,7 @@ FROM fact
 """
 
 
-@query("bloom_semi_join_prune", _BLOOM_PRUNE_ORACLE)
+@retired_query("bloom_semi_join_prune", _BLOOM_PRUNE_ORACLE, subsumed_by="manifest_bloom_point_lookup")
 def bloom_semi_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning (operators/bloom.py) — the
     runtime-filter pattern Spark's InjectRuntimeFilter applies
@@ -6132,7 +6133,7 @@ ORDER BY o_orderpriority
 """
 
 
-@query("incr_join_view_maintenance", _IVM_JOIN_ORACLE)
+@retired_query("incr_join_view_maintenance", _IVM_JOIN_ORACLE, subsumed_by="mv_incremental_refresh")
 def incr_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental maintenance of a JOIN view: with base tables split
     into (A, dA) x (B, dB), the view delta is the classic three-term
@@ -6211,7 +6212,7 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
-@query("manifest_table_isolation", _MANIFEST_ORACLE)
+@retired_query("manifest_table_isolation", _MANIFEST_ORACLE, subsumed_by="manifest_compaction_rewrite")
 def manifest_table_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-committed table (io/manifest.py): commit 1 appends the
     s_nationkey < 13 suppliers, commit 2 the rest; commit 2 is then
@@ -6707,7 +6708,7 @@ FROM supplier
 """
 
 
-@query("manifest_change_feed", _CHANGE_FEED_ORACLE)
+@retired_query("manifest_change_feed", _CHANGE_FEED_ORACLE, subsumed_by="mv_incremental_refresh")
 def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Version-tailing change feed on the manifest table
     (io/manifest.read_changes): suppliers land in three append commits
@@ -6978,7 +6979,7 @@ FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
-@query("manifest_schema_evolution", _SCHEMA_EVOLUTION_ORACLE)
+@retired_query("manifest_schema_evolution", _SCHEMA_EVOLUTION_ORACLE, subsumed_by="manifest_column_rename")
 def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on the manifest table (io/manifest.py): v1
     appends three customer columns; v2 appends the other half WITH an
@@ -7066,7 +7067,7 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
-@query("manifest_partial_compaction", _PARTIAL_COMPACTION_ORACLE)
+@retired_query("manifest_partial_compaction", _PARTIAL_COMPACTION_ORACLE, subsumed_by="manifest_compaction_rewrite")
 def manifest_partial_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial compaction (io/manifest.commit_replace_files): the v1
     append lands fragmented (3 files), v2 adds more, v3 DELETES the
@@ -7396,4 +7397,359 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {to}")
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
         shutil.rmtree(base, ignore_errors=True)
+    return snap.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# r15 manifest-table wave (VERDICT r14 asks #1, #5, #6): bloom
+# point-lookup file skipping, column renames over stable column IDs,
+# timestamp time travel.
+# ---------------------------------------------------------------------------
+
+_BLOOM_POINT_LOOKUP_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders
+),
+keys AS (
+  SELECT 'lo' AS probe, mn AS k FROM bounds
+  UNION ALL
+  SELECT 'mid', (SELECT MIN(o_orderkey) FROM orders
+                 WHERE o_orderkey >= (SELECT mx // 2 FROM bounds))
+  UNION ALL
+  SELECT 'hi', mx FROM bounds
+)
+SELECT probe,
+       CAST(k AS BIGINT) AS o_orderkey,
+       CAST((SELECT COUNT(*) FROM orders o WHERE o.o_orderkey = keys.k)
+            AS BIGINT) AS n_rows,
+       CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders o WHERE o.o_orderkey = keys.k)
+            AS DOUBLE) AS total,
+       CAST(1 AS BIGINT) AS mid_bloom_lt_zone,
+       CAST(1 AS BIGINT) AS mid_scan_lt_half,
+       CAST(0 AS BIGINT) AS absent_rows,
+       CAST(1 AS BIGINT) AS absent_scan_le_8
+FROM keys ORDER BY probe
+"""
+
+
+@query("manifest_bloom_point_lookup", _BLOOM_POINT_LOOKUP_ORACLE)
+def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom point-lookup file skipping on the manifest table (r15,
+    VERDICT r14 ask #1).  Zone maps cannot prune ``key = k`` on a
+    high-cardinality UNSORTED column — every file's [min, max]
+    straddles the probe, so a one-row answer reads the whole table at
+    100 TB.  This gate builds an 18-file manifest table from orders
+    (6 appends split by ``o_orderkey % 6``, each repartitioned to 3
+    unsorted files, per-file 65536-bit Bloom sidecars committed via
+    ``bloom_cols``), then hash-gates three point lookups (global min /
+    first-above-midpoint / global max keys — each derived identically
+    in both engines) read through ``read_table_pruned(eq=...)``:
+
+    - the returned ROWS equal the plain-table answer (pruning is
+      exact: false positives are re-filtered, false negatives are
+      impossible);
+    - ``mid_bloom_lt_zone``: for the midpoint key, bloom+zone scans
+      STRICTLY fewer files than the zone map alone — the zone-only
+      read degenerates to (nearly) a full scan on the unsorted key
+      while the bitmaps keep it at the owning append's files plus a
+      measured-small false-positive tail;
+    - ``mid_scan_lt_half`` / ``absent_scan_le_8``: margins pinned as
+      booleans so the gate is SF-stable (file COUNTS shift with
+      layout; the ordering invariants do not);
+    - an absent key (max + 12345) returns zero rows.
+
+    Scale: the pruning decision is driver-side metadata math — no
+    Spark job runs to decide which files to read; at 1000 executors
+    the saved work is the difference between 32768 tasks and ~5.
+    SCALE_SMOKE_r15 measures files-scanned staying O(1) under 16x
+    table growth while zone-only scanning grows O(files)."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_table_pruned,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    sub = orders.select("o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="spark_graft_bloom_")
+    try:
+        for b in range(6):
+            commit_append(
+                sub.filter(F.col("o_orderkey") % 6 == b).repartition(3),
+                root,
+                f"a{b}",
+                stats_cols=["o_orderkey"],
+                bloom_cols=["o_orderkey"],
+                bloom_bits=65536,
+            )
+        mn, mx = sub.agg(
+            F.min("o_orderkey"), F.max("o_orderkey")
+        ).collect()[0]
+        mid = sub.filter(F.col("o_orderkey") >= mx // 2).agg(
+            F.min("o_orderkey")
+        ).collect()[0][0]
+        probes = [("lo", mn), ("mid", mid), ("hi", mx)]
+        rows = []
+        mid_bloom = mid_zone = total_files = 0
+        for label, k in probes:
+            pruned, n_total, n_bloom = read_table_pruned(
+                spark, root, eq={"o_orderkey": int(k)}
+            )
+            got = (
+                pruned.filter(F.col("o_orderkey") == int(k))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total"),
+                )
+                .collect()[0]
+            )
+            rows.append((label, int(k), int(got["n"]), float(got["total"])))
+            if label == "mid":
+                # the zone-only comparison read matters only where the
+                # zone map degenerates (midpoint on an unsorted key);
+                # lo/hi keys ARE zone-prunable, so comparing there
+                # would prove nothing
+                _, _, n_zone = read_table_pruned(
+                    spark, root, predicates={"o_orderkey": (int(k), int(k))}
+                )
+                mid_bloom, mid_zone, total_files = n_bloom, n_zone, n_total
+        absent_df, _, n_absent_scan = read_table_pruned(
+            spark, root, eq={"o_orderkey": int(mx) + 12345}
+        )
+        absent_rows = absent_df.filter(
+            F.col("o_orderkey") == int(mx) + 12345
+        ).count()
+        out = spark.createDataFrame(
+            rows, "probe string, o_orderkey long, n_rows long, total double"
+        ).select(
+            "probe",
+            "o_orderkey",
+            "n_rows",
+            "total",
+            F.lit(1 if mid_bloom < mid_zone else 0)
+            .cast("bigint")
+            .alias("mid_bloom_lt_zone"),
+            F.lit(1 if mid_bloom < total_files / 2 else 0)
+            .cast("bigint")
+            .alias("mid_scan_lt_half"),
+            F.lit(int(absent_rows)).cast("bigint").alias("absent_rows"),
+            F.lit(1 if n_absent_scan <= 8 else 0)
+            .cast("bigint")
+            .alias("absent_scan_le_8"),
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("probe")
+
+
+_COLUMN_RENAME_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS acct_balance_sum,
+       CAST(0 AS BIGINT) AS n_null_balance,
+       CAST(1 AS BIGINT) AS v1_old_name_ok,
+       CAST(1 AS BIGINT) AS fresh_reuse_null_ok
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+@query("manifest_column_rename", _COLUMN_RENAME_ORACLE)
+def manifest_column_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column rename via stable column IDs (r15, VERDICT r14 ask #5;
+    io/manifest.commit_rename).  v1 appends the even half of customer
+    under ``c_acctbal``; a METADATA-ONLY commit renames it to
+    ``acct_balance``; the odd half appends under the new name, and a
+    final append REUSES the old name ``c_acctbal`` as a genuinely new
+    column.  The gate hash-checks:
+
+    - the unioned logical view sums ``acct_balance`` over ALL rows
+      with ZERO nulls (``n_null_balance``): pre-rename files resolve
+      their physical ``c_acctbal`` bytes to the new name through the
+      id mapping — the distinction from drop+add, which would
+      NULL-fill half the table;
+    - ``v1_old_name_ok``: time travel to v1 still reads the
+      pre-rename schema (renames never rewrite history);
+    - ``fresh_reuse_null_ok``: the re-used old name is a FRESH column
+      (new id) — pre-rename files' physical ``c_acctbal`` bytes must
+      NOT leak into it (NULL everywhere except the final append).
+
+    Scale: a rename at 100 TB moves zero data bytes — one manifest
+    write; readers group files by physical-name signature (bounded by
+    renames spanned, here 2 scans) with pushdown intact per scan."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_rename,
+        read_table,
+    )
+
+    (cust,) = _t(spark, sf_dir, "customer")
+    base = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+    k = F.col("c_custkey")
+    root = tempfile.mkdtemp(prefix="spark_graft_rename_")
+    try:
+        commit_append(base.filter(k % 2 == 0), root, "a1")
+        commit_rename(root, "r1", {"c_acctbal": "acct_balance"})
+        commit_append(
+            base.filter((k % 2 == 1) & (k % 5 != 0)).withColumnRenamed(
+                "c_acctbal", "acct_balance"
+            ),
+            root,
+            "a2",
+        )
+        commit_append(
+            base.filter((k % 2 == 1) & (k % 5 == 0))
+            .withColumnRenamed("c_acctbal", "acct_balance")
+            .withColumn("c_acctbal", F.lit("fresh")),
+            root,
+            "a3",
+        )
+        v1_cols = read_table(spark, root, version=1).columns
+        v1_old_name_ok = 1 if v1_cols == [
+            "c_custkey", "c_mktsegment", "c_acctbal"
+        ] else 0
+        latest = read_table(spark, root)
+        fresh_reuse_null_ok = (
+            1
+            if latest.filter(
+                F.col("c_acctbal").isNotNull()
+                & ~((k % 2 == 1) & (k % 5 == 0))
+            ).count()
+            == 0
+            else 0
+        )
+        out = (
+            latest.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("acct_balance").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("acct_balance_sum"),
+                F.sum(F.col("acct_balance").isNull().cast("long"))
+                .cast("bigint")
+                .alias("n_null_balance"),
+            )
+            .select(
+                "c_mktsegment",
+                F.col("n").cast("bigint").alias("n"),
+                "acct_balance_sum",
+                "n_null_balance",
+                F.lit(v1_old_name_ok).cast("bigint").alias("v1_old_name_ok"),
+                F.lit(fresh_reuse_null_ok)
+                .cast("bigint")
+                .alias("fresh_reuse_null_ok"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("c_mktsegment")
+
+
+_TIME_TRAVEL_TS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 != 2) AS BIGINT)
+         AS n_asof_2500,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FILTER (WHERE o_orderkey % 3 != 2) AS DOUBLE)
+         AS rev_asof_2500,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT)
+         AS n_asof_1000,
+       CAST(1 AS BIGINT) AS early_raises,
+       CAST(1 AS BIGINT) AS boundary_inclusive
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("manifest_time_travel_ts", _TIME_TRAVEL_TS_ORACLE)
+def manifest_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel (r15, VERDICT r14 ask #6;
+    io/manifest.resolve_as_of).  Three appends of orders split by
+    ``o_orderkey % 3`` are stamped with PINNED synthetic commit
+    times 1000/2000/3000 via ``commit_ts`` (no wall-clock
+    nondeterminism — VERDICT's stamp-via-commit-metadata rule); the
+    gate hash-checks:
+
+    - ``read_table(as_of_ts=2500)`` resolves to v2 (splits 0 and 1);
+    - ``as_of_ts=1000`` is INCLUSIVE at the boundary (resolves v1,
+      pinned via ``boundary_inclusive``);
+    - an as-of BEFORE the first commit raises instead of silently
+      reading anything (``early_raises``).
+
+    The vacuum-retention interaction (an expired as-of raises, never
+    reads newer) is pinned by
+    tests/test_manifest_r15.py::test_vacuum_expired_as_of_raises.
+
+    Scale: as-of resolution is driver-side manifest metadata (newest-
+    first scan, bounded by retained versions; a production port keeps
+    a version->ts index) — no data is touched until the resolved
+    snapshot's file list is handed to the scan."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        read_table,
+        resolve_as_of,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    sub = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="spark_graft_asof_")
+    try:
+        for i, ts in enumerate([1000.0, 2000.0, 3000.0]):
+            commit_append(
+                sub.filter(F.col("o_orderkey") % 3 == i),
+                root,
+                f"a{i}",
+                commit_ts=ts,
+            )
+        try:
+            resolve_as_of(root, 999.0)
+            early_raises = 0
+        except ValueError:
+            early_raises = 1
+        boundary_inclusive = 1 if resolve_as_of(root, 1000.0) == 1 else 0
+        asof_1000 = (
+            read_table(spark, root, as_of_ts=1000.0)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_asof_1000"))
+        )
+        out = (
+            read_table(spark, root, as_of_ts=2500.0)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_asof_2500"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("rev_asof_2500"),
+            )
+            .join(asof_1000, "o_orderpriority", "left")
+            .select(
+                "o_orderpriority",
+                F.col("n_asof_2500").cast("bigint").alias("n_asof_2500"),
+                "rev_asof_2500",
+                F.coalesce(F.col("n_asof_1000"), F.lit(0))
+                .cast("bigint")
+                .alias("n_asof_1000"),
+                F.lit(early_raises).cast("bigint").alias("early_raises"),
+                F.lit(boundary_inclusive)
+                .cast("bigint")
+                .alias("boundary_inclusive"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return snap.orderBy("o_orderpriority")

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from automated_etl_pipeline_spark.queries import _t, query
+from automated_etl_pipeline_spark.queries import _t, query, retired_query
 
 
 # The pinned Poisson model's scoring, recomputed from scratch: the
@@ -170,7 +170,7 @@ FROM lam ORDER BY team_a, team_b
 """
 
 
-@query("m4_outcome_matrix", _M4_ORACLE)
+@retired_query("m4_outcome_matrix", _M4_ORACLE, subsumed_by="m5_bracket_exact")
 def m4_outcome_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 — the win/draw/loss outcome matrix (ml_project.py:218-239's
     tril/diag/triu sums) as a FULL hash gate: probabilities conditioned

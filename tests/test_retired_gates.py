@@ -33,7 +33,11 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_retired_registry_shape():
-    assert len(RETIRED) == 47  # 26 r13 + 21 r14 (incl. zone_map_file_skipping)
+    # 26 r13 + 21 r14 (incl. zone_map_file_skipping) + 10 r15 (m4,
+    # manifest lifecycle diagnostics, bloom semi-join, scd2 time
+    # travel, hll rollup, incr join view, compaction planner —
+    # VERDICT r14 ask #3's <=180 registry target)
+    assert len(RETIRED) == 57
     # every retiree has a FULL oracle (no weak rows-only contracts here)
     assert set(RETIRED) == set(RETIRED_ORACLES) == set(RETIRED_SUBSUMED)
     # no name is simultaneously live and retired
