@@ -396,9 +396,9 @@ def test_m4_gate_matches_outcome_probs(spark):
     shared-text SQL arithmetic to the reference implementation."""
     import automated_etl_pipeline_spark.queries_ml  # noqa: F401
     from automated_etl_pipeline_spark.ml.simulate import outcome_probs
-    from automated_etl_pipeline_spark.queries import QUERIES
+    from automated_etl_pipeline_spark.queries import RETIRED
 
-    rows = QUERIES["m4_outcome_matrix"](
+    rows = RETIRED["m4_outcome_matrix"](
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert len(rows) == 56  # 8 teams, directed pairs
