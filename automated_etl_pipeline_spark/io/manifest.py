@@ -2006,8 +2006,32 @@ def read_changes_cdf(
     return out
 
 
+def read_changes_ts(
+    spark: SparkSession, root: str, from_ts: float, to_ts: float
+) -> DataFrame:
+    """Change feed addressed by COMMIT WALL-TIME (r15): the rows added
+    between the snapshots as-of ``from_ts`` and as-of ``to_ts`` —
+    "what landed since yesterday 06:00" without the consumer tracking
+    version numbers.  Resolution is ``resolve_as_of`` on both ends
+    (inclusive at-or-before semantics, so the range is exactly the
+    commits with from_ts < commit ts <= to_ts under monotonic
+    stamping); the walk and its refusal rules (rewrites/unrecorded
+    deletes raise; replace/rename contribute nothing) are
+    ``read_changes``'s, unchanged."""
+    from_v = resolve_as_of(root, from_ts)
+    to_v = resolve_as_of(root, to_ts)
+    if to_v < from_v:
+        raise ValueError(
+            f"to_ts resolves to v{to_v}, before from_ts's v{from_v}"
+        )
+    return read_changes(spark, root, from_v, to_v)
+
+
 def vacuum(
-    root: str, keep_last: int = 1, min_orphan_age_s: float = 86400.0
+    root: str,
+    keep_last: int = 1,
+    min_orphan_age_s: float = 86400.0,
+    retain_as_of_ts: float | None = None,
 ) -> list[str]:
     """Delete data files referenced by NO manifest within the
     retention window (the newest ``keep_last`` versions) and drop the
@@ -2025,6 +2049,15 @@ def vacuum(
     convention); files referenced by an EXPIRED manifest were
     committed and superseded, hence always safe to reclaim.
 
+    ``retain_as_of_ts`` (r15): TIME-based retention — additionally
+    keep every version a ``read_table(as_of_ts >= retain_as_of_ts)``
+    could resolve to, i.e. the as-of snapshot at that instant and
+    everything newer.  Production retention is measured in days
+    ("VACUUM ... RETAIN 168 HOURS"), not versions: pass
+    ``time.time() - retention_s`` and version-count retention becomes
+    the floor rather than the contract.  A retain point predating the
+    first commit keeps all history.
+
     Backend scope (r14 ADVICE): vacuum is **LocalFSBackend-only** by
     design — data files themselves are local parquet paths written by
     ``_stage`` regardless of commit backend, and reclamation needs
@@ -2040,6 +2073,11 @@ def vacuum(
     if newest == 0:
         return []
     lo = max(1, newest - keep_last + 1)
+    if retain_as_of_ts is not None:
+        try:
+            lo = min(lo, resolve_as_of(root, retain_as_of_ts))
+        except ValueError:
+            lo = 1  # retain point predates the table: keep everything
     # manifests below the newest CHECKPOINT at or under ``lo`` are
     # dropped; everything from that anchor up stays READABLE, so its
     # files must stay LIVE — a surviving manifest must never name a

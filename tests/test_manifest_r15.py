@@ -362,3 +362,53 @@ class TestTimestampTimeTravel:
         assert v == 2
         with pytest.raises(ValueError, match="predates"):
             resolve_as_of(root, t0 - 3600.0)
+
+
+class TestTimeBasedRetention:
+    def test_read_changes_ts(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import read_changes_ts
+
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=100.0)
+        commit_append(_kv(spark, 10, 30), root, "a1", commit_ts=200.0)
+        commit_append(_kv(spark, 30, 60), root, "a2", commit_ts=300.0)
+        assert read_changes_ts(spark, root, 100.0, 300.0).count() == 50
+        assert read_changes_ts(spark, root, 100.0, 250.0).count() == 20
+        # identical endpoints: empty delta, schema preserved
+        empty = read_changes_ts(spark, root, 200.0, 200.0)
+        assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+        with pytest.raises(ValueError, match="before"):
+            read_changes_ts(spark, root, 300.0, 100.0)
+
+    def test_vacuum_time_retention_keeps_as_of(self, spark, root):
+        for i in range(10):
+            commit_append(
+                _kv(spark, i * 10, (i + 1) * 10),
+                root,
+                f"a{i}",
+                commit_ts=100.0 * (i + 1),
+            )
+        # keep_last=1 alone would expire everything below v10; the
+        # time retain point at ts=450 must keep the as-of-450 snapshot
+        # (v4) and newer readable — possibly more, since vacuum only
+        # drops below a checkpoint anchor (documented extra retention
+        # of at most CHECKPOINT_EVERY-1 versions)
+        vacuum(root, keep_last=1, min_orphan_age_s=0.0, retain_as_of_ts=450.0)
+        assert read_table(spark, root, as_of_ts=450.0).count() == 40
+        assert resolve_as_of(root, 450.0) == 4
+        # a retain point right above the v8 checkpoint anchors there:
+        # v1..v7 go, and a sub-retention as-of now raises
+        vacuum(root, keep_last=1, min_orphan_age_s=0.0, retain_as_of_ts=900.0)
+        assert read_table(spark, root, as_of_ts=900.0).count() == 90
+        with pytest.raises(ValueError, match="retention|predates"):
+            resolve_as_of(root, 150.0)
+
+    def test_vacuum_retain_before_creation_keeps_all(self, spark, root):
+        for i in range(5):
+            commit_append(
+                _kv(spark, i * 10, (i + 1) * 10),
+                root,
+                f"a{i}",
+                commit_ts=100.0 * (i + 1),
+            )
+        vacuum(root, keep_last=1, min_orphan_age_s=0.0, retain_as_of_ts=1.0)
+        assert read_table(spark, root, version=1).count() == 10
