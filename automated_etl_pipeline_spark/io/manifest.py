@@ -1557,7 +1557,6 @@ def _read_files(spark: SparkSession, m: dict, files: list[str]) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructField, StructType
 
-    id2cur = {fid: name for name, fid in field_ids.items()}
     cur_names = [f.name for f in s.fields]
 
     def signature(f: str) -> tuple:
@@ -2003,6 +2002,51 @@ def read_changes_cdf(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def table_history(root: str, limit: int | None = None) -> list[dict]:
+    """The commit log, newest first (Delta's DESCRIBE HISTORY shape):
+    one dict per retained version with ``version``, ``ts`` (commit
+    wall-time; None on pre-r15 manifests), ``kind`` (append / rewrite
+    / delete / replace / rename; None on pre-commit-record
+    checkpoints), ``n_added`` staged files, ``run_id``, and
+    ``checkpoint`` (whether the manifest is a full snapshot).
+    Checkpoint rows also carry ``n_live_files``.  Stops at the vacuum
+    horizon.  Driver-side metadata only — no Spark job; ``limit``
+    bounds the walk for long-lived tables."""
+    newest = current_version(root)
+    out: list[dict] = []
+    v = newest
+    while v >= 1 and (limit is None or len(out) < limit):
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            break  # vacuumed below here
+        if "delta" in m:
+            d = m["delta"]
+            rec = {
+                "version": v,
+                "ts": m.get("ts"),
+                "kind": d["kind"],
+                "n_added": len(d.get("added", [])),
+                "run_id": d.get("run_id"),
+                "checkpoint": False,
+            }
+        else:
+            c = m.get("commit") or {}
+            ledger = m.get("run_ids") or []
+            rec = {
+                "version": v,
+                "ts": m.get("ts"),
+                "kind": c.get("kind"),
+                "n_added": len(c.get("added", [])),
+                "run_id": ledger[-1] if ledger else None,
+                "checkpoint": True,
+                "n_live_files": len(m["files"]),
+            }
+        out.append(rec)
+        v -= 1
     return out
 
 

@@ -49,20 +49,40 @@ def batch_run_id(query_name: str, batch_id: int) -> str:
     return f"stream:{query_name}:batch:{batch_id}"
 
 
-def manifest_batch_committer(table_root: str, query_name: str = "ingest"):
+def manifest_batch_committer(
+    table_root: str,
+    query_name: str = "ingest",
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
+):
     """The ``foreachBatch`` function: append the micro-batch to the
     manifest table under its replay-stable run_id.  Empty batches are
     skipped — Structured Streaming may emit one (e.g. a no-new-files
     trigger), and committing it would burn a version naming zero
     files.  Exposed separately from the stream runner so tests (and
     the registry gate) can hand it an already-committed batch_id and
-    prove the replay no-ops."""
+    prove the replay no-ops.
+
+    ``stats_cols`` / ``bloom_cols`` (r15) thread straight through to
+    ``commit_append``: a streamed table accretes zone maps and Bloom
+    point-lookup sidecars batch by batch, so the pruning story
+    (``read_table_pruned``) holds for streaming-ingested tables
+    exactly as for batch-committed ones — at 100 TB the ingest path
+    is where the metadata must be born, or it never exists."""
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        kwargs: dict = {}
+        if stats_cols:
+            kwargs["stats_cols"] = list(stats_cols)
+        if bloom_cols:
+            kwargs["bloom_cols"] = list(bloom_cols)
+            if bloom_bits is not None:
+                kwargs["bloom_bits"] = int(bloom_bits)
         commit_append(
-            batch_df, table_root, batch_run_id(query_name, batch_id)
+            batch_df, table_root, batch_run_id(query_name, batch_id), **kwargs
         )
 
     return commit_batch

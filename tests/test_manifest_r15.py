@@ -412,3 +412,43 @@ class TestTimeBasedRetention:
             )
         vacuum(root, keep_last=1, min_orphan_age_s=0.0, retain_as_of_ts=1.0)
         assert read_table(spark, root, version=1).count() == 10
+
+
+class TestTableHistory:
+    def test_history_shape(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import (
+            commit_delete as _cd,
+            table_history,
+        )
+
+        commit_append(_kv(spark, 0, 10), root, "a0", commit_ts=100.0)
+        commit_append(_kv(spark, 10, 20), root, "a1", commit_ts=200.0)
+        _cd(spark.createDataFrame([Row(k=5)]), root, "d0", ["k"])
+        commit_rename(root, "r0", {"v": "value"})
+        h = table_history(root)
+        assert [r["version"] for r in h] == [4, 3, 2, 1]
+        assert [r["kind"] for r in h] == ["rename", "delete", "append", "append"]
+        assert h[-1]["checkpoint"] is True and h[-1]["ts"] == 100.0
+        assert h[0]["checkpoint"] is True  # renames checkpoint
+        assert h[0]["run_id"] == "r0"
+        assert h[2]["run_id"] == "a1" and h[2]["n_added"] == 2
+        assert table_history(root, limit=2)[-1]["version"] == 3
+
+    def test_streaming_committer_threads_metadata(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import (
+            read_table_pruned,
+        )
+        from automated_etl_pipeline_spark.streaming.manifest_sink import (
+            manifest_batch_committer,
+        )
+
+        commit = manifest_batch_committer(
+            root, "q", stats_cols=["k"], bloom_cols=["k"], bloom_bits=2048
+        )
+        commit(_kv(spark, 0, 100), 0)
+        commit(_kv(spark, 100, 200), 1)
+        commit(_kv(spark, 100, 200), 1)  # replay no-ops
+        assert current_version(root) == 2
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 150})
+        assert df.filter(F.col("k") == 150).count() == 1
+        assert n_scan < n_total  # streamed commits carried bitmaps
