@@ -511,6 +511,7 @@ def _apply_delta(state: dict, m: dict) -> dict:
     deletes = list(state.get("deletes", []))
     stats = dict(state.get("stats", {}))
     blooms = dict(state.get("blooms", {}))
+    bloom_refs = dict(state.get("bloom_refs", {}))
     bloom_meta = d.get("bloom_meta", state.get("bloom_meta"))
     field_ids = dict(state.get("field_ids", {}))
     file_fields = dict(state.get("file_fields", {}))
@@ -548,6 +549,11 @@ def _apply_delta(state: dict, m: dict) -> dict:
         for f, b in {**blooms, **d.get("blooms", {})}.items()
         if f in live
     }
+    bloom_refs = {
+        f: p
+        for f, p in {**bloom_refs, **d.get("bloom_refs", {})}.items()
+        if f in live
+    }
     if d.get("file_fields"):
         file_fields = {**file_fields, **d["file_fields"]}
     if d.get("field_ids"):
@@ -565,8 +571,10 @@ def _apply_delta(state: dict, m: dict) -> dict:
         ],
         "commit": commit_meta,
     }
-    if blooms or bloom_meta:
-        out["blooms"] = blooms
+    if blooms or bloom_refs or bloom_meta:
+        if blooms:
+            out["blooms"] = blooms
+        out["bloom_refs"] = bloom_refs
         out["bloom_meta"] = bloom_meta
     if field_ids:
         out["field_ids"] = field_ids
@@ -778,11 +786,33 @@ def _commit(
             for f in new_files:
                 for c in bloom_cols:
                     new_blooms.setdefault(f, {}).setdefault(c, empty)
+    new_bloom_refs: dict[str, str] | None = None
+    if new_blooms:
+        # Bitmaps live in a per-commit SIDECAR file inside the stage
+        # directory, and the manifest records only its PATH per file
+        # (r15 second wave): inlining m/8 bytes per file per column in
+        # checkpoint JSON would make every checkpoint O(files x bitmap)
+        # — 1.6 GB at 100k files x 16 KiB — silently defeating the
+        # delta-log write-amplification cap.  The sidecar shares the
+        # data files' lifecycle: vacuum sweeps a stage directory only
+        # when every parquet in it is reclaimable, so a sidecar can
+        # never outlive (or die before) the files it describes.
+        # Bitmap column keys are the files' PHYSICAL column names at
+        # write time; probes translate current->physical through the
+        # column-id mapping, so renames never mutate immutable
+        # sidecars.
+        sidecar = os.path.join(
+            os.path.dirname(new_files[0]),
+            f"blooms-{uuid.uuid4().hex}.json",
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(new_blooms, fh)
+        new_bloom_refs = {f: sidecar for f in new_blooms}
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
         removed_files=removed_files, replace_subset=replace_subset,
-        schema_json=schema_json, new_blooms=new_blooms,
+        schema_json=schema_json, new_bloom_refs=new_bloom_refs,
         bloom_bits=(bloom_bits if bloom_cols else None),
         commit_ts=commit_ts,
     )
@@ -800,7 +830,7 @@ def _publish(
     removed_files: list[str] | None = None,
     replace_subset: list[str] | None = None,
     schema_json: str | None = None,
-    new_blooms: dict[str, dict] | None = None,
+    new_bloom_refs: dict[str, str] | None = None,
     bloom_bits: int | None = None,
     commit_ts: float | None = None,
     rename_map: dict[str, str] | None = None,
@@ -895,6 +925,10 @@ def _publish(
                 },
                 rename_map,
             )
+            # bloom_refs are rename-invariant: sidecar files key their
+            # bitmaps by PHYSICAL column names and probes translate
+            # through the column-id mapping (legacy inline "blooms"
+            # still rename their keys above)
             commit_meta["kind"] = "rename"
             commit_meta["renames"] = dict(rename_map)
             files = list(cur["files"])
@@ -1067,7 +1101,12 @@ def _publish(
         live = set(files)
         if rename_map is not None:
             stats_out = rename_stats
-            blooms_out = rename_blooms
+            blooms_out = rename_blooms  # legacy inline only
+            bloom_refs_out = {
+                f: p
+                for f, p in cur.get("bloom_refs", {}).items()
+                if f in live
+            }
         else:
             stats_out = {
                 f: s
@@ -1076,9 +1115,14 @@ def _publish(
             }
             blooms_out = {
                 f: bl
-                for f, bl in {
-                    **cur.get("blooms", {}),
-                    **(new_blooms or {}),
+                for f, bl in cur.get("blooms", {}).items()
+                if f in live
+            }  # legacy inline carried through, never grown
+            bloom_refs_out = {
+                f: p
+                for f, p in {
+                    **cur.get("bloom_refs", {}),
+                    **(new_bloom_refs or {}),
                 }.items()
                 if f in live
             }
@@ -1118,8 +1162,10 @@ def _publish(
             # resolves against
             "ts": ts,
         }
-        if blooms_out or bloom_meta:
-            manifest["blooms"] = blooms_out
+        if blooms_out or bloom_refs_out or bloom_meta:
+            if blooms_out:
+                manifest["blooms"] = blooms_out  # legacy inline
+            manifest["bloom_refs"] = bloom_refs_out
             manifest["bloom_meta"] = bloom_meta
         if field_ids:
             manifest["field_ids"] = field_ids
@@ -1146,8 +1192,8 @@ def _publish(
                 delta["added"] = list(new_files)
                 if new_stats:
                     delta["stats"] = new_stats
-                if new_blooms:
-                    delta["blooms"] = new_blooms
+                if new_bloom_refs:
+                    delta["bloom_refs"] = new_bloom_refs
                 if bloom_bits is not None:
                     delta["bloom_meta"] = bloom_meta
                 if field_ids:
@@ -1342,6 +1388,9 @@ def commit_replace_files(
     expected_base: int,
     stats_col: str | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    commit_ts: float | None = None,
 ) -> int:
     """Swap a SUBSET of live data files for ``df``'s staged files in
     one atomic commit — the ``rewrite_data_files`` primitive behind
@@ -1363,8 +1412,11 @@ def commit_replace_files(
         lambda cur, new: cur,  # unused: replace_subset branch builds files
         stats_col=stats_col,
         stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
         expected_base=expected_base,
         replace_subset=list(replaced),
+        commit_ts=commit_ts,
     )
 
 
@@ -1778,8 +1830,41 @@ def read_table_pruned(
             return s.get(c)
         return s  # legacy single-column list
 
-    blooms = m.get("blooms", {})
-    bloom_m = int(m.get("bloom_meta", {}).get("m", 0) or 0)
+    blooms = m.get("blooms", {})  # legacy inline format
+    bloom_refs = m.get("bloom_refs", {})
+    bloom_m = int((m.get("bloom_meta") or {}).get("m", 0) or 0)
+    field_ids = m.get("field_ids", {})
+    file_fields = m.get("file_fields", {})
+    _sidecars: dict[str, dict] = {}
+
+    def file_bitmap(f: str, c: str) -> str | None:
+        """The hex bitmap of CURRENT column ``c`` for file ``f``, or
+        None if none exists.  Sidecar bitmaps key by the file's
+        PHYSICAL column name at write time — translate through the
+        column-id mapping, so renames never touch sidecars.  Sidecars
+        load lazily, one parse per distinct sidecar per call (bounded
+        by commits with bloom_cols, not files)."""
+        inline = blooms.get(f, {}).get(c)
+        if inline is not None:
+            return inline
+        path = bloom_refs.get(f)
+        if path is None:
+            return None
+        if path not in _sidecars:
+            try:
+                with open(path) as fh:
+                    _sidecars[path] = json.load(fh)
+            except (OSError, ValueError):
+                _sidecars[path] = {}  # unreadable sidecar: no pruning
+        phys = c
+        if field_ids and f in file_fields:
+            fid = field_ids.get(c)
+            phys = next(
+                (p for p, i in file_fields[f].items() if i == fid), None
+            )
+            if phys is None:
+                return None  # file predates the column
+        return _sidecars[path].get(f, {}).get(phys)
 
     def intersects(f: str) -> bool:
         for c, (c_lo, c_hi) in predicates.items():
@@ -1793,7 +1878,7 @@ def read_table_pruned(
                 return False  # provably disjoint on this column: skip
         if bloom_m:
             for c, vals in eq_vals.items():
-                hexmap = blooms.get(f, {}).get(c)
+                hexmap = file_bitmap(f, c)
                 if hexmap is None:
                     continue  # no bitmap for this column: can't skip
                 if not any(

@@ -452,3 +452,85 @@ class TestTableHistory:
         df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 150})
         assert df.filter(F.col("k") == 150).count() == 1
         assert n_scan < n_total  # streamed commits carried bitmaps
+
+
+class TestBloomSidecars:
+    def test_checkpoint_stays_small(self, spark, root):
+        """Bitmaps must live in sidecar files, not checkpoint JSON —
+        inline bitmaps would make every checkpoint O(files x m/8)
+        bytes and defeat the delta-log write-amplification cap."""
+        import json as _json
+        import os as _os
+
+        from automated_etl_pipeline_spark.io.manifest import _manifest_dir
+
+        for i in range(8):  # v8 is a checkpoint
+            commit_append(
+                _kv(spark, i * 50, (i + 1) * 50),
+                root,
+                f"a{i}",
+                bloom_cols=["k"],
+                bloom_bits=8192,
+            )
+        ck = _json.loads(
+            open(
+                _os.path.join(_manifest_dir(root), f"v{8:010d}.json")
+            ).read()
+        )
+        assert "files" in ck  # it IS a checkpoint
+        assert "blooms" not in ck  # no inline bitmaps
+        refs = ck["bloom_refs"]
+        assert set(refs) == set(ck["files"])
+        # 16 files x 8192 bits inline would be ~33 KB of hex; the
+        # checkpoint carries only paths (~2 tmp paths' worth per file)
+        assert len(_json.dumps(refs)) < 8000
+        # and the sidecars themselves hold probe-able bitmaps
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 123})
+        assert df.filter(F.col("k") == 123).count() == 1
+        assert n_scan < n_total
+
+    def test_vacuum_reclaims_sidecars_with_stage(self, spark, root):
+        import glob as _glob
+
+        commit_append(
+            _kv(spark, 0, 100), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_append(
+            _kv(spark, 100, 200), root, "a1", bloom_cols=["k"], bloom_bits=2048
+        )
+        assert len(_glob.glob(f"{root}/data/*/blooms-*.json")) == 2
+        # rewrite supersedes every old file; vacuum reclaims stages
+        # (and their sidecars) outside retention
+        commit_rewrite(read_table(spark, root), root, "rw")
+        vacuum(root, keep_last=1, min_orphan_age_s=0.0)
+        assert len(_glob.glob(f"{root}/data/*/blooms-*.json")) == 0
+        assert read_table(spark, root).count() == 200
+
+    def test_rename_then_probe_through_sidecar(self, spark, root):
+        """Sidecar bitmaps key by PHYSICAL column names; a probe on
+        the renamed CURRENT name must translate through the column-id
+        mapping and still prune."""
+        commit_append(
+            _kv(spark, 0, 100), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_append(
+            _kv(spark, 100, 200), root, "a1", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_rename(root, "r0", {"k": "key"})
+        commit_append(
+            spark.range(200, 300).select(
+                F.col("id").alias("key"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+            "a2",
+            bloom_cols=["key"],
+            bloom_bits=2048,
+        )
+        # probe a pre-rename key under the NEW name: the first two
+        # commits' sidecars must answer through the id mapping
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"key": 50})
+        assert df.filter(F.col("key") == 50).count() == 1
+        assert n_scan < n_total
+        # post-rename commit's sidecar answers under its own name too
+        df, _, _ = read_table_pruned(spark, root, eq={"key": 250})
+        assert df.filter(F.col("key") == 250).count() == 1
