@@ -533,6 +533,12 @@ def _apply_delta(state: dict, m: dict) -> dict:
     elif kind == "delete":
         deletes = deletes + list(d["entries"])
         commit_meta["recorded"] = bool(d.get("recorded"))
+    elif kind == "upsert":
+        files = files + list(d["added"])
+        for f in d["added"]:
+            added_at[f] = v
+        deletes = deletes + list(d["entries"])
+        commit_meta["recorded"] = bool(d.get("recorded"))
     else:
         # rename commits always publish full checkpoints (they mutate
         # the snapshot-wide metadata a delta cannot carry), so they
@@ -644,6 +650,117 @@ def _stage(df: DataFrame, root: str) -> list[str]:
     )
 
 
+def _collect_file_metadata(
+    spark: SparkSession,
+    new_files: list[str],
+    cols: list[str],
+    bloom_cols: list[str] | None,
+    bloom_bits: int,
+) -> tuple[dict, dict[str, str] | None]:
+    """One grouped aggregate over freshly staged files computing BOTH
+    zone-map min/max (``cols``) and bloom position sets
+    (``bloom_cols``); returns (stats, bloom_refs) in manifest format.
+    Bitmaps are written to a per-commit sidecar file in the stage
+    directory (see the bloom module notes) and only the path is
+    returned.  A real port reads all of this from the parquet footers
+    the writer already produced; this is the one-pass equivalent —
+    never O(files) driver-side jobs."""
+    from pyspark.sql import functions as F
+
+    by_abs = {os.path.abspath(f): f for f in new_files}
+
+    def _orig_path(uri: str) -> str:
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path)
+        orig = by_abs.get(os.path.abspath(path))
+        if orig is None:
+            raise RuntimeError(
+                f"stats grouped onto an unstaged path: {path!r}"
+            )
+        return orig
+
+    new_stats: dict[str, dict] = {}
+    new_blooms: dict[str, dict] = {}
+    if not (cols or bloom_cols) or not new_files:
+        return new_stats, None
+    staged = spark.read.parquet(*new_files)
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    if bloom_cols:
+        from automated_etl_pipeline_spark.functions.hashutil import (
+            md5_double_hash,
+        )
+
+        types = {f.name: f.dataType.simpleString() for f in staged.schema}
+        for c in bloom_cols:
+            if types.get(c) not in _BLOOM_TYPES:
+                raise ValueError(
+                    f"bloom column {c!r} has type {types.get(c)!r}; "
+                    f"bloom sidecars need a CAST-to-string-stable "
+                    f"type ({', '.join(_BLOOM_TYPES)}) so the "
+                    "driver-side probe hash matches the JVM build hash"
+                )
+        for ci, c in enumerate(bloom_cols):
+            # k positions per key via the pinned double-hash contract
+            # (functions/hashutil.py); distinct positions per file
+            # collected as one array column, bounded by
+            # min(rows * k, bloom_bits) ints per file
+            h1, h2 = md5_double_hash(F.col(c))
+            pos = F.array(
+                *[
+                    ((h1 + F.lit(i) * h2) % bloom_bits).cast("int")
+                    for i in range(BLOOM_K)
+                ]
+            )
+            aggs.append(
+                F.array_distinct(F.flatten(F.collect_set(pos))).alias(
+                    f"bl_{ci}"
+                )
+            )
+    rows = (
+        staged.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
+    )
+    # input_file_name() is always an absolute file: URI; new_files
+    # keeps the caller's root spelling (possibly relative) — key the
+    # stats by the ORIGINAL spelling via an abspath map so a relative
+    # root keeps working
+    for row in rows:
+        orig = _orig_path(row["__f"])
+        if cols:
+            new_stats[orig] = {
+                c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
+                for c in cols
+            }
+        for ci, c in enumerate(bloom_cols or []):
+            # NULL keys yield NULL positions — dropped (they never
+            # probe true)
+            ps = [pp for pp in row[f"bl_{ci}"] if pp is not None]
+            new_blooms.setdefault(orig, {})[c] = _bloom_pack(ps, bloom_bits)
+    new_bloom_refs: dict[str, str] | None = None
+    if bloom_cols:
+        # a staged file with zero rows (or all-NULL keys) gets an
+        # all-zero bitmap — provably contains nothing
+        empty = _bloom_pack([], bloom_bits)
+        for f in new_files:
+            for c in bloom_cols:
+                new_blooms.setdefault(f, {}).setdefault(c, empty)
+        # per-commit SIDECAR file in the stage directory; the manifest
+        # records only its PATH per file (checkpoints stay
+        # O(files x pathlen), never O(files x bitmap)); lifecycle
+        # shared with the data files via vacuum's stage-sweep rule;
+        # keys are PHYSICAL column names, so renames never mutate it
+        sidecar = os.path.join(
+            os.path.dirname(new_files[0]),
+            f"blooms-{uuid.uuid4().hex}.json",
+        )
+        with open(sidecar, "w") as fh:
+            json.dump(new_blooms, fh)
+        new_bloom_refs = {f: sidecar for f in new_blooms}
+    return new_stats, new_bloom_refs
+
+
 def _commit(
     df: DataFrame,
     root: str,
@@ -690,124 +807,9 @@ def _commit(
         # schema is current by then)
         _merge_schema(prev["schema"], schema_json)
     new_files = _stage(df, root)
-    by_abs = {os.path.abspath(f): f for f in new_files}
-
-    def _orig_path(uri: str) -> str:
-        from urllib.parse import unquote, urlparse
-
-        path = unquote(urlparse(uri).path)
-        orig = by_abs.get(os.path.abspath(path))
-        if orig is None:
-            raise RuntimeError(
-                f"stats grouped onto an unstaged path: {path!r}"
-            )
-        return orig
-
-    new_stats: dict[str, dict] = {}
-    new_blooms: dict[str, dict] = {}
-    if (cols or bloom_cols) and new_files:
-        # ONE job for all files' metadata — zone-map min/max AND bloom
-        # position sets together — grouped by input_file_name()
-        # instead of per-file aggregates (O(files) driver-side jobs —
-        # the old shape that turns a 10k-file commit into 10k
-        # scheduler round-trips).  A real port reads both from the
-        # parquet footers the writer already produced; this is the
-        # one-pass equivalent.
-        from pyspark.sql import functions as F
-
-        staged = df.sparkSession.read.parquet(*new_files)
-        aggs = []
-        for c in cols:
-            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-        if bloom_cols:
-            from automated_etl_pipeline_spark.functions.hashutil import (
-                md5_double_hash,
-            )
-
-            types = {
-                f.name: f.dataType.simpleString() for f in staged.schema
-            }
-            for c in bloom_cols:
-                if types.get(c) not in _BLOOM_TYPES:
-                    raise ValueError(
-                        f"bloom column {c!r} has type {types.get(c)!r}; "
-                        f"bloom sidecars need a CAST-to-string-stable "
-                        f"type ({', '.join(_BLOOM_TYPES)}) so the "
-                        "driver-side probe hash matches the JVM build "
-                        "hash"
-                    )
-            for ci, c in enumerate(bloom_cols):
-                # k positions per key via the pinned double-hash
-                # contract (functions/hashutil.py); distinct positions
-                # per file collected as one array column, bounded by
-                # min(rows * k, bloom_bits) ints per file
-                h1, h2 = md5_double_hash(F.col(c))
-                pos = F.array(
-                    *[
-                        ((h1 + F.lit(i) * h2) % bloom_bits).cast("int")
-                        for i in range(BLOOM_K)
-                    ]
-                )
-                aggs.append(
-                    F.array_distinct(
-                        F.flatten(F.collect_set(pos))
-                    ).alias(f"bl_{ci}")
-                )
-        rows = (
-            staged.groupBy(F.input_file_name().alias("__f"))
-            .agg(*aggs)
-            .collect()
-        )
-        # input_file_name() is always an absolute file: URI; new_files
-        # keeps the caller's root spelling (possibly relative) — key
-        # the stats by the ORIGINAL spelling via an abspath map so a
-        # relative root keeps working
-        for row in rows:
-            orig = _orig_path(row["__f"])
-            if cols:
-                new_stats[orig] = {
-                    c: [
-                        _json_stat(row[f"mn_{c}"]),
-                        _json_stat(row[f"mx_{c}"]),
-                    ]
-                    for c in cols
-                }
-            for ci, c in enumerate(bloom_cols or []):
-                # NULL keys yield NULL positions — dropped (they never
-                # probe true)
-                ps = [p for p in row[f"bl_{ci}"] if p is not None]
-                new_blooms.setdefault(orig, {})[c] = _bloom_pack(
-                    ps, bloom_bits
-                )
-        if bloom_cols:
-            # a staged file with zero rows (or all-NULL keys) gets an
-            # all-zero bitmap — provably contains nothing
-            empty = _bloom_pack([], bloom_bits)
-            for f in new_files:
-                for c in bloom_cols:
-                    new_blooms.setdefault(f, {}).setdefault(c, empty)
-    new_bloom_refs: dict[str, str] | None = None
-    if new_blooms:
-        # Bitmaps live in a per-commit SIDECAR file inside the stage
-        # directory, and the manifest records only its PATH per file
-        # (r15 second wave): inlining m/8 bytes per file per column in
-        # checkpoint JSON would make every checkpoint O(files x bitmap)
-        # — 1.6 GB at 100k files x 16 KiB — silently defeating the
-        # delta-log write-amplification cap.  The sidecar shares the
-        # data files' lifecycle: vacuum sweeps a stage directory only
-        # when every parquet in it is reclaimable, so a sidecar can
-        # never outlive (or die before) the files it describes.
-        # Bitmap column keys are the files' PHYSICAL column names at
-        # write time; probes translate current->physical through the
-        # column-id mapping, so renames never mutate immutable
-        # sidecars.
-        sidecar = os.path.join(
-            os.path.dirname(new_files[0]),
-            f"blooms-{uuid.uuid4().hex}.json",
-        )
-        with open(sidecar, "w") as fh:
-            json.dump(new_blooms, fh)
-        new_bloom_refs = {f: sidecar for f in new_blooms}
+    new_stats, new_bloom_refs = _collect_file_metadata(
+        df.sparkSession, new_files, cols, bloom_cols, bloom_bits
+    )
     return _publish(
         root, run_id, new_files, new_stats, files_fn,
         expected_base=expected_base, delete_cols=delete_cols,
@@ -834,6 +836,7 @@ def _publish(
     bloom_bits: int | None = None,
     commit_ts: float | None = None,
     rename_map: dict[str, str] | None = None,
+    upsert_data_files: list[str] | None = None,
 ) -> int:
     """The commit point, factored from ``_commit`` so the
     optimistic-concurrency loop is testable under true multi-process
@@ -939,14 +942,24 @@ def _publish(
             rename_stats = renamed["stats"]
             rename_blooms = renamed.get("blooms", {})
         elif delete_cols is not None:
-            commit_meta["kind"] = "delete"
-            commit_meta["recorded"] = removed_files is not None
             # merge-on-read DELETE commit: the data-file list is
             # untouched; the staged files are DELETE-KEY files that
             # apply (at read time) to every data file committed at an
             # EARLIER version — Iceberg's equality-delete sequence
             # rule, so a later re-insert of a deleted key survives.
-            files = list(cur["files"])
+            #
+            # UPSERT (r15): the same commit may ALSO add data files —
+            # MERGE as one atomic version.  The delete entries and the
+            # new files share this commit's sequence number, and the
+            # rule's strict inequality (delete.at > file.added_at)
+            # means the delete hides matching rows only in OLDER
+            # files while this commit's own rows survive — exactly
+            # upsert semantics, with zero new read-path machinery.
+            is_upsert = bool(upsert_data_files)
+            commit_meta["kind"] = "upsert" if is_upsert else "delete"
+            commit_meta["recorded"] = removed_files is not None
+            commit_meta["added"] = list(upsert_data_files or [])
+            files = list(cur["files"]) + list(upsert_data_files or [])
             new_entries = [
                 {"path": p, "cols": list(delete_cols), "at": v + 1}
                 for p in new_files
@@ -958,6 +971,8 @@ def _publish(
                 new_entries[0]["removed"] = list(removed_files)
             deletes = cur_dels + new_entries
             added_at = dict(cur_added)
+            for f in upsert_data_files or []:
+                added_at[f] = v + 1
         elif replace_subset is not None:
             commit_meta["kind"] = "replace"
             commit_meta["removed"] = list(replace_subset)
@@ -1022,9 +1037,9 @@ def _publish(
                 # a rewrite REDEFINES the table (the only way to drop
                 # a column or change a type)
                 schema = _merge_schema(None, schema_json)
-        if schema_json is not None and delete_cols is None and (
+        if schema_json is not None and (
             replace_subset is not None
-            or commit_meta.get("kind") == "append"
+            or commit_meta.get("kind") in ("append", "upsert")
         ):
             schema = _merge_schema(schema, schema_json)
         kind = commit_meta["kind"]
@@ -1061,7 +1076,10 @@ def _publish(
                     if f0.name not in field_ids:
                         nxt += 1
                         field_ids[f0.name] = nxt
-            if new_files and schema_json is not None and delete_cols is None:
+            ff_targets = (
+                upsert_data_files if delete_cols is not None else new_files
+            )
+            if ff_targets and schema_json is not None:
                 from pyspark.sql.types import StructType
 
                 staged_names = [
@@ -1071,7 +1089,7 @@ def _publish(
                     ).fields
                 ]
                 phys = {n: field_ids[n] for n in staged_names}
-                for f in new_files:
+                for f in ff_targets:
                     file_fields[f] = dict(phys)
         # ---- bloom sidecar metadata (r15) --------------------------
         cur_bm = cur.get("bloom_meta")
@@ -1188,8 +1206,13 @@ def _publish(
             payload_obj: dict = manifest
         else:
             delta: dict = {"kind": kind, "run_id": run_id, "schema": schema}
-            if kind in ("append", "replace"):
-                delta["added"] = list(new_files)
+            if kind in ("append", "replace", "upsert"):
+                data_files = (
+                    list(upsert_data_files or [])
+                    if kind == "upsert"
+                    else list(new_files)
+                )
+                delta["added"] = data_files
                 if new_stats:
                     delta["stats"] = new_stats
                 if new_bloom_refs:
@@ -1200,12 +1223,12 @@ def _publish(
                     delta["field_ids"] = field_ids
                     delta["file_fields"] = {
                         f: file_fields[f]
-                        for f in new_files
+                        for f in data_files
                         if f in file_fields
                     }
             if kind == "replace":
                 delta["removed"] = list(replace_subset)
-            if kind == "delete":
+            if kind in ("delete", "upsert"):
                 delta["entries"] = new_entries
                 delta["recorded"] = removed_files is not None
             payload_obj = {"version": v + 1, "delta": delta, "ts": ts}
@@ -1377,6 +1400,104 @@ def commit_delete(
         delete_cols=list(key_cols),
         removed_files=removed_files,
         expected_base=expected_base,
+    )
+
+
+def commit_upsert(
+    df: DataFrame,
+    root: str,
+    run_id: str,
+    key_cols: list[str],
+    record_changes: bool = False,
+    expected_base: int | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    commit_ts: float | None = None,
+) -> int:
+    """MERGE as ONE atomic commit (r15): ``df`` becomes the new state
+    of its keys — rows with matching ``key_cols`` are replaced, new
+    keys are inserted, and both effects land in a single version (no
+    window where the delete is visible without the insert, which two
+    separate ``commit_delete`` + ``commit_append`` calls cannot
+    avoid).  This is the ingest primitive behind every table format's
+    MERGE INTO / upsert path (Hudi's core write op; Delta/Iceberg
+    MERGE compiled to equality deletes + appends in one snapshot).
+
+    Mechanics: the commit stages ``df`` as data files AND its distinct
+    keys as delete-key files; both share the commit's sequence number,
+    and the read-time rule ``delete.at > file.added_at`` (strict) hides
+    matching rows only in OLDER files while this commit's own rows
+    survive — upsert semantics with zero new read-path machinery, and
+    at 100 TB the write cost is O(df) + O(keys), never O(table).
+
+    ``record_changes``: as in ``commit_delete`` — materialize the
+    victim rows so ``read_changes_cdf`` can serve the commit as
+    delete+insert rows and the incremental MV (io/mv.py) folds the
+    upsert instead of recomputing; conflict-checked against the
+    snapshot the victims were computed from.  ``stats_cols`` /
+    ``bloom_cols`` apply to the staged DATA files, so an upsert-fed
+    table keeps its zone maps and point-lookup sidecars.  Same run_id
+    idempotence and optimistic versioning as every commit kind.
+
+    Contract notes: ``df`` should hold ONE row per key unless
+    duplicate rows are intended (every df row is inserted; only
+    PRE-EXISTING rows are hidden); a delete-only MERGE is
+    ``commit_delete``, an insert-only one is ``commit_append``."""
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    spark = df.sparkSession
+    ts = table_schema(root)
+    if ts is not None:
+        table_types = {f.name: f.dataType for f in ts.fields}
+        df_types = {f.name: f.dataType for f in df.schema.fields}
+        for c in key_cols:
+            if c not in df_types:
+                raise ValueError(f"key column {c!r} is not in df")
+            if c in table_types and table_types[c] != df_types[c]:
+                raise SchemaEvolutionError(
+                    f"upsert key column {c!r}: table type "
+                    f"{table_types[c].simpleString()}, df has "
+                    f"{df_types[c].simpleString()}"
+                )
+        # fail BEFORE staging on any non-key type conflict too (the
+        # merge re-runs authoritatively inside the publish loop)
+        _merge_schema(ts.json(), df.schema.json())
+    v0 = current_version(root)
+    prev = _resolve_state(root, v0) if v0 else {"files": [], "run_ids": []}
+    if run_id in prev["run_ids"]:
+        return v0  # retry of a committed run: nothing staged twice
+    keys = df.select(*key_cols).distinct()
+    removed_files: list[str] | None = None
+    if record_changes:
+        if expected_base is None:
+            expected_base = v0
+        if expected_base and manifest_files(root, expected_base):
+            victims = read_table(spark, root, version=expected_base).join(
+                keys, list(key_cols), "left_semi"
+            )
+            removed_files = _stage(victims, root)
+        else:
+            removed_files = []  # nothing visible: no victims to record
+    data_files = _stage(df, root)
+    key_files = _stage(keys, root)
+    new_stats, new_bloom_refs = _collect_file_metadata(
+        spark, data_files, list(stats_cols or []), bloom_cols, bloom_bits
+    )
+    return _publish(
+        root,
+        run_id,
+        key_files,
+        new_stats,
+        lambda cur, new: cur,  # unused: the delete/upsert branch builds files
+        expected_base=expected_base,
+        delete_cols=list(key_cols),
+        removed_files=removed_files,
+        schema_json=df.schema.json(),
+        new_bloom_refs=new_bloom_refs,
+        bloom_bits=(bloom_bits if bloom_cols else None),
+        commit_ts=commit_ts,
+        upsert_data_files=data_files,
     )
 
 
@@ -2006,6 +2127,9 @@ def read_changes(
             # column-id resolution surfaces them under the final names
             continue
         else:
+            # delete / upsert / rewrite: retractions are involved —
+            # not representable as pure appends (upserts with recorded
+            # victims are servable through read_changes_cdf)
             raise ValueError(
                 f"{c['kind']} commit at v{c['at']}: not representable "
                 "as an append delta; resume from a snapshot"
@@ -2047,13 +2171,14 @@ def read_changes_cdf(
             added += c["added"]
         elif c["kind"] in ("replace", "rename"):
             continue  # layout / metadata change, zero row delta
-        elif c["kind"] == "delete":
+        elif c["kind"] in ("delete", "upsert"):
             if not c.get("recorded"):
                 raise ValueError(
-                    f"delete commit at v{c['at']} did not record its "
-                    "changes; re-commit with record_changes=True or "
-                    "resume from a snapshot"
+                    f"{c['kind']} commit at v{c['at']} did not record "
+                    "its changes; re-commit with record_changes=True "
+                    "or resume from a snapshot"
                 )
+            added += c.get("added", [])
             removed += [
                 p
                 for d in c["deletes"]

@@ -7753,3 +7753,113 @@ def manifest_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return snap.orderBy("o_orderpriority")
+
+
+_UPSERT_MERGE_ORACLE = """
+WITH final AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS price
+  FROM orders
+  UNION ALL
+  SELECT -o_orderkey - 1, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 3
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey < 0) AS BIGINT) AS n_inserted,
+       CAST(1 AS BIGINT) AS single_version_ok,
+       CAST(1 AS BIGINT) AS cdf_balance_ok
+FROM final GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query("manifest_upsert_merge", _UPSERT_MERGE_ORACLE)
+def manifest_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE as one atomic commit (r15; io/manifest.commit_upsert).
+    v1 appends all of orders; ONE upsert commit then (a) replaces
+    every ``o_orderkey % 7 == 0`` row with a doubled price and (b)
+    inserts a negated-key copy of every ``% 7 == 3`` row — both
+    effects in a single version, so no reader can observe the delete
+    without the insert (two separate delete+append commits cannot
+    avoid that window).  Mechanically the commit stages data files
+    AND delete-key files sharing one sequence number; the read rule
+    ``delete.at > file.added_at`` (strict) hides matching rows only
+    in older files while the commit's own rows survive.
+
+    Hash-gated: the post-merge per-priority counts and exact-decimal
+    revenue (doubling a double is exact IEEE in both engines), the
+    inserted-row count, ``single_version_ok`` (the table is at v2),
+    and ``cdf_balance_ok`` — the upsert recorded its victims, so
+    ``read_changes_cdf`` serves exactly n(%7==0) delete rows and
+    n(%7==0) + n(%7==3) insert rows, which is also what lets the
+    incremental MV fold a merge instead of recomputing
+    (tests/test_manifest_r15.py::test_upsert_cdf_and_incremental_mv).
+
+    Scale: write cost is O(upsert) + O(keys), never O(table) — the
+    Hudi/Delta/Iceberg MERGE posture; at 100 TB the alternative
+    (copy-on-write rewrite of every touched partition) is the thing
+    this commit kind exists to avoid."""
+    import shutil
+    import tempfile
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        commit_append,
+        commit_upsert,
+        current_version,
+        read_changes_cdf,
+        read_table,
+    )
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    try:
+        commit_append(base, root, "a0")
+        up = base.filter(k % 7 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ).unionByName(
+            base.filter(k % 7 == 3).withColumn(
+                "o_orderkey", -F.col("o_orderkey") - 1
+            )
+        )
+        commit_upsert(
+            up, root, "u1", ["o_orderkey"], record_changes=True
+        )
+        single_version_ok = 1 if current_version(root) == 2 else 0
+        n_mod = base.filter(k % 7 == 0).count()
+        n_new = base.filter(k % 7 == 3).count()
+        cdf = read_changes_cdf(spark, root, 1, 2)
+        n_ins = cdf.filter(F.col("_change_type") == "insert").count()
+        n_del = cdf.filter(F.col("_change_type") == "delete").count()
+        cdf_balance_ok = (
+            1 if (n_ins == n_mod + n_new and n_del == n_mod) else 0
+        )
+        out = (
+            read_table(spark, root)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("rev"),
+                F.sum((k < 0).cast("long")).cast("bigint").alias("n_inserted"),
+            )
+            .select(
+                "o_orderpriority",
+                F.col("n").cast("bigint").alias("n"),
+                "rev",
+                "n_inserted",
+                F.lit(single_version_ok)
+                .cast("bigint")
+                .alias("single_version_ok"),
+                F.lit(cdf_balance_ok).cast("bigint").alias("cdf_balance_ok"),
+            )
+            .orderBy("o_orderpriority")
+        )
+        snap = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return snap.orderBy("o_orderpriority")

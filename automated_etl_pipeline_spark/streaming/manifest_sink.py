@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from automated_etl_pipeline_spark.io.manifest import (
     commit_append,
+    commit_upsert,
     current_version,
 )
 
@@ -83,6 +84,49 @@ def manifest_batch_committer(
                 kwargs["bloom_bits"] = int(bloom_bits)
         commit_append(
             batch_df, table_root, batch_run_id(query_name, batch_id), **kwargs
+        )
+
+    return commit_batch
+
+
+def manifest_upsert_committer(
+    table_root: str,
+    key_cols: list[str],
+    query_name: str = "cdc",
+    record_changes: bool = False,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int | None = None,
+):
+    """Exactly-once streaming MERGE (r15): each micro-batch lands as
+    ONE atomic ``commit_upsert`` — rows with matching ``key_cols``
+    replaced, new keys inserted, replays absorbed by the
+    (query, batch_id) run_id.  This is the CDC-apply sink: a change
+    stream keyed by primary key upserts into the manifest table with
+    no window where a delete is visible without its insert, and with
+    ``record_changes=True`` each batch's delta stays servable through
+    ``read_changes_cdf`` so a downstream incremental MV keeps
+    folding.  The batch must hold at most one row per key
+    (last-write-wins collapsing is the caller's dedup step —
+    streaming/cdc.py's latest-by-key pattern)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        kwargs: dict = {}
+        if stats_cols:
+            kwargs["stats_cols"] = list(stats_cols)
+        if bloom_cols:
+            kwargs["bloom_cols"] = list(bloom_cols)
+            if bloom_bits is not None:
+                kwargs["bloom_bits"] = int(bloom_bits)
+        commit_upsert(
+            batch_df,
+            table_root,
+            batch_run_id(query_name, batch_id),
+            list(key_cols),
+            record_changes=record_changes,
+            **kwargs,
         )
 
     return commit_batch

@@ -534,3 +534,181 @@ class TestBloomSidecars:
         # post-rename commit's sidecar answers under its own name too
         df, _, _ = read_table_pruned(spark, root, eq={"key": 250})
         assert df.filter(F.col("key") == 250).count() == 1
+
+
+class TestAtomicUpsert:
+    def test_upsert_replaces_and_inserts_one_version(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        commit_append(_kv(spark, 0, 100), root, "a0")
+        # new state for keys 50..149: replace 50..99, insert 100..149
+        up = spark.range(50, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+        )
+        v = commit_upsert(up, root, "u0", ["k"])
+        assert v == 2 and current_version(root) == 2
+        out = read_table(spark, root)
+        assert out.count() == 150
+        # replaced key reads the NEW value exactly once
+        rows = out.filter(F.col("k") == 75).collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(75, 75000)]
+        # untouched key keeps the old value
+        assert out.filter(F.col("k") == 10).collect()[0]["v"] == 100
+        # inserted key present
+        assert out.filter(F.col("k") == 149).collect()[0]["v"] == 149000
+
+    def test_upsert_idempotent_replay(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        commit_append(_kv(spark, 0, 50), root, "a0")
+        up = spark.range(0, 10).select(
+            F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+        )
+        v1 = commit_upsert(up, root, "u0", ["k"])
+        v2 = commit_upsert(up, root, "u0", ["k"])  # replay
+        assert v1 == v2 == current_version(root)
+        assert read_table(spark, root).count() == 50
+        assert read_table(spark, root).filter(F.col("v") == 7).count() == 10
+
+    def test_upsert_cdf_and_incremental_mv(self, spark, root):
+        """An upsert with recorded changes serves the change feed as
+        delete+insert rows, and the incremental MV folds it without a
+        full recompute."""
+        from automated_etl_pipeline_spark.io.manifest import (
+            commit_upsert,
+            read_changes_cdf,
+        )
+        from automated_etl_pipeline_spark.io.mv import IncrementalAggView
+        import tempfile as _tf
+        import shutil as _sh
+
+        mv_root = _tf.mkdtemp(prefix="spark_graft_upmv_")
+        try:
+            commit_append(_kv(spark, 0, 100), root, "a0")
+            view = IncrementalAggView(
+                root, mv_root, ["k"], sum_cols={"sv": "v"}
+            )
+            assert view.refresh(spark)["mode"] in ("incremental", "full")
+            up = spark.range(90, 120).select(
+                F.col("id").alias("k"), (F.col("id") * 1000).alias("v")
+            )
+            commit_upsert(up, root, "u0", ["k"], record_changes=True)
+            cdf = read_changes_cdf(spark, root, 1, 2)
+            ins = cdf.filter(F.col("_change_type") == "insert").count()
+            dels = cdf.filter(F.col("_change_type") == "delete").count()
+            assert ins == 30 and dels == 10  # 90..99 replaced, 30 new rows
+            res = view.refresh(spark)
+            assert res["mode"] == "incremental_cdf"
+            got = view.read(spark).agg(F.sum("sv")).collect()[0][0]
+            want = (
+                read_table(spark, root)
+                .agg(F.sum(F.col("v").cast("decimal(18,2)")))
+                .collect()[0][0]
+            )
+            assert float(got) == float(want)
+        finally:
+            _sh.rmtree(mv_root, ignore_errors=True)
+
+    def test_upsert_unrecorded_breaks_plain_change_feed(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        commit_append(_kv(spark, 0, 50), root, "a0")
+        commit_upsert(
+            spark.range(0, 5).select(
+                F.col("id").alias("k"), F.lit(1).cast("long").alias("v")
+            ),
+            root,
+            "u0",
+            ["k"],
+        )
+        with pytest.raises(ValueError, match="not representable"):
+            read_changes(spark, root, 1, 2)
+
+    def test_upsert_carries_bloom_sidecars(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        commit_append(
+            _kv(spark, 0, 100), root, "a0", bloom_cols=["k"], bloom_bits=2048
+        )
+        commit_upsert(
+            spark.range(100, 200).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ),
+            root,
+            "u0",
+            ["k"],
+            bloom_cols=["k"],
+            bloom_bits=2048,
+        )
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 150})
+        assert df.filter(F.col("k") == 150).count() == 1
+        assert n_scan < n_total
+
+    def test_upsert_reinsert_then_delete_sequence(self, spark, root):
+        """Sequence-rule composition: delete at v2 hides v1 rows; an
+        upsert at v3 re-inserts the key; the v2 delete must NOT reach
+        the v3 row."""
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        commit_append(_kv(spark, 0, 10), root, "a0")
+        commit_delete(spark.createDataFrame([Row(k=3)]), root, "d0", ["k"])
+        assert read_table(spark, root).filter(F.col("k") == 3).count() == 0
+        commit_upsert(
+            spark.createDataFrame([Row(k=3, v=333)]).select(
+                F.col("k").cast("long"), F.col("v").cast("long")
+            ),
+            root,
+            "u0",
+            ["k"],
+        )
+        rows = read_table(spark, root).filter(F.col("k") == 3).collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(3, 333)]
+
+    def test_upsert_across_checkpoint_replay(self, spark, root):
+        """Upsert deltas must replay identically through a checkpoint
+        resolution (versions on both sides of CHECKPOINT_EVERY)."""
+        from automated_etl_pipeline_spark.io.manifest import commit_upsert
+
+        for i in range(7):
+            commit_append(_kv(spark, i * 10, (i + 1) * 10), root, f"a{i}")
+        commit_upsert(  # v8: checkpoint version
+            spark.range(0, 5).select(
+                F.col("id").alias("k"), F.lit(111).cast("long").alias("v")
+            ),
+            root,
+            "u8",
+            ["k"],
+        )
+        commit_upsert(  # v9: delta version
+            spark.range(3, 8).select(
+                F.col("id").alias("k"), F.lit(222).cast("long").alias("v")
+            ),
+            root,
+            "u9",
+            ["k"],
+        )
+        out = read_table(spark, root)
+        assert out.count() == 70
+        assert out.filter((F.col("k") == 1) & (F.col("v") == 111)).count() == 1
+        assert out.filter((F.col("k") == 4) & (F.col("v") == 222)).count() == 1
+        assert out.filter((F.col("k") == 3) & (F.col("v") == 111)).count() == 0
+
+    def test_streaming_upsert_committer(self, spark, root):
+        """Exactly-once streaming MERGE: per-batch atomic upserts,
+        replay no-ops, final state = last write per key."""
+        from automated_etl_pipeline_spark.streaming.manifest_sink import (
+            manifest_upsert_committer,
+        )
+
+        commit = manifest_upsert_committer(root, ["k"], "cdc")
+        commit(_kv(spark, 0, 50), 0)
+        up = spark.range(40, 60).select(
+            F.col("id").alias("k"), F.lit(9).cast("long").alias("v")
+        )
+        commit(up, 1)
+        commit(up, 1)  # scheduler replay: must no-op
+        assert current_version(root) == 2
+        out = read_table(spark, root)
+        assert out.count() == 60
+        assert out.filter(F.col("v") == 9).count() == 20
+        assert out.filter((F.col("k") == 10) & (F.col("v") == 100)).count() == 1
