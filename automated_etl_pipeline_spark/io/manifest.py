@@ -1650,6 +1650,8 @@ def compact_small_files(
     max_bytes: int,
     target_files: int = 1,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
 ) -> tuple[int, int]:
     """Small-file compaction policy + execution: pick every live data
     file under ``max_bytes``, rewrite their (delete-applied) content
@@ -1657,7 +1659,11 @@ def compact_small_files(
     commit.  Returns (version, n_compacted); (current, 0) when fewer
     than two qualify.  At 100 TB this runs as a scheduled background
     job per partition — the anti-entropy loop every streaming-ingest
-    table needs, here in one call."""
+    table needs, here in one call.  Pass the table's ``stats_cols`` /
+    ``bloom_cols`` so the compacted files keep their zone maps and
+    point-lookup sidecars — compaction that silently drops pruning
+    metadata would make every later point lookup scan the merged
+    file."""
     base = current_version(root)
     if base == 0:
         return 0, 0
@@ -1672,7 +1678,14 @@ def compact_small_files(
         target_files
     )
     v = commit_replace_files(
-        merged, root, run_id, small, expected_base=base, stats_cols=stats_cols
+        merged,
+        root,
+        run_id,
+        small,
+        expected_base=base,
+        stats_cols=stats_cols,
+        bloom_cols=bloom_cols,
+        bloom_bits=bloom_bits,
     )
     return v, len(small)
 

@@ -712,3 +712,31 @@ class TestAtomicUpsert:
         assert out.count() == 60
         assert out.filter(F.col("v") == 9).count() == 20
         assert out.filter((F.col("k") == 10) & (F.col("v") == 100)).count() == 1
+
+    def test_compaction_preserves_bloom_pruning(self, spark, root):
+        from automated_etl_pipeline_spark.io.manifest import (
+            compact_small_files,
+        )
+
+        for i in range(4):
+            commit_append(
+                _kv(spark, i * 50, (i + 1) * 50, parts=2),
+                root,
+                f"a{i}",
+                bloom_cols=["k"],
+                bloom_bits=2048,
+            )
+        v, n = compact_small_files(
+            spark,
+            root,
+            "cmp",
+            max_bytes=10_000_000,
+            target_files=2,
+            bloom_cols=["k"],
+            bloom_bits=2048,
+        )
+        assert n == 8
+        df, n_total, n_scan = read_table_pruned(spark, root, eq={"k": 120})
+        assert df.filter(F.col("k") == 120).count() == 1
+        # 2 merged files: the probe must not scan both unless fp
+        assert n_total == 2 and n_scan >= 1

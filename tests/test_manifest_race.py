@@ -589,3 +589,96 @@ def test_replace_racing_delete_conflicts_or_precedes(spark, root):
     if rep[0] == "conflict":
         # table untouched by the replacer: all three fragments live
         assert len(final["files"]) == 3
+
+
+def _upsert_worker(
+    root: str, keys: list[int], barrier, out_q, min_version: int = 0
+) -> None:
+    import time
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        _publish,
+        current_version,
+    )
+
+    stage = os.path.join(root, "data", uuid.uuid4().hex)
+    os.makedirs(stage)
+    key_path = os.path.join(stage, "keys-0.parquet")
+    data_path = os.path.join(stage, "data-0.parquet")
+    pq.write_table(pa.table({"payload": keys}), key_path)
+    # the upsert's own rows REUSE the targeted payload values — the
+    # sequence rule, not value disjointness, must keep them alive
+    pq.write_table(pa.table({"payload": keys}), data_path)
+    barrier.wait()
+    # land mid-stream, not first: give the interleaving both sides
+    while current_version(root) < min_version:
+        time.sleep(0.005)
+    v = _publish(
+        root,
+        "race-upsert",
+        [key_path],
+        {},
+        lambda cur, new: cur,
+        delete_cols=["payload"],
+        upsert_data_files=[data_path],
+    )
+    out_q.put(("upserted_at", v))
+
+
+def test_upsert_racing_appends_atomic_and_sequenced(spark, root):
+    """An atomic MERGE races a stream of appends, all real processes.
+    Whatever version the upsert lands at: its OWN rows survive (their
+    added_at equals the delete's sequence number — strict inequality),
+    targeted rows in files committed strictly before are hidden,
+    appends landing after survive even for the same key values, and
+    no append is lost."""
+    from collections import Counter
+
+    from automated_etl_pipeline_spark.io.manifest import (
+        _resolve_state,
+        current_version,
+        read_table,
+    )
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(3)
+    out_q = ctx.Queue()
+    targeted = [1000 + i for i in range(8)] + [2000 + i for i in range(8)]
+    procs = [
+        ctx.Process(target=_append_worker, args=(root, pid, 8, barrier))
+        for pid in (1, 2)
+    ] + [
+        ctx.Process(
+            target=_upsert_worker, args=(root, targeted, barrier, out_q, 4)
+        )
+    ]
+    for p in procs:
+        p.start()
+    tag, up_v = out_q.get(timeout=300)
+    assert tag == "upserted_at"
+    for p in procs:
+        p.join(timeout=300)
+        assert p.exitcode == 0
+    final_v = current_version(root)
+    m = _resolve_state(root, final_v)
+    added_at = m["added_at"]
+    # expected multiset, derived from the manifest's own sequence
+    # numbers: every file's payload survives unless it is targeted
+    # AND its file strictly predates the upsert version (the upsert's
+    # own data file has added_at == up_v, so it always survives)
+    expected = Counter()
+    for f in m["files"]:
+        for payload in pq.read_table(f).column("payload").to_pylist():
+            if not (payload in set(targeted) and added_at[f] < up_v):
+                expected[payload] += 1
+    got = Counter(
+        r["payload"] for r in read_table(spark, root).collect()
+    )
+    assert got == expected
+    # the upsert's own rows are present exactly once each
+    for k in targeted:
+        assert got[k] >= 1
+    # non-degenerate interleaving on both sides
+    before = [f for f in m["files"] if added_at[f] < up_v]
+    after = [f for f in m["files"] if added_at[f] > up_v]
+    assert before and after
