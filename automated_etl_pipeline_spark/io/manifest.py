@@ -685,10 +685,28 @@ def _collect_file_metadata(
     if not (cols or bloom_cols) or not new_files:
         return new_stats, None
     staged = spark.read.parquet(*new_files)
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    if cols:
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        rows = (
+            staged.groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        # input_file_name() is always an absolute file: URI; new_files
+        # keeps the caller's root spelling (possibly relative) — key the
+        # stats by the ORIGINAL spelling via an abspath map so a relative
+        # root keeps working
+        for row in rows:
+            orig = _orig_path(row["__f"])
+            new_stats[orig] = {
+                c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
+                for c in cols
+            }
     if bloom_cols:
+        from functools import reduce
+
         from automated_etl_pipeline_spark.functions.hashutil import (
             md5_double_hash,
         )
@@ -702,42 +720,51 @@ def _collect_file_metadata(
                     f"type ({', '.join(_BLOOM_TYPES)}) so the "
                     "driver-side probe hash matches the JVM build hash"
                 )
-        for ci, c in enumerate(bloom_cols):
-            # k positions per key via the pinned double-hash contract
-            # (functions/hashutil.py); distinct positions per file
-            # collected as one array column, bounded by
-            # min(rows * k, bloom_bits) ints per file
-            h1, h2 = md5_double_hash(F.col(c))
-            pos = F.array(
-                *[
-                    ((h1 + F.lit(i) * h2) % bloom_bits).cast("int")
-                    for i in range(BLOOM_K)
-                ]
+        # Bloom positions in a SEPARATE, codegen-friendly pass (r15
+        # opt, guide §1.2 step 2): the old shape folded
+        # array_distinct(flatten(collect_set(pos-array))) into the
+        # min/max aggregate — collect_set over per-row 4-int arrays is
+        # an ObjectHashAggregate holding up to rows-per-file array
+        # objects per group, and its presence pushed the WHOLE
+        # aggregate (min/max included) off whole-stage codegen
+        # (measured: the 6-commit bloom gate ran 2.3x its recorded
+        # anchor).  Exploding to (file, col, pos) rows and
+        # deduplicating in a HashAggregate FIRST bounds the only
+        # object aggregation (collect_set of ints) at bloom_bits
+        # entries per file — the 100-TB shape too: partial aggregation
+        # dedups map-side, never shipping rows x k positions.
+        h1h2 = {c: md5_double_hash(F.col(c)) for c in bloom_cols}
+        parts = [
+            staged.select(
+                F.input_file_name().alias("__f"),
+                F.lit(ci).alias("__c"),
+                F.explode(
+                    F.array(
+                        *[
+                            ((h1h2[c][0] + F.lit(i) * h1h2[c][1]) % bloom_bits)
+                            .cast("int")
+                            for i in range(BLOOM_K)
+                        ]
+                    )
+                ).alias("p"),
             )
-            aggs.append(
-                F.array_distinct(F.flatten(F.collect_set(pos))).alias(
-                    f"bl_{ci}"
-                )
-            )
-    rows = (
-        staged.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect()
-    )
-    # input_file_name() is always an absolute file: URI; new_files
-    # keeps the caller's root spelling (possibly relative) — key the
-    # stats by the ORIGINAL spelling via an abspath map so a relative
-    # root keeps working
-    for row in rows:
-        orig = _orig_path(row["__f"])
-        if cols:
-            new_stats[orig] = {
-                c: [_json_stat(row[f"mn_{c}"]), _json_stat(row[f"mx_{c}"])]
-                for c in cols
-            }
-        for ci, c in enumerate(bloom_cols or []):
+            for ci, c in enumerate(bloom_cols)
+        ]
+        allpos = reduce(lambda a, b: a.unionAll(b), parts)
+        brows = (
             # NULL keys yield NULL positions — dropped (they never
             # probe true)
-            ps = [pp for pp in row[f"bl_{ci}"] if pp is not None]
-            new_blooms.setdefault(orig, {})[c] = _bloom_pack(ps, bloom_bits)
+            allpos.where(F.col("p").isNotNull())
+            .groupBy("__f", "__c")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )
+        for row in brows:
+            orig = _orig_path(row["__f"])
+            c = bloom_cols[row["__c"]]
+            new_blooms.setdefault(orig, {})[c] = _bloom_pack(
+                row["ps"], bloom_bits
+            )
     new_bloom_refs: dict[str, str] | None = None
     if bloom_cols:
         # a staged file with zero rows (or all-NULL keys) gets an
@@ -1289,6 +1316,59 @@ def commit_append(
         bloom_bits=bloom_bits,
         commit_ts=commit_ts,
     )
+
+
+def commit_add_files(
+    spark: SparkSession,
+    files: list[str],
+    root: str,
+    run_id: str,
+    stats_col: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = BLOOM_BITS_DEFAULT,
+    commit_ts: float | None = None,
+) -> int:
+    """Append PRE-STAGED parquet files (already written under
+    ``root/data/<uuid>/...`` — invisible until a manifest names them,
+    the ``_stage`` contract) as ONE commit.  r15 optimization shape
+    (guide §8: decide/produce with one pass, attach metadata without
+    re-moving the bytes): a writer that lays out N files in a single
+    partitioned Spark write (e.g. ``partitionBy`` cell files) commits
+    them with one metadata pass + one publish, instead of N
+    ``commit_append`` calls each costing a full write job + stats job
+    — O(1) driver-side jobs per ingest instead of O(files).  Stats /
+    bloom sidecars are computed exactly as ``commit_append`` does;
+    same idempotence and optimistic-versioning rules."""
+    cols = list(stats_cols or ([] if stats_col is None else [stats_col]))
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    files = sorted(files)
+    # schema from the footers (driver-side read; no job runs)
+    schema_json = spark.read.parquet(*files).schema.json()
+    v = current_version(root)
+    prev = _resolve_state(root, v) if v else {"files": [], "run_ids": []}
+    if run_id in prev["run_ids"]:
+        return v
+    if prev.get("schema"):
+        _merge_schema(prev["schema"], schema_json)
+    new_stats, new_bloom_refs = _collect_file_metadata(
+        spark, files, cols, bloom_cols, bloom_bits
+    )
+    return _publish(
+        root, run_id, files, new_stats, lambda cur, new: cur + new,
+        schema_json=schema_json, new_bloom_refs=new_bloom_refs,
+        bloom_bits=(bloom_bits if bloom_cols else None),
+        commit_ts=commit_ts,
+    )
+
+
+def stage_dir(root: str) -> str:
+    """A fresh ``root/data/<uuid>`` directory for a caller-managed
+    staged write (see ``commit_add_files``): files under it stay
+    invisible to readers until a manifest names them."""
+    d = os.path.join(root, "data", uuid.uuid4().hex)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
 
 
 def commit_rewrite(

@@ -5884,6 +5884,12 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (orders,) = _t(spark, sf_dir, "orders")
     orders = orders.filter(F.col("o_orderkey").isNotNull())
+    # narrow to the merge key + the 2 aggregated columns before the
+    # base/batch writes (r15 opt, guide §2.3/§4.1 pass only what the
+    # operator needs): the CDC merge state, every drop file and the
+    # final stateful shuffle carried all 9 orders columns for
+    # identical per-status aggregates
+    orders = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     base = orders.withColumn("version", F.lit(0).cast("long"))
     schema = base.schema  # orders schema + version, reused by the stream reader
 
@@ -6002,9 +6008,16 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica means are order-independent."""
     (orders,) = _t(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey").isNotNull())
+    # cast to the exact decimal ONCE per base row, BEFORE the two
+    # explodes (r15 opt, guide §1.2 step 2 / §2.3 narrower types
+    # early): the cast used to sit inside the replica aggregate, so it
+    # ran per (row x B) — 40x the conversions for identical values
+    # (measured: 10.2s -> 6.8s on the isolated subplan).  w * decimal
+    # and the decimal sum are unchanged, so every replica mean is
+    # bit-identical.
     r = base.select(
         "o_orderkey",
-        "o_totalprice",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("tp_dec"),
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 2 - 1))).alias("p"),
     )
     # one md5 per (row, digest-pair): each digest yields TWO 52-bit
@@ -6012,7 +6025,7 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant term.  dg is its own projection so the two lanes share
     # one evaluation (CollapseProject keeps non-cheap aliases separate)
     d = r.select(
-        "o_totalprice",
+        "tp_dec",
         "p",
         F.md5(
             F.concat(
@@ -6032,27 +6045,25 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     pairs = d.select(
-        "o_totalprice",
+        "tp_dec",
         F.explode(
             F.array(
                 _lane(1, 2 * F.col("p")),
                 _lane(14, 2 * F.col("p") + 1),
             )
         ).alias("x"),
-    ).select("o_totalprice", F.col("x.b").alias("b"), F.col("x.u").alias("u"))
+    ).select("tp_dec", F.col("x.b").alias("b"), F.col("x.u").alias("u"))
     u = F.col("u")
     w = F.when(u < _POIS_CDF[0], 0)
     for k in range(1, 6):
         w = w.when(u < _POIS_CDF[k], k)
     w = w.otherwise(6)
     rep = (
-        pairs.select("b", "o_totalprice", w.alias("w"))
+        pairs.select("b", "tp_dec", w.alias("w"))
         .groupBy("b")
         .agg(
             (
-                F.sum(
-                    F.col("w") * F.col("o_totalprice").cast("decimal(18,2)")
-                ).cast("double")
+                F.sum(F.col("w") * F.col("tp_dec")).cast("double")
                 / F.sum("w").cast("bigint")
             ).alias("m")
         )
@@ -6060,9 +6071,21 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = rep.withColumn(
         "rk", F.row_number().over(Window.orderBy("m", "b"))
     )
-    lo = ranked.filter(F.col("rk") == 1).select(F.col("m").alias("ci_low"))
-    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(
-        F.col("m").alias("ci_high")
+    # BOTH CI bounds from ONE aggregate over the ranked B-row frame:
+    # separate rk==1 / rk==B-1 filters each became their own broadcast
+    # subtree, and Spark does not share subtrees across broadcasts —
+    # the explode-by-B + md5 pipeline (the dominant cost) executed
+    # TWICE (r15 opt: plans/r15/stats_poisson_bootstrap_ci_before.txt
+    # shows 2 md5 evaluations; _after.txt shows 1; guide §2.4 —
+    # remove duplicated heavy subtrees before tuning anything inside
+    # them).  max(when(...)) over the two surviving rows is exact.
+    ci = ranked.filter(
+        (F.col("rk") == 1) | (F.col("rk") == _BOOT_B - 1)
+    ).agg(
+        F.max(F.when(F.col("rk") == 1, F.col("m"))).alias("ci_low"),
+        F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("m"))).alias(
+            "ci_high"
+        ),
     )
     point = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -6072,8 +6095,7 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("point_mean"),
     )
     return (
-        point.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        point.crossJoin(F.broadcast(ci))
         .select(
             F.lit(_BOOT_B).cast("bigint").alias("b_replicas"),
             "n_rows",
@@ -6413,6 +6435,10 @@ def manifest_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (sup,) = _t(spark, sf_dir, "supplier")
+    # narrow to the 2 columns the ledger aggregates (r15 opt, guide
+    # §2.3/§6): fragments, the compaction read AND its rewrite carried
+    # all 7 supplier columns for identical counts/balance
+    sup = sup.select("s_suppkey", "s_acctbal")
     root = tempfile.mkdtemp(prefix="spark_graft_compact_")
     try:
         for k in range(5):
@@ -6620,13 +6646,16 @@ def zone_map_multicol_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-dimensional predicate touches the handful of (partition, band)
     cells it names, independent of table size.  Partition pruning is
     the min == max degenerate case, exactly as in Iceberg/Delta."""
+    import glob
+    import os
     import shutil
     import tempfile
 
     from automated_etl_pipeline_spark.io.manifest import (
-        commit_append,
+        commit_add_files,
         read_table,
         read_table_pruned,
+        stage_dir,
     )
 
     (orders,) = _t(spark, sf_dir, "orders")
@@ -6639,23 +6668,37 @@ def zone_map_multicol_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_band"),
         "o_totalprice",
     )
-    cells = sorted(
-        (r["o_ybin"], r["o_band"])
-        for r in binned.select("o_ybin", "o_band").distinct().collect()
-    )
     root = tempfile.mkdtemp(prefix="spark_graft_zm_multi_")
     try:
-        for yb, bd in cells:
-            commit_append(
-                binned.filter(
-                    (F.col("o_ybin") == yb) & (F.col("o_band") == bd)
-                )
-                .drop("o_band")
-                .coalesce(1),
-                root,
-                f"cell-{yb}-{bd}",
-                stats_cols=["o_ybin", "o_totalprice"],
-            )
+        # ONE partitioned write lays out one file per (ybin, band)
+        # cell, then ONE commit registers them all (r15 opt, guide §8:
+        # one pass moves the bytes, metadata work is a single grouped
+        # aggregate).  The old shape collected the distinct cells to
+        # the driver and ran commit_append per cell — 2 Spark jobs per
+        # cell, each re-scanning orders (~25 jobs at sf0.1; O(cells)
+        # at 100 TB — exactly the driver-side file-ops loop the guide
+        # bans).  repartition on the cell columns puts each cell
+        # wholly in one task, so partitionBy writes EXACTLY one file
+        # per cell — same layout, same stats, identical read results.
+        stage = stage_dir(root)
+        (
+            binned.withColumn("pb", F.col("o_ybin"))
+            .withColumn("bb", F.col("o_band"))
+            .repartition(F.col("o_ybin"), F.col("o_band"))
+            .drop("o_band")
+            .write.partitionBy("pb", "bb")
+            .parquet(stage)
+        )
+        files = sorted(
+            glob.glob(os.path.join(stage, "pb=*", "bb=*", "*.parquet"))
+        )
+        commit_add_files(
+            spark,
+            files,
+            root,
+            "cells",
+            stats_cols=["o_ybin", "o_totalprice"],
+        )
         pruned, n_total, n_scanned = read_table_pruned(
             spark,
             root,
@@ -6825,6 +6868,11 @@ def manifest_delete_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     (orders,) = _t(spark, sf_dir, "orders")
+    # narrow to the 3 columns the gate aggregates / deletes on before
+    # any append stages (r15 opt, guide §2.3/§6): the appends, the
+    # compaction rewrite and every read carried all 9 orders columns
+    # (comment/clerk dominate) for identical results
+    orders = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
     k = F.col("o_orderkey")
     root = tempfile.mkdtemp(prefix="spark_graft_mor_")
     try:
@@ -6921,6 +6969,18 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.io.mv import IncrementalAggView
 
     (li,) = _t(spark, sf_dir, "lineitem")
+    # project to the 5 columns the view + delete key actually touch
+    # BEFORE anything is staged (r15 opt, guide §2.3/§6): the appends
+    # used to write all 16 lineitem columns and every refresh re-read
+    # them — 4x the bytes staged, scanned and delta-folded for
+    # identical MV results (comment/shipinstruct dominate row width)
+    li = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+    )
     ln = F.col("l_linenumber")
     src = tempfile.mkdtemp(prefix="spark_graft_mv_src_")
     mv_root = tempfile.mkdtemp(prefix="spark_graft_mv_")
@@ -7190,6 +7250,13 @@ def mv_cdf_retraction_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.io.mv import IncrementalAggView
 
     (li,) = _t(spark, sf_dir, "lineitem")
+    # narrow to the touched columns before staging (r15 opt, guide
+    # §2.3/§6 — same rationale as mv_incremental_refresh): the CDF
+    # delete records victim ROWS at commit time, so slim rows also
+    # shrink the recorded change files the refresh folds
+    li = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
     src = tempfile.mkdtemp(prefix="spark_graft_mvcdf_src_")
     mv_root = tempfile.mkdtemp(prefix="spark_graft_mvcdf_")
     try:
@@ -7286,6 +7353,11 @@ def streaming_manifest_sink_exactly_once(
 
     (orders,) = _t(spark, sf_dir, "orders")
     orders = orders.filter(F.col("o_orderkey").isNotNull())
+    # narrow to the split key + the 2 aggregated columns before the
+    # drop files are written (r15 opt, guide §2.3/§6): the 4 drop
+    # files, the stream scan and every manifest append carried all 9
+    # orders columns for identical per-status aggregates
+    orders = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
     drop = tempfile.mkdtemp(prefix="spark_graft_msink_drop_")
     tbl = tempfile.mkdtemp(prefix="spark_graft_msink_tbl_")
     state = tempfile.mkdtemp(prefix="spark_graft_msink_state_")
@@ -7363,8 +7435,13 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="spark_graft_buckets_")
     to, tl = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
     try:
+        # bucket only the join key + the aggregated column (r15 opt,
+        # guide §2.3/§6 — the layout shuffle is paid on 2 columns per
+        # side instead of 9/16; join, bucketed-scan plan shape and the
+        # per-priority aggregate are identical)
         (
             orders.filter(F.col("o_orderkey").isNotNull())
+            .select("o_orderkey", "o_orderpriority")
             .write.bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
             .option("path", f"{base}/{to}")
@@ -7372,6 +7449,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         (
             li.filter(F.col("l_orderkey").isNotNull())
+            .select("l_orderkey", "l_extendedprice")
             .write.bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")
             .option("path", f"{base}/{tl}")
@@ -7440,9 +7518,10 @@ def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality UNSORTED column — every file's [min, max]
     straddles the probe, so a one-row answer reads the whole table at
     100 TB.  This gate builds an 18-file manifest table from orders
-    (6 appends split by ``o_orderkey % 6``, each repartitioned to 3
-    unsorted files, per-file 65536-bit Bloom sidecars committed via
-    ``bloom_cols``), then hash-gates three point lookups (global min /
+    (one partitioned write laying out 3 unsorted files per
+    ``o_orderkey % 6`` residue class, per-file 65536-bit Bloom
+    sidecars committed via ``bloom_cols`` in a single
+    ``commit_add_files``), then hash-gates three point lookups (global min /
     first-above-midpoint / global max keys — each derived identically
     in both engines) read through ``read_table_pruned(eq=...)``:
 
@@ -7464,27 +7543,52 @@ def manifest_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the saved work is the difference between 32768 tasks and ~5.
     SCALE_SMOKE_r15 measures files-scanned staying O(1) under 16x
     table growth while zone-only scanning grows O(files)."""
+    import glob
+    import os
     import shutil
     import tempfile
 
     from automated_etl_pipeline_spark.io.manifest import (
-        commit_append,
+        commit_add_files,
         read_table_pruned,
+        stage_dir,
     )
 
     (orders,) = _t(spark, sf_dir, "orders")
     sub = orders.select("o_orderkey", "o_totalprice")
     root = tempfile.mkdtemp(prefix="spark_graft_bloom_")
     try:
-        for b in range(6):
-            commit_append(
-                sub.filter(F.col("o_orderkey") % 6 == b).repartition(3),
-                root,
-                f"a{b}",
-                stats_cols=["o_orderkey"],
-                bloom_cols=["o_orderkey"],
-                bloom_bits=65536,
+        # ONE partitioned write + ONE commit builds the same 18-file
+        # layout the original 6 commit_append calls produced (r15 opt,
+        # guide §8 / §2.4): bucket = key % 6 (so each file still holds
+        # only its residue class — the pruning invariants depend on
+        # that), sub-split = xxhash64(key) % 3 (3 unsorted files per
+        # bucket, full key range each, exactly like the old
+        # repartition(3)).  The old loop cost 6 x (write job + stats
+        # job); this costs 1 write + 1 min/max pass + 1 bloom pass —
+        # O(1) jobs, the shape that survives O(files) growth.
+        stage = stage_dir(root)
+        (
+            sub.withColumn("b", F.col("o_orderkey") % 6)
+            .withColumn(
+                "s", F.pmod(F.xxhash64("o_orderkey"), F.lit(3))
             )
+            .repartition(F.col("b"), F.col("s"))
+            .write.partitionBy("b", "s")
+            .parquet(stage)
+        )
+        files = sorted(
+            glob.glob(os.path.join(stage, "b=*", "s=*", "*.parquet"))
+        )
+        commit_add_files(
+            spark,
+            files,
+            root,
+            "cells",
+            stats_cols=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            bloom_bits=65536,
+        )
         mn, mx = sub.agg(
             F.min("o_orderkey"), F.max("o_orderkey")
         ).collect()[0]
@@ -7829,8 +7933,13 @@ def manifest_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             up, root, "u1", ["o_orderkey"], record_changes=True
         )
         single_version_ok = 1 if current_version(root) == 2 else 0
-        n_mod = base.filter(k % 7 == 0).count()
-        n_new = base.filter(k % 7 == 3).count()
+        # one conditional aggregate instead of two count() jobs (r15
+        # opt, guide §2.4): same integers, one scan
+        _c = base.agg(
+            F.sum((k % 7 == 0).cast("long")).alias("n_mod"),
+            F.sum((k % 7 == 3).cast("long")).alias("n_new"),
+        ).collect()[0]
+        n_mod, n_new = _c["n_mod"], _c["n_new"]
         cdf = read_changes_cdf(spark, root, 1, 2)
         n_ins = cdf.filter(F.col("_change_type") == "insert").count()
         n_del = cdf.filter(F.col("_change_type") == "delete").count()

@@ -1876,19 +1876,29 @@ def target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         bigrams(spread(docs.filter(F.col("lang") != "en")))
         .select("doc_id", F.explode("gs").alias("g"))
     )
-    per_doc = pb.join(tgt, "g", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_matched")
+    # ONE pass over the exploded pool (r15 opt, guide §2.4): the old
+    # shape fed pb into TWO groupBys (semi-join+count and a plain
+    # count) joined at the end — the tokenize+hash+explode pipeline
+    # ran twice and the results met in an extra doc_id shuffle.  A
+    # left join against the (distinct) target set preserves pb's
+    # multiplicity exactly, so count(*) is still |gs| and
+    # count(__hit) equals the old semi-join count; unmatched docs get
+    # 0 directly (count over all-NULL), no coalesce join needed.
+    per = (
+        pb.join(tgt.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count("__hit").alias("n_matched"),
+        )
     )
-    counts = pb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bigrams"))
     return (
-        counts.join(per_doc, "doc_id", "left")
-        .select(
+        per.select(
             "doc_id",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
-            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.col("n_matched").alias("n_matched"),
             F.round(
-                F.coalesce("n_matched", F.lit(0)).cast("double")
-                / F.col("n_bigrams"),
+                F.col("n_matched").cast("double") / F.col("n_bigrams"),
                 6,
             ).alias("target_score"),
         )
