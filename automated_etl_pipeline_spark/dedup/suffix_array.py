@@ -179,13 +179,16 @@ def suffix_ranks(
     max_block = pos.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
     # level-0 token ranks are not yet corpus-dense (sentinels are
     # negative) — densify so every level has the same rank space
-    r0, _ = _dense_ranks(pos.select("rank"), ["rank"], "__d")
+    r0, n0 = _dense_ranks(pos.select("rank"), ["rank"], "__d")
     cur = materialize(
         pos.join(r0, "rank")
         .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
     )
     levels: list[tuple[int, DataFrame]] = [(1, cur.select("gid", "rank"))]
     k = 1
+    # `base`: the exclusive upper bound of the current DENSE rank space
+    # (None right after an arithmetic round, when ranks are sparse).
+    base = n0
     while k < max_block:
         shifted = cur.select(
             (F.col("gid") - F.lit(k)).alias("gid"), F.col("rank").alias("__r2")
@@ -194,6 +197,39 @@ def suffix_ranks(
             cur.join(shifted, "gid", "left")
             .fillna({"__r2": _MISSING_RANK})
         )
+        if base is not None and base < (1 << 31):
+            # ARITHMETIC re-key (r15 opt, guide §1.2 step 1 / §2.4 —
+            # remove whole shuffles): when ranks are dense in
+            # [0, base), the pair (rank, __r2) maps ORDER-PRESERVINGLY
+            # into one long as rank * (base + 2) + (__r2 + 2)
+            # (__r2 ∈ {-1} ∪ [0, base), so the shifted second term
+            # stays inside one stride) — equal pairs stay equal,
+            # distinct pairs stay distinct, order is lexicographic.
+            # That is everything a doubling level needs from its rank,
+            # so every OTHER round can skip the full _dense_ranks
+            # machinery (a distinct shuffle, a range-repartition with
+            # its sampling job, an eager checkpoint, an offsets
+            # collect and a remap join) for a pure projection.  The
+            # rank magnitude squares, so the NEXT round densifies
+            # (base=None) and re-compresses; base >= 2^31 (> ~2e9
+            # distinct suffixes in one suffix-array build) falls back
+            # to densify-every-round — same results, the old cost.
+            cur = materialize(
+                paired.select(
+                    "gid",
+                    "doc_id",
+                    "pos",
+                    "is_sent",
+                    (
+                        F.col("rank") * F.lit(base + 2)
+                        + (F.col("__r2") + F.lit(2))
+                    ).alias("rank"),
+                )
+            )
+            base = None
+            k *= 2
+            levels.append((k, cur.select("gid", "rank")))
+            continue
         remap, n_distinct = _dense_ranks(
             paired.select("rank", "__r2"), ["rank", "__r2"], "__d"
         )
@@ -201,13 +237,29 @@ def suffix_ranks(
             paired.join(remap, ["rank", "__r2"])
             .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
         )
+        base = n_distinct
         k *= 2
         levels.append((k, cur.select("gid", "rank")))
         # all-ranks-distinct: the remap's distinct (rank, __r2) count
         # equals the position count — known for free from the offset
-        # collect; no per-round max(rank) scan (r10 review)
+        # collect; no per-round max(rank) scan (r10 review).  An
+        # arithmetic round cannot test this (its distinct count is
+        # unknown by construction), so completion is detected at the
+        # next densify — at most one extra cheap projection round.
         if n_distinct == n:
             break
+    if base is None:
+        # the loop ended on an arithmetic round: ranks are distinct
+        # and correctly ORDERED but sparse, while neighbor_lcps pairs
+        # rank r with rank r-1 — i.e. the FINAL frame must be dense
+        # consecutive suffix-array positions.  One last densify
+        # restores that contract (the sparse level already appended is
+        # fine: the LCP descent only ever tests rank EQUALITY).
+        remap, _ = _dense_ranks(cur.select("rank"), ["rank"], "__d")
+        cur = materialize(
+            cur.join(remap, "rank")
+            .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
+        )
     return cur, levels
 
 
