@@ -7941,8 +7941,14 @@ def manifest_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()[0]
         n_mod, n_new = _c["n_mod"], _c["n_new"]
         cdf = read_changes_cdf(spark, root, 1, 2)
-        n_ins = cdf.filter(F.col("_change_type") == "insert").count()
-        n_del = cdf.filter(F.col("_change_type") == "delete").count()
+        # one conditional aggregate instead of two count() jobs over
+        # the change feed (r15 opt, guide §2.4): same integers, one scan
+        _cdf = cdf.agg(
+            F.sum((F.col("_change_type") == "insert").cast("long")).alias("i"),
+            F.sum((F.col("_change_type") == "delete").cast("long")).alias("d"),
+        ).collect()[0]
+        n_ins = _cdf["i"] or 0
+        n_del = _cdf["d"] or 0
         cdf_balance_ok = (
             1 if (n_ins == n_mod + n_new and n_del == n_mod) else 0
         )

@@ -4277,7 +4277,10 @@ def dsir_select_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     # one two-LM scoring pass: the weights frame is 3 narrow columns
-    # per doc — materialize it and feed both consumers
+    # per doc — materialize it and feed both consumers.  (r15 opt
+    # note: a semi-join-derived target-counts variant was measured and
+    # rejected — no exchange reuse across branches, so the pool pass
+    # ran twice; see the kn_perplexity_partition note.)
     w = importance_weights(docs, target).localCheckpoint(eager=True)
     sel = dsir_select(docs, target, k=50, seed=7, weights=w)
     pool_stats = w.agg(
@@ -4995,6 +4998,13 @@ def kn_perplexity_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _t(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
+    # NOTE (r15 opt, measured and REJECTED): deriving the target LM's
+    # bigrams from the pool pass via semi-join (target ⊆ pool) looked
+    # like a saved tokenize pass, but Spark does not reuse the pool
+    # bigram Exchange across the two branches — the pool explode ran
+    # TWICE (1,328k vs 705k Generate rows, executed-plan SQLMetrics),
+    # while the en-slice second pass it replaced is only ~6% of the
+    # pool's bigrams.  The two-pass shape below is the cheaper plan.
     parts = kn_partition(spread(docs), target)
     counts = parts.groupBy("part").agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
