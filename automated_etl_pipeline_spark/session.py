@@ -63,6 +63,13 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Deployment-specific overrides without code edits (the scale knob
+    # contract): SPARK_GRAFT_CONF="key=value;key2=value2" overrides the
+    # defaults above; an explicit extra_conf from the caller still wins.
+    for pair in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = pair.partition("=")
+        if k.strip() and v.strip():
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
