@@ -4565,32 +4565,44 @@ def association_rules_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_uv") >= 2)
     )
 
-    def rules(ante, cons):
-        sup = isup.select(
-            F.col("item").alias(ante), F.col("s").alias("s_a")
+    # Both rule directions from ONE pass over the pair supports (r15
+    # opt, guide §2.2): join u's and v's supports once and explode the
+    # two directed rules per pair — the old per-direction helper
+    # consumed the self-join+groupBy subtree in two union branches.
+    # conf_ppm is the same exact integer ppm (floor division on
+    # positive BIGINTs): no double ratio, no decimal-grid rounding.
+    both = (
+        psup.join(
+            F.broadcast(isup.select(F.col("item").alias("u"), F.col("s").alias("s_u"))),
+            "u",
         )
-        return (
-            psup.join(F.broadcast(sup), ante)
-            .select(
-                F.col(ante).alias("antecedent"),
-                F.col(cons).alias("consequent"),
-                F.col("s_uv"),
-                # exact integer ppm (floor division on positive
-                # BIGINTs): no double ratio, no decimal-grid rounding
-                F.expr("CAST(s_uv * 1000000L DIV s_a AS BIGINT)")
-                .alias("conf_ppm"),
-            )
+        .join(
+            F.broadcast(isup.select(F.col("item").alias("v"), F.col("s").alias("s_v"))),
+            "v",
         )
-
-    return (
-        rules("u", "v")
-        .unionByName(rules("v", "u"))
         .select(
-            "antecedent",
-            "consequent",
-            F.col("s_uv").alias("pair_support"),
-            "conf_ppm",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("antecedent"),
+                        F.col("v").alias("consequent"),
+                        F.col("s_uv").alias("pair_support"),
+                        F.expr("CAST(s_uv * 1000000L DIV s_u AS BIGINT)")
+                        .alias("conf_ppm"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("antecedent"),
+                        F.col("u").alias("consequent"),
+                        F.col("s_uv").alias("pair_support"),
+                        F.expr("CAST(s_uv * 1000000L DIV s_v AS BIGINT)")
+                        .alias("conf_ppm"),
+                    ),
+                )
+            ).alias("r")
         )
+    )
+    return (
+        both.select("r.*")
         .orderBy(F.desc("conf_ppm"), "antecedent", "consequent")
         .limit(25)
     )
@@ -4748,35 +4760,37 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("tts") < F.col("pts"))
         & (F.col("tts") >= F.col("pts") - F.expr("interval 7 days"))
     )
-    pt = purchases.join(touches, cond).withColumn(
+    # ONE left join replaces the inner + anti pair over the same
+    # (purchases x touches) condition (r15 opt, guide §2.2/§3): an
+    # unmatched purchase survives as its single null-extended row, so
+    # n_touch = 1 and floor(value/1 * 1e6) IS the direct formula
+    # (IEEE division by 1.0 is exact); matched groups have no
+    # null-extended row, so their counts and credits are unchanged.
+    # The absent-'direct'-bucket case falls out of grouping (no
+    # unmatched rows -> no group), matching the old n_credited > 0
+    # filter.
+    pt = purchases.join(touches, cond, "left").withColumn(
         "n_touch", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
     )
-    credited = pt.groupBy("touch_type").agg(
-        F.count(F.lit(1)).alias("n_credited"),
-        # credit as floor-micros: value/n_touch is the same IEEE double
-        # in both engines; floor(x*1e6) is bit-identical, and the
-        # BIGINT sum is exact and order-free (no decimal-grid rounding)
-        F.sum(
-            F.floor(F.col("value") / F.col("n_touch") * 1_000_000)
-            .cast("bigint")
-        ).alias("credit_micros"),
-    )
-    direct = (
-        purchases.join(
-            touches,
-            cond,
-            "left_anti",
+    return (
+        pt.groupBy(
+            F.coalesce(F.col("touch_type"), F.lit("direct")).alias(
+                "touch_type"
+            )
         )
         .agg(
-            F.lit("direct").alias("touch_type"),
             F.count(F.lit(1)).alias("n_credited"),
+            # credit as floor-micros: value/n_touch is the same IEEE
+            # double in both engines; floor(x*1e6) is bit-identical,
+            # and the BIGINT sum is exact and order-free (no
+            # decimal-grid rounding)
             F.sum(
-                F.floor(F.col("value") * 1_000_000).cast("bigint")
+                F.floor(F.col("value") / F.col("n_touch") * 1_000_000)
+                .cast("bigint")
             ).alias("credit_micros"),
         )
-        .filter(F.col("n_credited") > 0)
+        .orderBy("touch_type")
     )
-    return credited.unionByName(direct).orderBy("touch_type")
 
 
 # ----------------------------------------------------------------------
