@@ -60,10 +60,16 @@ def pagerank(
         )
     base = float(1.0 - damping) / n
 
-    e = edges.select(
+    e0 = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg rides the edge list (r15 opt, guide §2.2 — hoist the
+    # loop-invariant): the old loop re-joined deg to the edges EVERY
+    # iteration; the (src, dst, deg) join is iteration-independent, so
+    # pay it once at setup and each round is one join lighter.  Values
+    # are unchanged — c = pr/deg is the same expression either way.
+    e = e0.join(deg, "src").localCheckpoint()
 
     ranks = nodes.select(
         F.col(id_col).alias("node"), F.lit(1.0 / n).alias("pr")
@@ -71,7 +77,6 @@ def pagerank(
     for t in range(iters):
         contribs = (
             e.join(ranks, e.src == ranks.node)
-            .join(deg, "src")
             .select(
                 "dst",
                 (F.col("pr") / F.col("deg"))
