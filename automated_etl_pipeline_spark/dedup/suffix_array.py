@@ -31,7 +31,10 @@ Algorithm — all DataFrame ops, sized for a corpus that fits no task:
 
 2. **Prefix doubling** (Manber-Myers).  ``rank_k[gid]`` names the
    2^k-token window at ``gid``; each round self-joins the rank frame
-   shifted by 2^k and re-densifies ``(rank, rank_shift)`` pairs.
+   shifted by 2^k and re-keys ``(rank, rank_shift)`` pairs — by pure
+   order-preserving arithmetic while the rank-space bound stays under
+   2^31 (the bound squares per arithmetic round), with a full
+   ``_dense_ranks`` re-densify only when it would overflow.
    Rounds needed: ceil(log2(longest doc + 1)) — sentinels make every
    suffix distinct within that horizon, NOT log2(corpus).  Ranks are
    re-densified by ``_dense_ranks`` (below); every round frame is
@@ -81,6 +84,13 @@ from automated_etl_pipeline_spark.operators.ranks import (
 )
 
 _MISSING_RANK = -1  # gid past corpus end in a shifted join
+
+# Arithmetic re-key guard: a doubling round may re-key (rank, __r2)
+# as rank*(ubound+2) + (__r2+2) only while ubound stays below this,
+# keeping the product under 2^63 even on the NEXT chained round
+# ((2^31+1)^2 < 2^63).  Module-level so tests can pin it to 0 and
+# compare against the densify-every-round fallback.
+_ARITH_UBOUND_LIMIT = 1 << 31
 
 
 def _dense_ranks(
@@ -186,9 +196,13 @@ def suffix_ranks(
     )
     levels: list[tuple[int, DataFrame]] = [(1, cur.select("gid", "rank"))]
     k = 1
-    # `base`: the exclusive upper bound of the current DENSE rank space
-    # (None right after an arithmetic round, when ranks are sparse).
-    base = n0
+    # `ubound`: exclusive upper bound of the current rank space (exact
+    # n_distinct after a densify round, the (ubound+1)^2 envelope after
+    # an arithmetic round); `dense` — whether ranks are additionally
+    # dense-consecutive in [0, ubound) (only densify rounds make them
+    # so, and only the FINAL frame needs it).
+    ubound = n0
+    dense = True
     while k < max_block:
         shifted = cur.select(
             (F.col("gid") - F.lit(k)).alias("gid"), F.col("rank").alias("__r2")
@@ -197,23 +211,27 @@ def suffix_ranks(
             cur.join(shifted, "gid", "left")
             .fillna({"__r2": _MISSING_RANK})
         )
-        if base is not None and base < (1 << 31):
+        if ubound < _ARITH_UBOUND_LIMIT:
             # ARITHMETIC re-key (r15 opt, guide §1.2 step 1 / §2.4 —
-            # remove whole shuffles): when ranks are dense in
-            # [0, base), the pair (rank, __r2) maps ORDER-PRESERVINGLY
-            # into one long as rank * (base + 2) + (__r2 + 2)
-            # (__r2 ∈ {-1} ∪ [0, base), so the shifted second term
+            # remove whole shuffles): with ranks bounded in [0, ubound),
+            # the pair (rank, __r2) maps ORDER-PRESERVINGLY into one
+            # long as rank * (ubound + 2) + (__r2 + 2)
+            # (__r2 ∈ {-1} ∪ [0, ubound), so the shifted second term
             # stays inside one stride) — equal pairs stay equal,
             # distinct pairs stay distinct, order is lexicographic.
             # That is everything a doubling level needs from its rank,
-            # so every OTHER round can skip the full _dense_ranks
-            # machinery (a distinct shuffle, a range-repartition with
-            # its sampling job, an eager checkpoint, an offsets
-            # collect and a remap join) for a pure projection.  The
-            # rank magnitude squares, so the NEXT round densifies
-            # (base=None) and re-compresses; base >= 2^31 (> ~2e9
-            # distinct suffixes in one suffix-array build) falls back
-            # to densify-every-round — same results, the old cost.
+            # so the round skips the full _dense_ranks machinery (a
+            # distinct shuffle, a range-repartition with its sampling
+            # job, an eager checkpoint, an offsets collect and a remap
+            # join) for a pure projection.  DENSITY IS NOT REQUIRED —
+            # only the bound — so arithmetic rounds CHAIN while the
+            # squaring envelope stays under 2^31 (max new rank is
+            # (ubound-1)(ubound+2) + ubound+1 = (ubound+1)^2 - 2, and
+            # the guard keeps the next round's product under 2^63):
+            # a 14k-token corpus runs D,A,A,D,... (densify every THIRD
+            # round), a tiny one chains 3+.  ubound >= 2^31 (> ~2e9
+            # distinct suffixes in one build) falls back to
+            # densify-every-round — same results, the old cost.
             cur = materialize(
                 paired.select(
                     "gid",
@@ -221,12 +239,13 @@ def suffix_ranks(
                     "pos",
                     "is_sent",
                     (
-                        F.col("rank") * F.lit(base + 2)
+                        F.col("rank") * F.lit(ubound + 2)
                         + (F.col("__r2") + F.lit(2))
                     ).alias("rank"),
                 )
             )
-            base = None
+            ubound = (ubound + 1) ** 2
+            dense = False
             k *= 2
             levels.append((k, cur.select("gid", "rank")))
             continue
@@ -237,7 +256,7 @@ def suffix_ranks(
             paired.join(remap, ["rank", "__r2"])
             .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
         )
-        base = n_distinct
+        ubound, dense = n_distinct, True
         k *= 2
         levels.append((k, cur.select("gid", "rank")))
         # all-ranks-distinct: the remap's distinct (rank, __r2) count
@@ -245,16 +264,17 @@ def suffix_ranks(
         # collect; no per-round max(rank) scan (r10 review).  An
         # arithmetic round cannot test this (its distinct count is
         # unknown by construction), so completion is detected at the
-        # next densify — at most one extra cheap projection round.
+        # next densify — at most a chain of cheap projection rounds
+        # (k squares past max_block quickly, so the chain is short).
         if n_distinct == n:
             break
-    if base is None:
+    if not dense:
         # the loop ended on an arithmetic round: ranks are distinct
         # and correctly ORDERED but sparse, while neighbor_lcps pairs
         # rank r with rank r-1 — i.e. the FINAL frame must be dense
         # consecutive suffix-array positions.  One last densify
-        # restores that contract (the sparse level already appended is
-        # fine: the LCP descent only ever tests rank EQUALITY).
+        # restores that contract (the sparse levels already appended
+        # are fine: the LCP descent only ever tests rank EQUALITY).
         remap, _ = _dense_ranks(cur.select("rank"), ["rank"], "__d")
         cur = materialize(
             cur.join(remap, "rank")

@@ -186,6 +186,45 @@ def test_match_lengths_property(spark, texts):
     assert got == py_match_lengths(docs)
 
 
+def test_chained_arithmetic_rekey_matches_densify_fallback(spark, monkeypatch):
+    """r15 opt: arithmetic re-key rounds CHAIN while the rank-space
+    bound stays under _ARITH_UBOUND_LIMIT (it squares per round).  A
+    long low-vocab doc drives many doubling rounds, so the default
+    path runs several consecutive arithmetic rounds; pinning the limit
+    to 0 forces the densify-every-round fallback.  Both paths must
+    produce the identical dense suffix-array order and identical
+    match lengths."""
+    import automated_etl_pipeline_spark.dedup.suffix_array as sa
+
+    docs = {
+        0: "a b " * 20 + "a",            # 41 tokens, k doubles 6 times
+        1: "b a " * 7,
+        2: "a b a b c",
+        3: "",
+    }
+    final, _ = sa.suffix_ranks(_df(spark, docs))
+    fast_order = [
+        (r["doc_id"], r["pos"])
+        for r in final.orderBy("rank").select("doc_id", "pos").collect()
+    ]
+    fast_ml = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in sa.match_lengths(_df(spark, docs)).collect()
+    }
+    monkeypatch.setattr(sa, "_ARITH_UBOUND_LIMIT", 0)
+    final_slow, _ = sa.suffix_ranks(_df(spark, docs))
+    slow_order = [
+        (r["doc_id"], r["pos"])
+        for r in final_slow.orderBy("rank").select("doc_id", "pos").collect()
+    ]
+    slow_ml = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in sa.match_lengths(_df(spark, docs)).collect()
+    }
+    assert fast_order == slow_order == py_suffix_order(docs)
+    assert fast_ml == slow_ml == py_match_lengths(docs)
+
+
 def test_longest_repeat_degenerate_one_row(spark):
     """r10 ADVICE: the one-row contract must hold for corpora with no
     adjacent suffix pair (empty corpus, all-empty docs, single token)."""
