@@ -5612,12 +5612,20 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     would diverge); timestamps render as 'yyyy-MM-dd HH:mm:ss' in
     both.
 
-    Scale: ONE scan — all columns' aggregates are computed in a single
-    groupBy().agg(); the multi-column exact COUNT(DISTINCT) expands to
-    one Expand + partial/final aggregate pair (Catalyst's standard
+    Scale: ONE wide scan for everything hash-aggregable — counts,
+    nulls, and the multi-column exact COUNT(DISTINCT), which expands
+    to one Expand + partial/final aggregate pair (Catalyst's standard
     rewrite), shuffling only the distinct key streams, never the rows.
-    At 100 TB swap exact distinct for approx_count_distinct (HLL) per
-    the hll_distinct_rollup pattern."""
+    STRING min/max live in a second, trivial aggregate joined back as
+    a 1x1 broadcast (r15 opt, guide §1.2 step 2): a string aggregation
+    BUFFER is immutable in UnsafeRow, so one min(string) in the wide
+    aggregate forced the WHOLE pipeline - Expand included - into
+    SortAggregate, i.e. full sorts of the 7x-expanded stream (1.05M
+    rows at sf0.1; measured same-session paired 3.7 -> 1.7 s median).
+    The narrow second scan reads 2 columns with map-side partials -
+    nothing next to the sorts it removes.  At 100 TB swap exact
+    distinct for approx_count_distinct (HLL) per the
+    hll_distinct_rollup pattern."""
     (orders,) = _t(spark, sf_dir, "orders")
     spark_t = {
         "BIGINT": "bigint",
@@ -5626,15 +5634,19 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TIMESTAMP": "timestamp",
     }
     aggs = [F.count(F.lit(1)).alias("n_rows")]
+    str_aggs = []
     for c, t in _PROFILE_COLS:
         cc = F.col(c).cast(spark_t[t])
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"null__{c}"),
             F.countDistinct(F.col(c)).alias(f"dist__{c}"),
+        ]
+        target = str_aggs if t == "VARCHAR" else aggs
+        target += [
             F.min(cc).cast("string").alias(f"min__{c}"),
             F.max(cc).cast("string").alias(f"max__{c}"),
         ]
-    one = orders.agg(*aggs)
+    one = orders.agg(*aggs).crossJoin(F.broadcast(orders.agg(*str_aggs)))
     rows = one.select(
         F.explode(
             F.array(
