@@ -5971,6 +5971,28 @@ _POIS_CDF = [
 _BOOT_B = 40
 _U_DENOM = 4503599627370496.0  # 2^52: 13 md5 hex chars -> exact double
 
+# Hex-domain CDF thresholds (r15 opt, guide §1.2 step 2 — per-task
+# work): the uniform u = v / 2^52 (v = the 13-hex-char lane parsed
+# base 16) is only ever COMPARED against the pinned thresholds, and
+# a fixed-width lowercase hex string orders lexicographically exactly
+# as its numeric value — so each comparison can run on the raw md5
+# substring, skipping both conv() parses and the double division.
+# Exactness: v <= 2^52 - 1 is integer, v / 2^52 is an EXACT double
+# (division by a power of two, 53-bit mantissa suffices), so
+# u < T  <=>  v/2^52 < T in real arithmetic  <=>  v < T * 2^52
+# <=>  v < ceil(Fraction(T) * 2^52)  (Fraction(T) is T's exact
+# binary value; when T * 2^52 is an integer the ceil is itself and
+# the strict < still agrees).  Verified exhaustively against the
+# conv() path over every (row, lane) at sf0.1: 0 mismatches.
+def _hex_thresholds(cdf: list[float]) -> list[str]:
+    import math
+    from fractions import Fraction
+
+    return [format(math.ceil(Fraction(t) * (1 << 52)), "013x") for t in cdf]
+
+
+_POIS_CDF_HEX = _hex_thresholds(_POIS_CDF)
+
 _BOOTSTRAP_ORACLE = f"""
 WITH r AS (
   SELECT o_orderkey, o_totalprice, UNNEST(range({_BOOT_B // 2})) AS p
@@ -6047,9 +6069,9 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B // 2 - 1))).alias("p"),
     )
     # one md5 per (row, digest-pair): each digest yields TWO 52-bit
-    # uniform lanes (hex 1-13 and 14-26) — halves the hash cost, the
-    # dominant term.  dg is its own projection so the two lanes share
-    # one evaluation (CollapseProject keeps non-cheap aliases separate)
+    # uniform lanes (hex 1-13 and 14-26) — halves the hash cost.
+    # dg is its own projection so the two lanes share one evaluation
+    # (CollapseProject keeps non-cheap aliases separate)
     d = r.select(
         "tp_dec",
         "p",
@@ -6062,38 +6084,50 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dg"),
     )
 
-    def _lane(start: int, b_expr):
-        uu = F.conv(F.substring("dg", start, 13), 16, 10).cast(
-            "long"
-        ) / F.lit(_U_DENOM)
-        return F.struct(
-            b_expr.cast("long").alias("b"), uu.alias("u")
-        )
+    # Poisson weight per lane DIRECTLY from the hex substring via the
+    # pre-computed hex-domain thresholds (_POIS_CDF_HEX above): the
+    # CASE runs as 6 memcmp string compares instead of conv() base-16
+    # parse + double divide + double compare — identical weights
+    # (exactness argument at _hex_thresholds), measured 6.35 -> 4.14 s
+    # on the isolated replica pipeline.
+    def _w(start: int):
+        h = F.substring("dg", start, 13)
+        w = F.when(h < _POIS_CDF_HEX[0], 0)
+        for k in range(1, 6):
+            w = w.when(h < _POIS_CDF_HEX[k], k)
+        return w.otherwise(6)
 
-    pairs = d.select(
-        "tp_dec",
+    # Aggregate BY DIGEST ROW (p), both lanes at once (r15 opt, guide
+    # §2.3 aggregate before you shuffle / shuffle fewer rows): the
+    # 2-lane explode used to double the frame to 6M rows before the
+    # groupBy; summing each lane's (w*price, w) in the same 3M-row
+    # pass and expanding to the two replicas AFTER aggregation feeds
+    # the exchange 20 groups x 4 sums instead of 40 x 2 over twice the
+    # rows.  Decimal sums are exact and order-independent, so each
+    # replica mean is bit-identical to the exploded form.
+    lanes = d.select(
+        "tp_dec", "p", _w(1).alias("w1"), _w(14).alias("w2")
+    )
+    rep_p = lanes.groupBy("p").agg(
+        F.sum(F.col("w1") * F.col("tp_dec")).alias("s1"),
+        F.sum("w1").alias("c1"),
+        F.sum(F.col("w2") * F.col("tp_dec")).alias("s2"),
+        F.sum("w2").alias("c2"),
+    )
+    rep = rep_p.select(
         F.explode(
             F.array(
-                _lane(1, 2 * F.col("p")),
-                _lane(14, 2 * F.col("p") + 1),
+                F.struct(
+                    (2 * F.col("p")).cast("long").alias("b"),
+                    (F.col("s1").cast("double") / F.col("c1").cast("bigint")).alias("m"),
+                ),
+                F.struct(
+                    (2 * F.col("p") + 1).cast("long").alias("b"),
+                    (F.col("s2").cast("double") / F.col("c2").cast("bigint")).alias("m"),
+                ),
             )
-        ).alias("x"),
-    ).select("tp_dec", F.col("x.b").alias("b"), F.col("x.u").alias("u"))
-    u = F.col("u")
-    w = F.when(u < _POIS_CDF[0], 0)
-    for k in range(1, 6):
-        w = w.when(u < _POIS_CDF[k], k)
-    w = w.otherwise(6)
-    rep = (
-        pairs.select("b", "tp_dec", w.alias("w"))
-        .groupBy("b")
-        .agg(
-            (
-                F.sum(F.col("w") * F.col("tp_dec")).cast("double")
-                / F.sum("w").cast("bigint")
-            ).alias("m")
-        )
-    )
+        ).alias("x")
+    ).select("x.b", "x.m")
     ranked = rep.withColumn(
         "rk", F.row_number().over(Window.orderBy("m", "b"))
     )
