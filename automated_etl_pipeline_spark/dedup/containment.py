@@ -46,14 +46,19 @@ def containment_pairs(
     """(doc_sub, doc_super, containment) for ALL directed pairs with
     round(|sub∩super| / |sub|, 6) >= threshold; both directions
     appear for mutual near-copies."""
+    # Cheap token-count pre-filter instead of filter(size(s) > 0)
+    # above the projection — identical kept set (s empty iff < n
+    # tokens), and it stops predicate pushdown from inlining the
+    # md5+transform shingle pipeline into the filter (it ran twice
+    # per row; see ngram_jaccard.jaccard_pairs, r15 opt).
     sh = (
-        docs.select(
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(token_ngrams(F.col(text_col), n), shingle_hash60)
             ).alias("s"),
         )
-        .filter(F.size("s") > 0)
         .withColumn("sz", F.size("s"))
         .localCheckpoint()
     )

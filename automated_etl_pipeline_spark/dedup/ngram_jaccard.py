@@ -93,14 +93,22 @@ def jaccard_pairs(
     scale); the prefix index is deliberately NOT checkpointed — its
     self-join's two sides are the same subplan, so ReuseExchange
     materializes the window shuffle once (see inline note below)."""
+    # Pre-filter on the CHEAP equivalent condition BEFORE the shingle
+    # projection (r15 opt, guide §4.4's duplication mode with pure JVM
+    # expressions): ``s`` is empty iff the doc has < n tokens
+    # (shingle_set's contract; NULL text -> size(split) = -1, dropped
+    # either way), and a ``filter(size(s) > 0)`` ABOVE the projection
+    # gets pushed below it with the alias inlined — the whole
+    # md5+transform pipeline ran TWICE per row (plan showed md5 x2;
+    # the oracle already phrases the filter this cheap way).
     sh = (
-        docs.select(
+        docs.filter(F.size(F.split(F.col(text_col), " ")) >= n)
+        .select(
             F.col(id_col),
             F.array_distinct(
                 F.transform(token_ngrams(F.col(text_col), n), shingle_hash60)
             ).alias("s"),
         )
-        .filter(F.size("s") > 0)
         .withColumn("sz", F.size("s"))
         .localCheckpoint()
     )
