@@ -1776,10 +1776,16 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: _ng.shingle_hash60(F.concat_ws(" ", F.slice(t, i, 8))),
             )
         )
+        # explode_outer, NOT explode (r15 opt): a plain explode makes
+        # InferFiltersFromGenerate add size(gs)>0 AND isnotnull(gs),
+        # which predicate pushdown inlines below the projection — the
+        # whole split+md5+conv gram pipeline evaluated 3x per row.
+        # The size(t) >= 8 pre-filter already guarantees gs is a
+        # non-empty array, so the outer variant emits identical rows.
         return (
             df.filter(F.size(t) >= 8)
             .select(F.col("doc_id").alias(out_id), g.alias("gs"))
-            .select(out_id, F.explode("gs").alias("g"))
+            .select(out_id, F.explode_outer("gs").alias("g"))
         )
 
     probe = docs.filter(F.col("doc_id") % 20 == 0)
@@ -1864,9 +1870,16 @@ def target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return df.filter(F.size(t) >= 2).select("doc_id", g.alias("gs"))
 
+    # explode_outer, NOT explode (r15 opt): a plain explode makes
+    # InferFiltersFromGenerate add size(gs)>0 AND isnotnull(gs), which
+    # predicate pushdown inlines below the projection — the whole
+    # split+md5+conv bigram pipeline evaluated 3x per row (plan diff
+    # in plans/r15/target_overlap_selection_*).  bigrams() pre-filters
+    # size(t) >= 2, so gs is always a non-empty array and the outer
+    # variant emits identical rows.
     tgt = (
         bigrams(docs.filter(F.col("lang") == "en"))
-        .select(F.explode("gs").alias("g"))
+        .select(F.explode_outer("gs").alias("g"))
         .distinct()
     )
     # stats derive from the EXPLODED side (gs is already distinct, so
@@ -1874,7 +1887,7 @@ def target_overlap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for the probe and again for the denominators
     pb = (
         bigrams(spread(docs.filter(F.col("lang") != "en")))
-        .select("doc_id", F.explode("gs").alias("g"))
+        .select("doc_id", F.explode_outer("gs").alias("g"))
     )
     # ONE pass over the exploded pool (r15 opt, guide §2.4): the old
     # shape fed pb into TWO groupBys (semi-join+count and a plain
@@ -5946,6 +5959,12 @@ def doc_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.dedup.ngram_jaccard import shingle_hash60
 
     (docs,) = _t(spark, sf_dir, "documents")
+    # (r15 opt note: unlike the aliased-array explodes in
+    # target_overlap_selection / decontamination_overlap, this inline
+    # explode does NOT get an InferFiltersFromGenerate guard inlined
+    # below it — plan shows one shingle pipeline per consumer subtree
+    # — so the explode_outer + pre-filter rewrite was measured here
+    # and rejected: 2.10 vs 2.02 s, noise.)
     inv = (
         spread(docs)
         .filter(F.col("text").isNotNull())
