@@ -128,10 +128,17 @@ def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14): for every node u over its full
     neighborhood N(u), connect each strictly-larger neighbor to
-    m = min(N(u) + {u}).  Emits no self-loops (m <= u < v)."""
+    m = min(N(u) + {u}).  Emits no self-loops (m <= u < v).
+
+    INPUT CONTRACT (r15 opt): ``e`` is canonical — distinct edges with
+    ``u > v`` — so the symmetrized union below is disjoint by
+    construction (u>v rows never collide with their u<v mirrors) and
+    needs NO distinct: one full shuffle per round removed.  The output
+    is canonical again (every emitted row is (old v, m) with
+    v > u >= m), so rounds chain without re-canonicalizing."""
     sym = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
     mins = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mv"))
@@ -148,14 +155,15 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: orient every edge large->small, then for
     every node u connect u and each of its (all smaller) neighbors to
-    m = min(N(u)) — except m itself.  Emits no self-loops."""
-    oriented = (
-        e.select(
-            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    m = min(N(u)) — except m itself.  Emits no self-loops.
+
+    INPUT CONTRACT (r15 opt): ``e`` is canonical (distinct, ``u > v``)
+    — large-star's output always is — so the orient-and-distinct pass
+    the general form needs (a greatest/least projection plus a full
+    shuffle) is a no-op here and is skipped.  Output rows are (v, m)
+    with v > m and (u, m) with u > m: canonical modulo the final
+    distinct, which stays (different u can emit the same pair)."""
+    oriented = e
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = (
         oriented.join(mins, "u")
@@ -190,9 +198,18 @@ def connected_components_stars(
     (same contract as propagation).  Each round's frames go through
     ``materialize`` so neither lineage nor Catalyst's sizeInBytes
     stat compounds (plans/materialize.py)."""
+    # seed CANONICAL: orient u > v before the dedup shuffle (r15 opt)
+    # — the star helpers then keep the invariant for free, so neither
+    # round pays the symmetrize-distinct (large star) or the
+    # orient-distinct (small star) shuffle the general forms need.
+    # Orientation inside the same distinct costs nothing extra and
+    # collapses (a,b)/(b,a) mirror inputs to one row up front.
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
         .distinct()
         .localCheckpoint()
     )

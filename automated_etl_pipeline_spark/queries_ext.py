@@ -4406,23 +4406,32 @@ ORDER BY support DESC, u, v LIMIT 25
 @query("frequent_pairs_minsup", _FREQ_PAIRS_ORACLE)
 def frequent_pairs_minsup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25 supplier pairs by basket co-occurrence support (minsup
-    2) — bounded within-basket self-join + one pair-count shuffle,
-    see section comment for the basket-size-bounded scale argument."""
+    2) — ONE groupBy(basket).collect_set(item) shuffle + per-basket
+    higher-order-function pair explode + one pair-count shuffle (r15
+    opt, guide §2.4: collect_set IS the old distinct, so the distinct
+    exchange and the within-basket self-join's sort both drop; fan-out
+    stays bounded by basket size exactly as before — see the section
+    comment)."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_suppkey").alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    baskets = (
+        li.groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("its"))
+        .filter(F.size("its") >= 2)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("its"),
+            lambda x, i: F.transform(
+                F.slice(F.col("its"), i + 2, F.size(F.col("its"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    # explode_outer: non-empty by the size(its) >= 2 filter — identical
+    # rows, no inferred size()>0 guard re-running the HOF (de304a0)
     pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("u"), F.col("b.item").alias("v")
-        )
+        baskets.select(F.explode_outer(pair_arr).alias("p"))
+        .groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 2)
     )

@@ -5382,31 +5382,43 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge join stays O(|E|^1.5) under ANY degree skew, and every
     triangle is counted exactly once from its minimum-degree corner.
 
-    Scale: edge building is a within-order self-join (bounded pairs
-    per order — the market-basket posture) followed by a support
-    groupBy; the reduced edge list is materialize()d once so the
-    degree pass, orientation joins, wedge self-join, and closing join
-    all reuse it instead of re-running the O(rows) pair generation
-    four times."""
+    Scale: edge building is within-order pair expansion — ONE
+    groupBy(order).collect_set(part) shuffle plus a per-basket
+    higher-order-function pair explode (the minhash candidate_pairs
+    shape), replacing the distinct + within-order self-join that
+    shuffled the (order, part) table twice more for the same bounded
+    fan-out (r15 opt, guide §2.4: 3 Exchanges + SortMergeJoin -> 1
+    Exchange; pairs per basket stay bounded by basket size either
+    way).  collect_set IS the old distinct, sort_array makes u < v.
+    The reduced edge list is materialize()d once so the degree pass,
+    orientation joins, wedge self-join, and closing join all reuse it
+    instead of re-running the O(rows) pair generation four times."""
     from automated_etl_pipeline_spark.graph.triangles import triangle_stats
     from automated_etl_pipeline_spark.plans.materialize import materialize
 
     (li,) = _t(spark, sf_dir, "lineitem")
-    lp = (
+    baskets = (
         li.filter(F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull())
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
     )
-    a, b = lp.alias("a"), lp.alias("b")
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
+    # explode_outer: pair_arr is provably non-empty (size(ps) >= 2), so
+    # rows are identical to explode but InferFiltersFromGenerate adds no
+    # size()>0 guard re-evaluating the HOF pipeline (the de304a0 lesson)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        baskets.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("supp"))
         .filter(F.col("supp") >= 2)
         .select("u", "v")

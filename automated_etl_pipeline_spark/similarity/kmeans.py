@@ -67,7 +67,22 @@ def _sq_dist(q: Column, c: Column) -> Column:
 def _assign(pts: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     """Nearest-centroid assignment: broadcast the k-row centroid table,
     compute k distances per vector, keep the argmin (ties -> lowest
-    cluster id)."""
+    cluster id).
+
+    r15 measured-and-REJECTED alternative: folding the k centroids
+    into one broadcast array row and taking the argmin as an
+    ``array_min`` over (d2, cluster) structs removes this window's
+    n*k-row exchange + sorts entirely (stages 35 -> 30 on the gate)
+    but ran 1.09x SLOWER at sf0.1 (2.80-2.93 vs 3.06-3.08 s over 4
+    alternating gate reps, after already fixing a 2x
+    expression-duplication variant) — higher-order functions are
+    CodegenFallback, and the nested interpreted fold over k centroids
+    x dim components costs more than the tiny local shuffle it saves.
+    A grouped min(struct(d2, cluster)) replacement hits the immutable
+    agg-buffer SortAggregate trap on the carried array column (the
+    profile_table_columns lesson).  On a cluster where the n*k
+    exchange dominates, the array fold is the right shape — revisit
+    with the deployment bench, not local[32]."""
     w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cluster"))
     return (
         pts.crossJoin(F.broadcast(cent))
@@ -101,11 +116,14 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    keep_q: bool = False,
 ) -> DataFrame:
     """(id, cluster, d2) under the centroids after ``iters`` Lloyd
     passes (assignment i uses centroids from update i-1; the returned
     assignment is pass ``iters``, i.e. centroids updated iters-1
-    times)."""
+    times).  ``keep_q=True`` additionally returns the quantized ``q``
+    column — consumers that need the vectors (semdedup's pair stage)
+    then skip a re-quantize + id join."""
     pts = quantize_vectors(emb, id_col, vec_col, scale)
     # init: the k lowest-id vectors, cluster ids 0..k-1 in id order
     # (the window runs over k rows — driver-scale, not a global sort)
@@ -122,9 +140,10 @@ def kmeans_assign(
     for _ in range(iters - 1):
         cent = _update(assigned)
         assigned = _assign(pts, cent, id_col)
-    return assigned.select(
-        id_col, F.col("cluster").cast("int").alias("cluster"), "d2"
-    )
+    cols = [id_col, F.col("cluster").cast("int").alias("cluster"), "d2"]
+    if keep_q:
+        cols.insert(1, F.col("q"))
+    return assigned.select(*cols)
 
 
 def _oracle_ctes(k: int, iters: int, dim: int, scale: int) -> str:

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from automated_etl_pipeline_spark.similarity.kmeans import (
     _oracle_ctes,
     kmeans_assign,
-    quantize_vectors,
 )
 
 
@@ -109,10 +108,12 @@ def semdedup_report(
 ) -> DataFrame:
     """Per-cluster SemDeDup accounting: (cluster, n_vecs, n_dup_pairs,
     n_pruned, n_kept) with keep-min-id pruning at cosine ≥ threshold."""
-    pts = quantize_vectors(emb, id_col, vec_col, scale)
-    assigned = kmeans_assign(emb, k, iters, id_col, vec_col, scale)
+    # keep_q: the assignment already carries the quantized vectors, so
+    # the pair stage needs no re-quantize + id join (r15 opt — the old
+    # shape re-derived ``pts`` and joined it back on vec_id)
+    assigned = kmeans_assign(emb, k, iters, id_col, vec_col, scale, keep_q=True)
     av = (
-        assigned.join(pts, id_col)
+        assigned
         .select(
             F.col(id_col),
             "cluster",
