@@ -35,8 +35,13 @@ Algorithm — all DataFrame ops, sized for a corpus that fits no task:
    order-preserving arithmetic while the rank-space bound stays under
    2^31 (the bound squares per arithmetic round), with a full
    ``_dense_ranks`` re-densify only when it would overflow.
-   Rounds needed: ceil(log2(longest doc + 1)) — sentinels make every
-   suffix distinct within that horizon, NOT log2(corpus).  Ranks are
+   Doubling STARTS at k = ``_W0`` (= 8): the level-3 key is built
+   map-side from each doc's own token array (an 8-token-slot struct
+   with a per-doc sentinel tiebreak, ranked in one densify), so the
+   k = 1, 2, 4 rounds never run.
+   Rounds needed: ceil(log2(longest doc + 1)) - log2(_W0) —
+   sentinels make every suffix distinct within that horizon, NOT
+   log2(corpus).  Ranks are
    re-densified by ``_dense_ranks`` (below); every round frame is
    materialized via plans/materialize.py — localCheckpoint PLUS a
    fresh-LogicalRDD re-root, so both the lineage AND Catalyst's
@@ -50,7 +55,9 @@ Algorithm — all DataFrame ops, sized for a corpus that fits no task:
    pairs.  Exact LCP per pair descends the stored rank levels
    greedily (h += 2^k whenever rank_k matches at offset h) — the
    classic O(log n)-per-pair sparse-table walk, expressed as one
-   equi-join per level over the pair frame.  Kasai's O(n) LCP scan is
+   equi-join per level over the pair frame; the final < _W0 tokens
+   resolve in ONE content join (array common-prefix) instead of the
+   three k = 1, 2, 4 rank joins.  Kasai's O(n) LCP scan is
    inherently sequential and is NOT used.
 
 4. **Match lengths.**  The longest match of suffix i against the
@@ -91,6 +98,17 @@ _MISSING_RANK = -1  # gid past corpus end in a shifted join
 # ((2^31+1)^2 < 2^63).  Module-level so tests can pin it to 0 and
 # compare against the densify-every-round fallback.
 _ARITH_UBOUND_LIMIT = 1 << 31
+
+# Initial rank window in tokens (r15 opt): level 0 ranks the first
+# _W0 suffix components directly (a token-slot struct built map-side
+# from each doc's token array), so prefix doubling STARTS at k = _W0
+# and the k = 1, 2, 4 rounds — one full densify + remap each — never
+# run; the LCP descent resolves the final < _W0 tokens with ONE
+# content join instead of log2(_W0) rank-level joins.  8 keeps the
+# struct narrow enough for the range partitioner's sampling while
+# skipping three rounds; the equivalence argument is in
+# corpus_positions' docstring.
+_W0 = 8
 
 
 def _dense_ranks(
@@ -133,12 +151,33 @@ def _block_offsets(lens: DataFrame) -> DataFrame:
 def corpus_positions(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(gid, doc_id, pos, rank, is_sent): one row per real token plus
-    one sentinel row per document, gids contiguous per doc block in
-    ``id_col`` order.  ``rank`` is the level-0 rank: dense over the
-    vocabulary for tokens (>= 0), ``-offset-2`` for sentinels
-    (unique per doc, < _MISSING_RANK).  Empty/whitespace-only docs
-    contribute just their sentinel."""
+    """(gid, doc_id, pos, is_sent, key): one row per real token plus
+    one sentinel row per document (pos == len(tokens)), gids
+    contiguous per doc block in ``id_col`` order.  ``key`` is the
+    LEVEL-log2(_W0) comparison key, built map-side from the doc's own
+    token array: a struct of the next ``_W0`` token slots (``''`` for
+    slots at/past the doc's sentinel) plus a ``term`` long — the doc's
+    sentinel rank ``-offset-2`` when the window is truncated by the
+    sentinel, ``0`` for complete windows.
+
+    Struct comparison of these keys reproduces the ORIGINAL per-token
+    comparison (vocab rank per slot, sentinel rank -offset-2 below all
+    tokens) outcome-for-outcome:
+
+    - token slots compare as strings — the same total order the old
+      dense vocab rank encoded;
+    - tokens are non-empty (the split filter), so the ``''`` pad
+      sorts strictly first — exactly the negative sentinel rank
+      deciding "shorter suffix first";
+    - components past the first sentinel can never decide a
+      comparison in the old key space (sentinel ranks are globally
+      unique, so two windows agreeing through a sentinel are the SAME
+      window); replacing them with ``''`` pads plus the per-doc
+      ``term`` tiebreak therefore flips no outcome, and ``term``
+      reproduces the old sentinel-vs-sentinel order (-offset-2 on
+      both sides) for content-equal truncated windows.
+
+    Empty/whitespace-only docs contribute just their sentinel."""
     toks = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         # NULL text behaves as an empty doc (size(NULL) would poison
@@ -150,52 +189,77 @@ def corpus_positions(
     lens = toks.select("doc_id", (F.size("t") + F.lit(1)).alias("block_len"))
     offs = _block_offsets(lens)
     base = toks.join(offs, "doc_id")
-    real = base.select(
+    # one row per position INCLUDING the sentinel (pos == size(t));
+    # slots/term come straight off the token array — no vocab densify,
+    # no explode-then-regroup
+    # try_element_at: past-the-end slots are NULL (ANSI element_at
+    # raises), coalesced to the '' pad
+    slot = lambda j: F.coalesce(  # noqa: E731
+        F.try_element_at(F.col("t"), F.col("pos") + F.lit(j + 1)), F.lit("")
+    )
+    term = F.when(
+        F.col("pos") + F.lit(_W0) > F.size("t"),
+        (-F.col("offset") - F.lit(2)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return base.select(
         "doc_id",
         "offset",
-        F.posexplode("t").alias("pos", "token"),
+        "t",
+        F.explode(F.sequence(F.lit(0), F.size("t"))).alias("pos"),
     ).select(
         (F.col("offset") + F.col("pos")).alias("gid"),
         "doc_id",
         "pos",
-        "token",
-        F.lit(False).alias("is_sent"),
+        (F.col("pos") == F.size("t")).alias("is_sent"),
+        F.struct(
+            *[slot(j).alias(f"t{j}") for j in range(_W0)],
+            term.alias("term"),
+        ).alias("key"),
     )
-    vocab, _ = _dense_ranks(real.select("token"), ["token"], "rank")
-    real_ranked = real.join(vocab, "token").drop("token")
-    sent = offs.select(
-        (F.col("offset") + F.col("block_len") - 1).alias("gid"),
-        "doc_id",
-        (F.col("block_len") - 1).alias("pos"),
-        (-F.col("offset") - F.lit(2)).cast("long").alias("rank"),
-        F.lit(True).alias("is_sent"),
-    )
-    return real_ranked.unionByName(sent)
 
 
 def suffix_ranks(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+) -> tuple[DataFrame, list[tuple[int, DataFrame]], DataFrame]:
     """Run prefix doubling to completion.
 
-    Returns ``(final, levels)``: ``final`` is (gid, doc_id, pos,
+    Returns ``(final, levels, low)``: ``final`` is (gid, doc_id, pos,
     is_sent, rank) with all ranks distinct (rank == suffix-array
     position); ``levels`` is [(prefix_len, (gid, rank))...] for every
-    doubling level including level 1, for the LCP descent."""
+    doubling level from ``_W0`` up, for the LCP descent's coarse
+    steps; ``low`` is (gid, w) — the up-to-``_W0 - 1`` tokens
+    following ``gid``, projected off the materialized position frame
+    for the descent's final content comparison (the k = 1..4 rank
+    levels the ``_W0`` start skips are exactly token-content equality,
+    so one array comparison replaces them)."""
     pos = materialize(corpus_positions(docs, id_col, text_col))
     n = pos.count()
+    low = pos.select(
+        "gid",
+        F.filter(
+            F.array(*[F.col(f"key.t{j}") for j in range(_W0 - 1)]),
+            lambda x: x != "",
+        ).alias("w"),
+    )
     if n == 0:
-        return pos.withColumn("rank", F.col("rank")), []
+        return (
+            pos.select("gid", "doc_id", "pos", "is_sent").withColumn(
+                "rank", F.lit(None).cast("long")
+            ),
+            [],
+            low,
+        )
     max_block = pos.groupBy("doc_id").count().agg(F.max("count")).collect()[0][0]
-    # level-0 token ranks are not yet corpus-dense (sentinels are
-    # negative) — densify so every level has the same rank space
-    r0, n0 = _dense_ranks(pos.select("rank"), ["rank"], "__d")
+    # level-log2(_W0) ranks: one densify of the map-side window keys —
+    # the vocab rank + r0 re-densify + three k<_W0 doubling rounds of
+    # the k=1 start collapse into this single pass
+    r0, n0 = _dense_ranks(pos.select("key"), ["key"], "__d")
     cur = materialize(
-        pos.join(r0, "rank")
+        pos.join(r0, "key")
         .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
     )
-    levels: list[tuple[int, DataFrame]] = [(1, cur.select("gid", "rank"))]
-    k = 1
+    levels: list[tuple[int, DataFrame]] = [(_W0, cur.select("gid", "rank"))]
+    k = _W0
     # `ubound`: exclusive upper bound of the current rank space (exact
     # n_distinct after a densify round, the (ubound+1)^2 envelope after
     # an arithmetic round); `dense` — whether ranks are additionally
@@ -203,7 +267,9 @@ def suffix_ranks(
     # so, and only the FINAL frame needs it).
     ubound = n0
     dense = True
-    while k < max_block:
+    # n0 == n: every _W0-window is already unique — the order is fully
+    # decided and the doubling loop never needs to run
+    while n0 < n and k < max_block:
         shifted = cur.select(
             (F.col("gid") - F.lit(k)).alias("gid"), F.col("rank").alias("__r2")
         )
@@ -280,16 +346,26 @@ def suffix_ranks(
             cur.join(remap, "rank")
             .select("gid", "doc_id", "pos", "is_sent", F.col("__d").alias("rank"))
         )
-    return cur, levels
+    return cur, levels, low
 
 
 def neighbor_lcps(
-    final: DataFrame, levels: list[tuple[int, DataFrame]]
+    final: DataFrame,
+    levels: list[tuple[int, DataFrame]],
+    low: DataFrame,
 ) -> DataFrame:
     """(i, j, lcp): exact longest-common-prefix in tokens for each
     adjacent pair in suffix-array order (i at rank r, j at rank r-1).
     Sentinel rows participate (their LCPs are 0 by construction —
-    sentinel ranks are unique at level 1)."""
+    sentinel windows are unique at every level).
+
+    Descent shape (r15 opt): the stored levels start at ``_W0``, so
+    the greedy binary descent resolves ``h`` to within ``_W0`` tokens;
+    ONE content join against ``low`` then compares the up-to-
+    ``_W0 - 1`` following tokens directly — rank equality at the
+    skipped k = 1..4 levels IS token equality, so the array
+    common-prefix adds the identical remainder the three per-level
+    joins used to."""
     a = final.select(F.col("rank"), F.col("gid").alias("i"))
     b = final.select((F.col("rank") - 1).alias("rank"), F.col("gid").alias("j"))
     pairs = a.join(b, "rank").select("i", "j").withColumn("h", F.lit(0).cast("long"))
@@ -321,6 +397,37 @@ def neighbor_lcps(
         # actions (measured 71 s -> ~9 s on the sf0.001 gate corpus).
         if step % 4 == 0:
             pairs = materialize(pairs)
+    # final < _W0 tokens: one content join (see docstring).  A left
+    # miss (no low row) cannot happen for live gids, but zip_with's
+    # NULL padding and the coalesce keep it 0-safe regardless.
+    la = low.select(F.col("gid").alias("__ga"), F.col("w").alias("__wa"))
+    lb = low.select(F.col("gid").alias("__gb"), F.col("w").alias("__wb"))
+    matched = F.zip_with(
+        F.col("__wa"),
+        F.col("__wb"),
+        lambda x, y: x.isNotNull() & y.isNotNull() & (x == y),
+    )
+    cpfx = F.aggregate(
+        matched,
+        F.struct(
+            F.lit(0).cast("long").alias("n"), F.lit(True).alias("go")
+        ),
+        lambda acc, m: F.struct(
+            (
+                acc["n"] + F.when(acc["go"] & m, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n"),
+            (acc["go"] & m).alias("go"),
+        ),
+        lambda acc: acc["n"],
+    )
+    pairs = (
+        pairs.withColumn("__ga", F.col("i") + F.col("h"))
+        .withColumn("__gb", F.col("j") + F.col("h"))
+        .join(la, "__ga", "left")
+        .join(lb, "__gb", "left")
+        .withColumn("h", F.col("h") + F.coalesce(cpfx, F.lit(0)))
+        .drop("__ga", "__gb", "__wa", "__wb")
+    )
     return pairs.select("i", "j", F.col("h").alias("lcp"))
 
 
@@ -332,10 +439,10 @@ def match_lengths(
     occurs at any OTHER position in the corpus (same doc included,
     Lee et al. semantics).  0 = the suffix starting here shares no
     first token with any other suffix."""
-    final, levels = suffix_ranks(docs, id_col, text_col)
+    final, levels, low = suffix_ranks(docs, id_col, text_col)
     if not levels:
         return final.select("doc_id", "pos", F.lit(0).cast("long").alias("match_len")).limit(0)
-    lcps = neighbor_lcps(final, levels)
+    lcps = neighbor_lcps(final, levels, low)
     per_gid = (
         lcps.select(F.col("i").alias("gid"), "lcp")
         .unionByName(lcps.select(F.col("j").alias("gid"), "lcp"))
@@ -425,10 +532,10 @@ def longest_repeat(
     fallback = spark.createDataFrame(
         [(0, None, None, None, None, None)], schema
     )
-    final, levels = suffix_ranks(docs, id_col, text_col)
+    final, levels, low = suffix_ranks(docs, id_col, text_col)
     if not levels:
         return fallback
-    lcps = neighbor_lcps(final, levels)
+    lcps = neighbor_lcps(final, levels, low)
     meta = final.select("gid", "doc_id", "pos")
     top = (
         lcps.join(meta.withColumnsRenamed({"gid": "i", "doc_id": "di", "pos": "pi"}), "i")

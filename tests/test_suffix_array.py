@@ -97,7 +97,7 @@ def test_match_lengths_crafted(spark):
 
 
 def test_suffix_order_crafted(spark):
-    final, levels = suffix_ranks(_df(spark, CRAFTED))
+    final, levels, _low = suffix_ranks(_df(spark, CRAFTED))
     rows = final.orderBy("rank").select("doc_id", "pos", "rank").collect()
     n = len(rows)
     assert [r["rank"] for r in rows] == list(range(n)), "ranks must be a dense total order"
@@ -202,7 +202,7 @@ def test_chained_arithmetic_rekey_matches_densify_fallback(spark, monkeypatch):
         2: "a b a b c",
         3: "",
     }
-    final, _ = sa.suffix_ranks(_df(spark, docs))
+    final, *_rest = sa.suffix_ranks(_df(spark, docs))
     fast_order = [
         (r["doc_id"], r["pos"])
         for r in final.orderBy("rank").select("doc_id", "pos").collect()
@@ -212,7 +212,7 @@ def test_chained_arithmetic_rekey_matches_densify_fallback(spark, monkeypatch):
         for r in sa.match_lengths(_df(spark, docs)).collect()
     }
     monkeypatch.setattr(sa, "_ARITH_UBOUND_LIMIT", 0)
-    final_slow, _ = sa.suffix_ranks(_df(spark, docs))
+    final_slow, *_rest = sa.suffix_ranks(_df(spark, docs))
     slow_order = [
         (r["doc_id"], r["pos"])
         for r in final_slow.orderBy("rank").select("doc_id", "pos").collect()
@@ -290,3 +290,52 @@ def test_remove_duplicate_spans_full_duplicate_and_threshold(spark):
     assert got[0] == (5, "")
     assert got[1] == (5, "")
     assert got[2] == (0, "a b x")
+
+
+def test_w0_window_boundaries(spark):
+    """r15 opt: doubling starts at k = _W0 (8) from a map-side
+    token-slot key, and the LCP descent's final < _W0 tokens resolve
+    via one content join.  Pin the boundary cases: suffix lengths of
+    exactly _W0-1/_W0/_W0+1 tokens, a shared span LONGER than _W0
+    (coarse rank step + content remainder), and same-content docs
+    whose order is decided only by the sentinel tiebreak."""
+    from automated_etl_pipeline_spark.dedup.suffix_array import _W0
+
+    assert _W0 == 8  # the crafted lengths below straddle this
+    docs = {
+        0: "w1 w2 w3 w4 w5 w6 w7",                    # 7 tokens (< _W0)
+        1: "w1 w2 w3 w4 w5 w6 w7 w8",                 # 8 tokens (= _W0)
+        2: "w1 w2 w3 w4 w5 w6 w7 w8 w9",              # 9 tokens (> _W0)
+        3: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 z",    # 11-token shared span
+        4: "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 q",
+        5: "w1 w2 w3 w4 w5 w6 w7",                    # full dup of doc 0
+    }
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, docs)).collect()
+    }
+    assert got == py_match_lengths(docs)
+    # the > _W0 shared span must come out exact, not rounded to 8
+    assert got[(3, 0)] == 11 and got[(4, 0)] == 11
+    final, levels, _low = suffix_ranks(_df(spark, docs))
+    rows = final.orderBy("rank").select("doc_id", "pos").collect()
+    assert [(r["doc_id"], r["pos"]) for r in rows] == py_suffix_order(docs)
+    assert levels and levels[0][0] == _W0
+
+
+def test_w0_all_windows_unique_skips_doubling(spark):
+    """When every _W0-window is already unique (n0 == n) the doubling
+    loop is skipped outright; ranks must still be the dense total
+    suffix order."""
+    docs = {0: "a b c d e f g h i j", 1: "k l m"}
+    final, levels, _low = suffix_ranks(_df(spark, docs))
+    rows = final.orderBy("rank").select("doc_id", "pos", "rank").collect()
+    assert [r["rank"] for r in rows] == list(range(len(rows)))
+    assert [(r["doc_id"], r["pos"]) for r in rows] == py_suffix_order(docs)
+    # only the level-_W0 frame exists: no doubling round ran
+    assert [plen for plen, _ in levels] == [8]
+    got = {
+        (r["doc_id"], r["pos"]): r["match_len"]
+        for r in match_lengths(_df(spark, docs)).collect()
+    }
+    assert got == py_match_lengths(docs)
