@@ -6065,7 +6065,17 @@ def stats_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replica means are order-independent."""
     (orders,) = _t(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey").isNotNull())
-    # cast to the exact decimal ONCE per base row, BEFORE the two
+    # r15 measured-and-REJECTED: removing the explode entirely —
+    # 40 per-row weight columns in map-side projections feeding ONE
+    # 80-sum global HashAggregate (zero row blowup, one exchange of 80
+    # partials) — ran 1.6x SLOWER (min-of-3 alternating gate reps 4.40
+    # vs 7.17 s): the 41-field md5 projection plus the 80-buffer
+    # aggregate blow past whole-stage codegen's field budget, and the
+    # interpreted row path costs far more than iterating the exploded
+    # 3M-row frame through codegen.  The explode-by-pairs + 20-group
+    # aggregate below is the fastest measured shape.
+    #
+    # Cast to the exact decimal ONCE per base row, BEFORE the two
     # explodes (r15 opt, guide §1.2 step 2 / §2.3 narrower types
     # early): the cast used to sit inside the replica aggregate, so it
     # ran per (row x B) — 40x the conversions for identical values

@@ -136,6 +136,17 @@ def cosine_sim_join(
         .localCheckpoint()
     )
 
+    # r15 measured-and-REJECTED: rewriting this band self-join as
+    # groupBy(band).collect_set + HOF pair expansion (the minhash
+    # candidate_pairs / frequent_pairs shape) was consistently SLOWER
+    # here (min-of-5 alternating gate reps 2.92 vs 3.29 s): the
+    # checkpointed band table is small enough that the join planned
+    # broadcast-side (zero extra Exchange, no sort), so the rewrite
+    # only traded a free join for 4 ObjectHashAggregates.  The
+    # collect_set shape wins when pair generation must collapse a
+    # LARGE un-checkpointed input's distinct + self-join (triangle /
+    # frequent-pairs over lineitem); not when the input is an
+    # already-materialized sliver.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
