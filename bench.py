@@ -357,13 +357,48 @@ def main() -> None:
         "conditions": {
             "loadavg_start": load_start,
             "loadavg_end": load_end,
+            # os.cpu_count() describes the HOST; cpus_env is the
+            # driver-contract core count actually used for
+            # local[$SPARK_GRAFT_CPUS] (VERDICT r15: the 8-cpu driver
+            # run recorded "cpus: 32" and the scaling comparison had to
+            # be reconstructed from filenames).
             "cpus": os.cpu_count(),
+            "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
         },
     }
     if errors:
         out["errors"] = errors
     if COLD:
         out["mode"] = "cold"
+
+    # Anchor-normalized per-query ratios (VERDICT r15 ask #1): the
+    # record itself must let a reader separate ambient host noise from
+    # code changes in ONE pass — a uniform inflation across anchored
+    # queries is the host; a query far above the run's own median is
+    # the code (or a skew/regression worth adjudicating).  Additions
+    # only: the "queries" map and the compact line are unchanged.
+    try:
+        _anchors_for_ratios = newest_anchors(
+            Path(
+                os.environ.get(
+                    "SPARK_GRAFT_BENCH_ANCHORS",
+                    Path(__file__).resolve().parent / "BASELINE_BENCH.json",
+                )
+            )
+        )
+        ratios = {
+            q: round(t / _anchors_for_ratios[q], 3)
+            for q, t in timings.items()
+            if _anchors_for_ratios.get(q, 0) > 0
+        }
+        if ratios:
+            out["anchor_ratios"] = ratios
+            out["conditions"]["anchor_ratio_median"] = round(
+                statistics.median(ratios.values()), 3
+            )
+            out["conditions"]["anchor_ratio_n"] = len(ratios)
+    except Exception:  # noqa: BLE001 — ratios are advisory, never fatal
+        pass
 
     # Self-adjudication (VERDICT r6 ask #2, widened r12 per VERDICT r11
     # ask #6): any query whose in-sweep wall reads ≥1.9× its newest
@@ -418,15 +453,24 @@ def main() -> None:
             reverse=True,
         )
         if flagged:
-            # hard wall budget: the driver's bench slot is finite — an
-            # adjudication pass that can't finish in time records what
-            # it got and marks the rest skipped rather than risking the
-            # whole record
-            ADJ_BUDGET_S = 180.0
+            # Staged wall budget (VERDICT r15 ask #1): the old flat
+            # 180 s budget shipped 7 gates as "adjudication budget
+            # exhausted" in the r15 close record, and those un-
+            # adjudicated >2x flags did load-bearing work in the judge
+            # cycle.  Now: worst offenders get the full 3-rep protocol;
+            # once HALF the budget is spent the remaining flags drop to
+            # 1 rep (a single fresh-session reading still separates
+            # ambient from code); only past the FULL budget is a flag
+            # marked skipped — which at the 600 s default should never
+            # happen (a 3-rep adjudication costs ~15-20 s).
+            ADJ_BUDGET_S = float(
+                os.environ.get("SPARK_GRAFT_BENCH_ADJ_BUDGET", "600")
+            )
             t_adj = time.perf_counter()
             adj: dict[str, dict] = {}
             for ratio, q in flagged:
-                if time.perf_counter() - t_adj > ADJ_BUDGET_S:
+                elapsed = time.perf_counter() - t_adj
+                if elapsed > ADJ_BUDGET_S:
                     adj[q] = {
                         "wall": timings[q],
                         "anchor": anchors[q],
@@ -434,7 +478,10 @@ def main() -> None:
                         "skipped": "adjudication budget exhausted",
                     }
                     continue
-                reps = standalone_median(qs[q], sf_dir, WARM_DIR, warm=not COLD)
+                n_reps = 3 if elapsed < 0.5 * ADJ_BUDGET_S else 1
+                reps = standalone_median(
+                    qs[q], sf_dir, WARM_DIR, reps=n_reps, warm=not COLD
+                )
                 nums = [r for r in reps if isinstance(r, (int, float))]
                 adj[q] = {
                     "wall": timings[q],

@@ -199,6 +199,17 @@ def test_bench_self_adjudicates_2x_readings(tmp_path):
     assert adj["ratio"] >= 2.0
     assert len(adj["standalone_reps"]) == 3
     assert adj["standalone_median"] >= 0.25
+    # r16 noise-proofing additions (VERDICT r15 ask #1), additions-only:
+    # the contract core count (not just os.cpu_count()) and the
+    # anchor-normalized per-query ratios + their median land in the
+    # record, so a reader can split ambient from code in one pass.
+    assert out["conditions"]["cpus_env"] == "4"
+    assert out["anchor_ratios"]["q_slow"] >= 2.0
+    assert (
+        out["conditions"]["anchor_ratio_median"]
+        == out["anchor_ratios"]["q_slow"]
+    )
+    assert out["conditions"]["anchor_ratio_n"] == 1
 
 
 # Layers that predate the r14 governance rule (VERDICT r13 ask #2);
