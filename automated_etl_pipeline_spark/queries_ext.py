@@ -986,6 +986,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
         windowed_counts,
@@ -998,7 +999,11 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_gate_{uuid.uuid4().hex[:8]}"
     try:
         events.write.mode("overwrite").parquet(drop)
-        with _stream_parts(spark):
+        # n=2: the windowed-agg state is ~720 window rows — sized to
+        # state volume per the _stream_parts contract (each extra
+        # partition costs a state-store instance per micro-batch;
+        # measured addBatch 480 -> 365 ms at sf0.1 going 8 -> 2)
+        with _stream_parts(spark, n=2):
             q = run_to_memory_sink(
                 windowed_counts(
                     read_events_stream(spark, drop, max_files_per_trigger=4)
@@ -1010,8 +1015,7 @@ def streaming_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise TimeoutError("availableNow drain did not finish in 300s")
         # detach the result from the memory sink so the sink table and
         # the drop dir can be released (the window result is tiny)
-        snapshot = spark.table(name).orderBy("window_start")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -1266,8 +1270,11 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    import glob
+
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
         windowed_counts,
@@ -1282,8 +1289,17 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         # original (cross-batch dedup is the point) without paying for
         # 64 part files / 16 micro-batches
         events.coalesce(4).write.mode("append").parquet(drop)
-        events.coalesce(4).write.mode("append").parquet(drop)  # duplicate delivery
-        with _stream_parts(spark):
+        # duplicate delivery (r16 opt, guide §1.2 — remove whole
+        # passes): an at-least-once transport redelivers the SAME
+        # bytes, which a byte-identical file copy models exactly; the
+        # old second Spark write job recomputed identical content.
+        # shutil.copy gives the copies a LATER mtime, so the file
+        # source still batches them after the originals.
+        for i, f in enumerate(sorted(glob.glob(f"{drop}/part-*.parquet"))):
+            shutil.copy(f, f"{drop}/redelivered-{i:05d}.parquet")
+        # n=2: state is the event_id dedup set + ~720 window rows —
+        # sized to state volume per the _stream_parts contract
+        with _stream_parts(spark, n=2):
             stream = (
                 read_events_stream(spark, drop, max_files_per_trigger=4)
                 .withWatermark("ts", "3650 days")
@@ -1297,8 +1313,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name).orderBy("window_start")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -1638,6 +1653,7 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.stateful import sessionize_stateful
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
     )
@@ -1647,6 +1663,9 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"state_sessions_{uuid.uuid4().hex[:8]}"
     try:
         events.coalesce(8).write.mode("overwrite").parquet(drop)
+        # n=8 kept: the per-batch pandas handler is the real compute
+        # here (100k rows through applyInPandasWithState) — partitions
+        # are sized to that parallelism, not to state volume
         with _stream_parts(spark):
             stream = read_events_stream(spark, drop).select("user_id", "ts")
             sessions = sessionize_stateful(stream, gap_minutes=30)
@@ -1654,8 +1673,9 @@ def streaming_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name).orderBy("user_id", "session_start_us")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        # 9399 sink rows at sf0.1 — the old collect+createDataFrame
+        # detach paid the Python roundtrip on every downstream pass
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -1705,6 +1725,7 @@ def streaming_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.stateful import funnel_stateful
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
     )
@@ -1714,6 +1735,7 @@ def streaming_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"funnel_{uuid.uuid4().hex[:8]}"
     try:
         events.coalesce(8).write.mode("overwrite").parquet(drop)
+        # n=8 kept: the pandas funnel handler is the real compute
         with _stream_parts(spark):
             stream = read_events_stream(spark, drop).select(
                 "user_id", "ts", "event_type", "event_id"
@@ -1724,8 +1746,7 @@ def streaming_funnel_completions(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name).orderBy("user_id")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -1991,11 +2012,14 @@ def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from automated_etl_pipeline_spark.io.pysource import register
+    from automated_etl_pipeline_spark.streaming.windows import detach_sink_table
 
     register(spark)
     name = f"pysrc_gate_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="spark_graft_pysrc_ckpt_")
-    with _stream_parts(spark):
+    # n=2: state is 8 bucket rows (sized to state volume per the
+    # _stream_parts contract)
+    with _stream_parts(spark, n=2):
         stream = (
             spark.readStream.format("synthetic_events")
             .option("n_rows", 20000)
@@ -2018,8 +2042,7 @@ def pysource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
-    snapshot = spark.table(name).orderBy("bucket")
-    out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    out = detach_sink_table(spark, name)
     spark.catalog.dropTempView(name) if name in [
         t.name for t in spark.catalog.listTables()
     ] else None
@@ -2552,7 +2575,10 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.joins import static_enrich
-    from automated_etl_pipeline_spark.streaming.windows import run_to_memory_sink
+    from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
+        run_to_memory_sink,
+    )
 
     dfs = load_testdata(spark, sf_dir, ["events", "customer"])
     events, customer = dfs["events"], dfs["customer"]
@@ -2562,7 +2588,9 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("ts", "user_id", "value").coalesce(8).write.mode(
             "overwrite"
         ).parquet(drop)
-        with _stream_parts(spark):
+        # n=2: stateless join + ~3600 window-state rows (sized to
+        # state volume per the _stream_parts contract)
+        with _stream_parts(spark, n=2):
             stream = spark.readStream.schema(
                 "ts timestamp, user_id long, value double"
             ).parquet(drop)
@@ -2583,8 +2611,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name).orderBy("window_start", "c_mktsegment")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -2623,6 +2650,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.joins import interval_join
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
     )
@@ -2637,7 +2665,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("event_type").isin("purchase", "view")).select(
             "event_id", "ts", "user_id", "event_type"
         ).coalesce(8).write.mode("overwrite").parquet(drop)
-        with _stream_parts(spark):
+        # n=2: a stream-stream join holds FOUR state stores per
+        # partition — 8 -> 2 cuts 32 store instances to 8 for ~40k
+        # state rows (sized to state volume per the _stream_parts
+        # contract)
+        with _stream_parts(spark, n=2):
             stream = spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long, event_type string"
             ).parquet(drop)
@@ -2660,8 +2692,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name).orderBy("p_event_id", "v_event_id")
-        out = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        out = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -3110,6 +3141,7 @@ def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from automated_etl_pipeline_spark.io.sources import load_testdata
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         read_events_stream,
         run_to_memory_sink,
         windowed_distinct_sketch,
@@ -3120,7 +3152,9 @@ def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"hll_stream_{uuid.uuid4().hex[:8]}"
     try:
         events.write.mode("overwrite").parquet(drop)
-        with _stream_parts(spark):
+        # n=2: state is ~720 per-window sketch rows (sized to state
+        # volume per the _stream_parts contract)
+        with _stream_parts(spark, n=2):
             q = run_to_memory_sink(
                 windowed_distinct_sketch(
                     read_events_stream(spark, drop, max_files_per_trigger=4)
@@ -3130,8 +3164,7 @@ def streaming_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name)
-        est = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        est = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
@@ -5958,8 +5991,9 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("o_orderstatus")
         )
-        # detach the result from the temp dirs before cleanup
-        snap = spark.createDataFrame(out.collect(), out.schema)
+        # detach the result from the temp dirs before cleanup (eager
+        # checkpoint: one in-JVM job, no collect/re-ship roundtrip)
+        snap = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(state, ignore_errors=True)
@@ -7471,7 +7505,8 @@ def streaming_manifest_sink_exactly_once(
             )
             .orderBy("o_orderstatus")
         )
-        snap = spark.createDataFrame(out.collect(), out.schema)
+        # eager checkpoint: one in-JVM job, no collect/re-ship roundtrip
+        snap = out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(drop, ignore_errors=True)
         shutil.rmtree(tbl, ignore_errors=True)

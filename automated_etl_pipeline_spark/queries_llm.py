@@ -3368,6 +3368,7 @@ def streaming_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         heavy_hitters_stateful,
     )
     from automated_etl_pipeline_spark.streaming.windows import (
+        detach_sink_table,
         run_to_memory_sink,
     )
 
@@ -3383,7 +3384,11 @@ def streaming_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.explode(F.split("text", " ")).alias("item"))
             .withColumn("bucket", F.pmod(F.xxhash64("item"), F.lit(4)))
         )
-        with _stream_parts(spark):
+        # n=4: state is keyed by the B=4 hash buckets — partitions past
+        # the key count only add empty state-store instances per
+        # trigger (4 triggers here); sized per the _stream_parts
+        # contract
+        with _stream_parts(spark, n=4):
             q = run_to_memory_sink(
                 heavy_hitters_stateful(stream_toks, k=32),
                 name,
@@ -3392,8 +3397,7 @@ def streaming_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not q.awaitTermination(300):
                 q.stop()
                 raise TimeoutError("availableNow drain did not finish in 300s")
-        snapshot = spark.table(name)
-        emitted = spark.createDataFrame(snapshot.collect(), snapshot.schema)
+        emitted = detach_sink_table(spark, name)
     finally:
         spark.catalog.dropTempView(name) if name in [
             t.name for t in spark.catalog.listTables()
