@@ -69,28 +69,48 @@ def _assign(pts: DataFrame, cent: DataFrame, id_col: str) -> DataFrame:
     compute k distances per vector, keep the argmin (ties -> lowest
     cluster id).
 
-    r15 measured-and-REJECTED alternative: folding the k centroids
-    into one broadcast array row and taking the argmin as an
-    ``array_min`` over (d2, cluster) structs removes this window's
-    n*k-row exchange + sorts entirely (stages 35 -> 30 on the gate)
-    but ran 1.09x SLOWER at sf0.1 (2.80-2.93 vs 3.06-3.08 s over 4
-    alternating gate reps, after already fixing a 2x
-    expression-duplication variant) — higher-order functions are
-    CodegenFallback, and the nested interpreted fold over k centroids
-    x dim components costs more than the tiny local shuffle it saves.
-    A grouped min(struct(d2, cluster)) replacement hits the immutable
-    agg-buffer SortAggregate trap on the carried array column (the
-    profile_table_columns lesson).  On a cluster where the n*k
-    exchange dominates, the array fold is the right shape — revisit
-    with the deployment bench, not local[32]."""
-    w = Window.partitionBy(id_col).orderBy(F.asc("d2"), F.asc("cluster"))
-    return (
+    Shape (r16 opt, guide §2.3/§2.4 — shuffle fewer bytes): the argmin
+    is a grouped ``min(struct(d2, cluster))`` over the crossJoin
+    output WITHOUT the vector columns — struct comparison is
+    lexicographic, so min(struct) picks exactly the (lowest d2,
+    then lowest cluster) row the old row_number window picked.  The
+    broadcast crossJoin preserves ``pts``'s partitioning, so the
+    partial aggregate collapses the k candidates per vector MAP-SIDE
+    and the exchange carries n narrow rows — where the old
+    ``Window.partitionBy(id)`` shuffled all n*k candidate rows WITH
+    the dim-length ``q`` array on each (k*~540B per vector vs ~20B).
+    ``q`` is re-attached by an id-keyed join against ``pts`` (two
+    n-row exchanges of one q copy each) — the §8 proxy rule: decide
+    on small rows, move the heavy column once.
+
+    The aggregation's struct buffer is immutable, so the argmin runs
+    as SortAggregate/ObjectHashAggregate rather than codegen
+    HashAggregate — but over n*k NARROW rows with no exchange, which
+    measured faster than the window (paired A/B at sf0.1:
+    kmeans_cluster_stats 0.87x, semdedup_cluster_prune 0.90x) and
+    shuffles ~4x fewer bytes at k=8.
+
+    r15 measured-and-REJECTED alternative (kept for the record):
+    folding the k centroids into one broadcast array row and taking
+    the argmin as an ``array_min`` over (d2, cluster) structs removes
+    the exchange too but ran 1.09x SLOWER — higher-order functions
+    are CodegenFallback and the interpreted fold over k x dim costs
+    more than it saves.  A min(struct) that CARRIES the array column
+    hits the immutable-agg-buffer SortAggregate trap on the whole
+    stream (the profile_table_columns lesson) — hence aggregate
+    first, re-join ``q`` after."""
+    best = (
         pts.crossJoin(F.broadcast(cent))
         .withColumn("d2", _sq_dist(F.col("q"), F.col("c")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "q", "cluster", "d2")
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("d2"), F.col("cluster"))).alias("__best"))
+        .select(
+            id_col,
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.d2").alias("d2"),
+        )
     )
+    return best.join(pts, id_col).select(id_col, "q", "cluster", "d2")
 
 
 def _update(assigned: DataFrame) -> DataFrame:
